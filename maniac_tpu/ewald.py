@@ -1,0 +1,98 @@
+"""Ewald summation setup: damping parameter, k-vector enumeration, weights.
+
+Host-side numpy; results are baked into the static SystemSpec. Formulas match
+the reference's DL_POLY-style derivation exactly
+(reference: src/prepare_utils.f90:103-214 SetupEwald/ComputeEwaldParameters/
+ComputeFourierIndices, src/ewald_kvectors.f90:44-246).
+
+Convention: cartesian k-vector for integer triple n = 2*pi * (H^-1)^T n, i.e.
+phase(r) = k . r = 2*pi * n . frac(r). For cubic/orthorhombic boxes this is
+identical to the reference's kvec_matrix (src/ewald_kvectors.f90:55).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .constants import PI, SMALL, TWOPI
+from .geometry import Box
+from .utils.logger import Logger, default_logger
+
+
+@dataclass
+class EwaldSetup:
+    alpha: float
+    screening_factor: float
+    fourier_precision: float
+    kmax: np.ndarray            # (3,) int
+    k_int: np.ndarray           # (K,3) integer triples
+    k_cart: np.ndarray          # (K,3) cartesian k-vectors (with 2*pi)
+    weights: np.ndarray         # (K,) W(k) = exp(-|k|^2/(4 a^2)) / |k|^2
+    form_factor: np.ndarray     # (K,) 1 for kx=0, 2 otherwise
+    real_space_cutoff: float    # possibly clamped
+    tolerance: float            # possibly clamped
+
+    @property
+    def num_kvectors(self) -> int:
+        return self.k_int.shape[0]
+
+
+def setup_ewald(box: Box, real_space_cutoff: float, tolerance: float,
+                logger: Logger | None = None) -> EwaldSetup:
+    logger = logger or default_logger()
+
+    # Step 1: clamp cutoff to the box (reference: AdjustRealSpaceCutoff)
+    rc = float(real_space_cutoff)
+    if rc > min(box.lengths):
+        logger.warn("real_space_cutoff too large for box. Reducing to safe value.")
+        rc = float(min(box.lengths)) / 2.0
+
+    # Step 2: clamp tolerance (reference: ClampTolerance)
+    tol = min(abs(float(tolerance)), 0.5)
+
+    # Step 3: alpha & Fourier precision (reference: ComputeEwaldParameters)
+    screening = np.sqrt(abs(np.log(tol * rc)))
+    alpha = np.sqrt(abs(np.log(tol * rc * screening))) / rc
+    fourier_precision = np.sqrt(-np.log(tol * rc * (2.0 * screening * alpha) ** 2))
+
+    # Step 4: kmax per axis (reference: ComputeFourierIndices)
+    kmax = np.rint(0.25 + box.lengths * alpha * fourier_precision / PI).astype(int)
+    kmax = np.maximum(kmax, 1)
+
+    # Step 5: enumerate valid k-vectors in the normalized half-space ellipsoid
+    kx = np.arange(0, kmax[0] + 1)
+    ky = np.arange(-kmax[1], kmax[1] + 1)
+    kz = np.arange(-kmax[2], kmax[2] + 1)
+    grid = np.stack(np.meshgrid(kx, ky, kz, indexing="ij"), axis=-1).reshape(-1, 3)
+    norm_ksq = ((grid[:, 0] / kmax[0]) ** 2 + (grid[:, 1] / kmax[1]) ** 2
+                + (grid[:, 2] / kmax[2]) ** 2)
+    valid = (norm_ksq >= SMALL) & (norm_ksq <= 1.0)
+    k_int = grid[valid]
+
+    # Match the reference's enumeration order (kx outer, then ky, then kz):
+    # meshgrid('ij') + reshape already yields exactly that order.
+
+    recip_rows = box.reciprocal  # H^-1; reciprocal vectors are its rows
+    k_cart = TWOPI * (k_int @ recip_rows)          # (K,3); row n . H^-1
+    ksq = np.sum(k_cart * k_cart, axis=1)
+    weights = np.exp(-ksq / (4.0 * alpha ** 2)) / ksq
+    form = np.where(k_int[:, 0] == 0, 1.0, 2.0)
+
+    return EwaldSetup(alpha=float(alpha), screening_factor=float(screening),
+                      fourier_precision=float(fourier_precision), kmax=kmax,
+                      k_int=k_int, k_cart=k_cart, weights=weights,
+                      form_factor=form, real_space_cutoff=rc, tolerance=tol)
+
+
+def log_ewald_parameters(ew: EwaldSetup, logger: Logger) -> None:
+    """Reference: LogEwaldParameters (src/prepare_utils.f90:75-97)."""
+    logger.log(f"Real-space cutoff (A): {ew.real_space_cutoff:10.4f}")
+    logger.log(f"Ewald accuracy tolerance: {ew.tolerance:12.5E}")
+    logger.log(f"Screening factor (dimensionless): {ew.screening_factor:10.4f}")
+    logger.log(f"Ewald damping parameter alpha (1/A): {ew.alpha:10.4f}")
+    logger.log(f"Fourier-space precision parameter: {ew.fourier_precision:10.4f}")
+    logger.log("Max Fourier index (kmax(1), kmax(2), kmax(3)): "
+               f"{ew.kmax[0]:5d}, {ew.kmax[1]:5d}, {ew.kmax[2]:5d}")
+    logger.log(f"Total reciprocal lattice vectors: {ew.num_kvectors:10d}")

@@ -1,0 +1,238 @@
+"""The Metropolis MC step as a pure function (SimState, key) -> SimState.
+
+Design: instead of the reference's five separate move subroutines with
+save/rollback of global state (reference: src/translation.f90, src/rotation.f90,
+src/create_molecule.f90, src/delete_molecule.f90, src/monte_carlo.f90:40-77),
+every move is ONE unified "remove a footprint + insert a footprint"
+computation with 0/1 weights:
+
+  move         removed footprint        inserted footprint
+  -----------  -----------------------  --------------------------------
+  translation  molecule (t, m)          same molecule, displaced COM
+  rotation     molecule (t, m)          same molecule, rotated offsets
+  creation     (none, weight 0)         template geometry at random pos
+  deletion     molecule (t, m)          (none, weight 0)
+  swap         molecule (t_a, m)        template of t_b at the same COM
+
+This keeps the per-step work identical across move types - a single masked
+pair-energy kernel of shape (2, A_act, S) plus one (2*A_act, K) phase matmul -
+so vmapped replicas never diverge. Rejection needs no rollback: the old state
+is simply selected.
+
+The swap move is actually implemented here (the reference declares it,
+parses its probability and has its acceptance formula
+src/monte_carlo_utils.f90:228-268, but never dispatches it -
+src/monte_carlo.f90:60 lets swap probability mass fall through to
+insertion/deletion).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import (PROB_CREATE_DELETE, TWOPI, TYPE_CREATION,
+                         TYPE_DELETION, TYPE_ROTATION, TYPE_SWAP,
+                         TYPE_TRANSLATION)
+from ..system import E_COUL, E_INTRA, E_LJ, E_RECIP, E_SELF, E_TOT, SimState, SystemSpec
+from ..physics.energy import (active_site_mask, amp_delta, intra_energy,
+                              pair_energy_footprint, recip_energy,
+                              site_positions)
+from ..physics.pbc import wrap_into_box
+
+
+def _axis_rotation(axis, theta, dtype):
+    """3x3 rotation about axis 0/1/2 (reference: src/helper_utils.f90:39-77),
+    built branch-free from the three axis matrices."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    one = jnp.ones((), dtype)
+    zero = jnp.zeros((), dtype)
+    rx = jnp.array([[one, zero, zero], [zero, c, -s], [zero, s, c]])
+    ry = jnp.array([[c, zero, s], [zero, one, zero], [-s, zero, c]])
+    rz = jnp.array([[c, -s, zero], [s, c, zero], [zero, zero, one]])
+    return jnp.stack([rx, ry, rz])[axis]
+
+
+def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
+    fdt = spec.dtype
+    ks = jax.random.split(key, 10)
+    u_move = jax.random.uniform(ks[0], dtype=fdt)
+    u_cd = jax.random.uniform(ks[1], dtype=fdt)
+    u_acc = jax.random.uniform(ks[2], dtype=fdt)
+    u_disp = jax.random.uniform(ks[3], (3,), dtype=fdt) - 0.5
+    u_frac = jax.random.uniform(ks[4], (3,), dtype=fdt)
+    axis = jax.random.randint(ks[5], (), 0, 3)
+    u_angle = jax.random.uniform(ks[6], dtype=fdt)
+
+    # ---- move class selection (reference: src/monte_carlo.f90:50-75) ----
+    is_trans = u_move <= spec.p_cum[0]
+    is_rot = (~is_trans) & (u_move <= spec.p_cum[1])
+    is_indel = (~is_trans) & (~is_rot) & (u_move <= spec.p_cum[2])
+    can_swap = spec.n_active >= 2
+    is_swap = (~is_trans) & (~is_rot) & (~is_indel) & can_swap
+    is_create = is_indel & (u_cd <= PROB_CREATE_DELETE)
+    is_delete = is_indel & (~is_create)
+    move = jnp.where(is_create, TYPE_CREATION,
+            jnp.where(is_delete, TYPE_DELETION,
+             jnp.where(is_trans, TYPE_TRANSLATION,
+              jnp.where(is_rot, TYPE_ROTATION, TYPE_SWAP))))
+
+    insert_like = is_create | is_swap      # inserts a new molecule
+    remove_like = is_delete | is_swap      # removes an existing molecule
+    w_old = is_trans | is_rot | is_delete | is_swap
+    w_new = is_trans | is_rot | is_create | is_swap
+
+    # ---- pick residue types & molecule -----------------------------------
+    i1 = jax.random.randint(ks[7], (), 0, spec.n_active)
+    t1 = spec.active_type_ids[i1]
+    if spec.n_active >= 2:
+        di = jax.random.randint(ks[8], (), 1, spec.n_active)
+        t2 = spec.active_type_ids[(i1 + di) % spec.n_active]
+    else:
+        t2 = t1
+    t_old = t1
+    t_new = jnp.where(is_swap, t2, t1)
+
+    n_old_count = state.n_mol[t_old]
+    n_new_count = state.n_mol[t_new]
+    m_old = jax.random.randint(ks[9], (), 0, jnp.maximum(n_old_count, 1))
+
+    A_old = spec.type_A[t_old]
+    A_new = spec.type_A[t_new]
+
+    valid = jnp.where(is_create, True,
+             jnp.where(is_rot, (n_old_count > 0) & (A_old > 1),
+                       n_old_count > 0))
+    cap_blocked = insert_like & (n_new_count >= spec.type_cap[t_new])
+
+    # ---- gather footprints -------------------------------------------------
+    A_act = spec.A_act
+    mol_slot_old = spec.type_mol_base[t_old] + m_old
+    site_start_old = spec.type_site_base[t_old] + m_old * A_old
+    slot_new = jnp.where(insert_like,
+                         spec.type_mol_base[t_new]
+                         + jnp.minimum(n_new_count, spec.type_cap[t_new] - 1),
+                         mol_slot_old)
+    site_start_new = spec.mol_site_start[slot_new]
+
+    def slice1(arr, start):
+        return jax.lax.dynamic_slice_in_dim(arr, start, A_act, axis=0)
+
+    off_old = slice1(state.offset, site_start_old)          # (A_act, 3)
+    q_old = slice1(spec.site_q, site_start_old)
+    cls_old = slice1(spec.site_cls, site_start_old)
+    mask_old = jnp.arange(A_act) < A_old
+    com_old = state.com[mol_slot_old]
+    P_old = com_old + off_old
+
+    # geometry source for the inserted footprint: the moved molecule itself
+    # (translation/rotation) or molecule 0 of t_new (creation/swap; the
+    # reference copies molecule 1's current offsets then applies a full
+    # random rotation, src/create_molecule.f90:166-207).
+    src_start = jnp.where(insert_like, spec.type_site_base[t_new],
+                          site_start_old)
+    off_src = slice1(state.offset, src_start)
+    q_new = slice1(spec.site_q, src_start)
+    cls_new = slice1(spec.site_cls, src_start)
+    mask_new = jnp.arange(A_act) < A_new
+
+    theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step,
+                      jnp.where(insert_like, u_angle * TWOPI,
+                                jnp.zeros((), fdt)))
+    R = _axis_rotation(axis, theta, fdt)
+    new_off = off_src @ R.T
+
+    com_trans = wrap_into_box(com_old + u_disp * state.trans_step, spec)
+    com_insert = spec.bounds[:, 0] + spec.H @ u_frac
+    com_new = jnp.where(is_trans, com_trans,
+               jnp.where(is_create, com_insert, com_old))
+    P_new = com_new + new_off
+
+    # ---- energies -----------------------------------------------------------
+    others_pos = site_positions(spec, state)
+    others_mask = active_site_mask(spec, state.n_mol)
+    ex_a = jnp.where(w_old, mol_slot_old, spec.Mtot + 1)
+    ex_b = slot_new
+
+    P = jnp.stack([P_old, P_new])
+    q2 = jnp.stack([q_old, q_new])
+    cls2 = jnp.stack([cls_old, cls_new])
+    m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
+    e_lj, e_coul = pair_energy_footprint(
+        spec, others_pos, others_mask, P, q2, cls2, m2, ex_a, ex_b)
+
+    i_old = jnp.where(remove_like & valid,
+                      intra_energy(spec, P_old, q_old, mask_old), 0.0)
+    i_new = jnp.where(insert_like,
+                      intra_energy(spec, P_new, q_new, mask_new), 0.0)
+    s_old = jnp.where(remove_like, spec.type_self_energy[t_old], 0.0)
+    s_new = jnp.where(insert_like, spec.type_self_energy[t_new], 0.0)
+
+    signs = jnp.stack([-w_old.astype(fdt), w_new.astype(fdt)])
+    d_re, d_im = amp_delta(spec, P, q2, m2, signs)
+    e_recip_old = recip_energy(spec, state.amp_re, state.amp_im)
+    e_recip_new = recip_energy(spec, state.amp_re + d_re, state.amp_im + d_im)
+
+    e_old = e_lj[0] + e_coul[0] + e_recip_old + s_old + i_old
+    e_new = e_lj[1] + e_coul[1] + e_recip_new + s_new + i_new
+    delta_e = e_new - e_old
+
+    # ---- acceptance ---------------------------------------------------------
+    V = spec.volume
+    nf = n_new_count.astype(fdt)
+    no = n_old_count.astype(fdt)
+    pref = jnp.where(insert_like,
+                     spec.type_activity[t_new] * V / (nf + 1.0), 1.0)
+    pref = pref * jnp.where(remove_like,
+                            no / (spec.type_activity[t_old] * V), 1.0)
+    p_acc = jnp.minimum(1.0, pref * jnp.exp(-delta_e / spec.temp_K))
+    acc = valid & (~cap_blocked) & (u_acc <= p_acc)
+
+    # ---- state update (functional; reject = keep old) ----------------------
+    accf = acc.astype(fdt)
+
+    # write inserted footprint (com + offsets) at slot_new
+    do_write = acc & w_new
+    com = state.com.at[slot_new].set(
+        jnp.where(do_write, com_new, state.com[slot_new]))
+    cur_rows = slice1(state.offset, site_start_new)
+    rows = jnp.where((do_write & mask_new)[:, None], new_off, cur_rows)
+    offset = jax.lax.dynamic_update_slice_in_dim(
+        state.offset, rows, site_start_new, axis=0)
+
+    # compaction on removal: copy last molecule of t_old into slot m_old
+    do_compact = acc & remove_like
+    last_idx = jnp.maximum(n_old_count - 1, 0)
+    slot_last = spec.type_mol_base[t_old] + last_idx
+    start_last = spec.type_site_base[t_old] + last_idx * A_old
+    com = com.at[mol_slot_old].set(
+        jnp.where(do_compact, com[slot_last], com[mol_slot_old]))
+    last_rows = slice1(offset, start_last)
+    tgt_rows = slice1(offset, site_start_old)
+    rows2 = jnp.where((do_compact & mask_old)[:, None], last_rows, tgt_rows)
+    offset = jax.lax.dynamic_update_slice_in_dim(
+        offset, rows2, site_start_old, axis=0)
+
+    n_mol = state.n_mol
+    n_mol = n_mol.at[t_new].add(jnp.where(acc & insert_like, 1, 0))
+    n_mol = n_mol.at[t_old].add(jnp.where(acc & remove_like, -1, 0))
+
+    amp_re = state.amp_re + accf * d_re
+    amp_im = state.amp_im + accf * d_im
+
+    e = state.energy
+    e = e.at[E_RECIP].set(jnp.where(acc, e_recip_new, e[E_RECIP]))
+    e = e.at[E_LJ].add(accf * (e_lj[1] - e_lj[0]))
+    e = e.at[E_COUL].add(accf * (e_coul[1] - e_coul[0]))
+    e = e.at[E_SELF].add(accf * (s_new - s_old))
+    e = e.at[E_INTRA].add(accf * (i_new - i_old))
+    e = e.at[E_TOT].add(accf * delta_e)
+
+    counters = state.counters
+    counters = counters.at[0, move].add(valid.astype(jnp.int32))
+    counters = counters.at[1, move].add(acc.astype(jnp.int32))
+    extras = state.extras.at[0].add((valid & cap_blocked).astype(jnp.int32))
+
+    return state.replace(com=com, offset=offset, n_mol=n_mol,
+                         amp_re=amp_re, amp_im=amp_im, energy=e,
+                         counters=counters, extras=extras)

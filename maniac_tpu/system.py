@@ -1,0 +1,327 @@
+"""SystemSpec (static) and SimState (dynamic pytree) construction.
+
+TPU-first data model, replacing the reference's global mutable module state
+(reference: src/simulation_state.f90). All simulation state lives in two
+objects:
+
+* ``SystemSpec`` - frozen, trace-time constant arrays + hashable metadata:
+  topology templates, LJ class tables, box, k-vectors, capacities.
+* ``SimState`` - a flat pytree of arrays that every MC step maps to a new
+  SimState. Rollback disappears: a rejected move just keeps the old state.
+
+Layout: all molecules of all residue types live in ONE flat site array.
+Residue type r occupies a contiguous region of ``cap_r * A_r`` site slots and
+``cap_r`` molecule slots; active types get padded capacity so insertions are
+in-place writes. A site "class" is the (residue type, atom slot) pair; LJ
+parameters are dense class-pair tables, so the per-move energy kernel is a
+single masked dense computation with no per-type unrolling.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import (ATM_TO_PA, A3_TO_M3, COULOMB_K, KB_JK, SQRTPI)
+from .ewald import EwaldSetup
+from .geometry import Box, min_image_delta
+from .io.deck import InputDeck
+from .io.lammps_data import ParsedSystem
+
+# energy component indices (internal unit: Kelvin)
+E_RECIP, E_LJ, E_COUL, E_SELF, E_INTRA, E_TOT = range(6)
+# counter indices: counters[0] = trials, counters[1] = accepts, per move type
+N_MOVE_TYPES = 5
+C_OVERFLOW = 0  # index into extras
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["H", "Hinv", "bounds", "box_diag", "volume",
+                      "k_cart", "k_weights", "k_form",
+                      "alpha", "cutoff", "temp_K",
+                      "site_q", "site_cls", "site_type", "site_mol",
+                      "site_midx",
+                      "mol_type", "mol_midx", "mol_site_start",
+                      "eps_cls", "sig_cls",
+                      "type_A", "type_cap", "type_site_base", "type_mol_base",
+                      "type_active", "type_activity", "type_self_energy",
+                      "active_type_ids",
+                      "p_cum", "image_shifts"],
+         meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
+                      "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
+                      "dtype_name", "has_reservoir", "res_cap_list"])
+@dataclass(frozen=True)
+class SystemSpec:
+    # box
+    H: jnp.ndarray            # (3,3) cell vectors as columns
+    Hinv: jnp.ndarray         # (3,3)
+    bounds: jnp.ndarray       # (3,2)
+    box_diag: jnp.ndarray     # (3,) diagonal lengths (ortho path)
+    volume: jnp.ndarray       # scalar
+    # ewald
+    k_cart: jnp.ndarray       # (K,3)
+    k_weights: jnp.ndarray    # (K,)
+    k_form: jnp.ndarray       # (K,)
+    alpha: jnp.ndarray        # scalar
+    cutoff: jnp.ndarray       # scalar
+    temp_K: jnp.ndarray       # scalar
+    # flat site tables (padded; pad entries have q=0, cls=C, type=R, mol=Mtot)
+    site_q: jnp.ndarray       # (S,)
+    site_cls: jnp.ndarray     # (S,) int32
+    site_type: jnp.ndarray    # (S,) int32
+    site_mol: jnp.ndarray     # (S,) int32 global molecule slot
+    site_midx: jnp.ndarray    # (S,) int32 molecule index within its type
+    # molecule tables
+    mol_type: jnp.ndarray     # (Mtot,) int32
+    mol_midx: jnp.ndarray     # (Mtot,) int32
+    mol_site_start: jnp.ndarray  # (Mtot,) int32
+    # LJ class tables, shape (C+1, C+1); row/col C are zero padding
+    eps_cls: jnp.ndarray
+    sig_cls: jnp.ndarray
+    # per-residue-type tables (length R, padded with 0 where needed)
+    type_A: jnp.ndarray       # (R,) int32 atoms per molecule
+    type_cap: jnp.ndarray     # (R,) int32 capacity
+    type_site_base: jnp.ndarray  # (R,) int32
+    type_mol_base: jnp.ndarray   # (R,) int32
+    type_active: jnp.ndarray     # (R,) bool
+    type_activity: jnp.ndarray   # (R,) fugacity converted to activity (1/A^3)
+    type_self_energy: jnp.ndarray  # (R,) Ewald self energy per molecule (K)
+    active_type_ids: jnp.ndarray   # (n_active,) int32
+    # move probability cumulative thresholds [trans, +rot, +indel, +swap]
+    p_cum: jnp.ndarray        # (4,)
+    image_shifts: jnp.ndarray  # (27,3) lattice image shifts (triclinic path)
+    # --- static metadata ---
+    R: int
+    A_list: tuple
+    cap_list: tuple
+    active_list: tuple        # per-type bool, python-static
+    A_act: int                # max atoms over ACTIVE types (move footprint)
+    n_active: int
+    S: int
+    Mtot: int
+    K: int
+    box_kind: int
+    is_triclinic: bool
+    dtype_name: str
+    has_reservoir: bool
+    res_cap_list: tuple
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.dtype_name)
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["com", "offset", "n_mol", "amp_re", "amp_im",
+                      "energy", "counters", "extras",
+                      "trans_step", "rot_step", "key",
+                      "res_com", "res_offset", "res_n"],
+         meta_fields=[])
+@dataclass
+class SimState:
+    com: jnp.ndarray          # (Mtot+1, 3); last row is the pad molecule
+    offset: jnp.ndarray       # (S, 3)
+    n_mol: jnp.ndarray        # (R+1,) int32; last entry 0 (pad type)
+    amp_re: jnp.ndarray       # (K,)
+    amp_im: jnp.ndarray       # (K,)
+    energy: jnp.ndarray       # (6,) Kelvin: recip, lj, coul, self, intra, tot
+    counters: jnp.ndarray     # (2, 5) int32: [trials, accepts] x move type
+    extras: jnp.ndarray       # (4,) int32: overflow rejections, ...
+    trans_step: jnp.ndarray   # scalar
+    rot_step: jnp.ndarray     # scalar
+    key: jnp.ndarray          # PRNG key
+    # reservoir (same flat layout, or size-0 arrays when absent)
+    res_com: jnp.ndarray
+    res_offset: jnp.ndarray
+    res_n: jnp.ndarray
+
+    def replace(self, **kw) -> "SimState":
+        import dataclasses
+        return dataclasses.replace(self, **kw)
+
+
+def convert_fugacity(fugacity_atm: float, temp_K: float) -> float:
+    """atm -> activity in A^-3 (reference: src/prepare_utils.f90:48-73)."""
+    return fugacity_atm * ATM_TO_PA * A3_TO_M3 / (KB_JK * temp_K)
+
+
+def _default_capacity(n_init: int, requested: int | None) -> int:
+    if requested is not None:
+        return max(requested, n_init)
+    return max(_round_up(2 * n_init + 64, 64), 256)
+
+
+def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
+                         eps, sig, ewald: EwaldSetup,
+                         reservoir: ParsedSystem | None = None,
+                         capacity: int | None = None,
+                         dtype=jnp.float64) -> tuple[SystemSpec, SimState]:
+    """Assemble the device-side system description from parsed inputs."""
+    R = deck.n_residue_types
+    A_list = tuple(int(r.nb_atoms) for r in deck.residues)
+    active = [bool(r.active) for r in deck.residues]
+    cap_list = tuple(
+        _default_capacity(parsed.n_mol[r], capacity) if active[r]
+        else max(parsed.n_mol[r], 1)
+        for r in range(R))
+    A_act = max((A_list[r] for r in range(R) if active[r]), default=1)
+
+    Mtot = sum(cap_list)
+    S_used = sum(cap_list[r] * A_list[r] for r in range(R))
+    S = _round_up(S_used + A_act, 128)
+    K = ewald.num_kvectors
+    fdt = np.dtype(dtype)
+
+    # ---- class tables -------------------------------------------------
+    class_base = np.zeros(R + 1, dtype=np.int64)
+    for r in range(R):
+        class_base[r + 1] = class_base[r] + A_list[r]
+    C = int(class_base[R])
+    eps_cls = np.zeros((C + 1, C + 1))
+    sig_cls = np.zeros((C + 1, C + 1))
+    for i in range(R):
+        for j in range(R):
+            eps_cls[class_base[i]:class_base[i + 1],
+                    class_base[j]:class_base[j + 1]] = eps[i][j]
+            sig_cls[class_base[i]:class_base[i + 1],
+                    class_base[j]:class_base[j + 1]] = sig[i][j]
+
+    # ---- flat site / molecule tables ----------------------------------
+    site_q = np.zeros(S)
+    site_cls = np.full(S, C, dtype=np.int32)
+    site_type = np.full(S, R, dtype=np.int32)
+    site_mol = np.full(S, Mtot, dtype=np.int32)
+    site_midx = np.full(S, 2**30, dtype=np.int32)
+    mol_type = np.zeros(Mtot, dtype=np.int32)
+    mol_midx = np.zeros(Mtot, dtype=np.int32)
+    mol_site_start = np.zeros(Mtot, dtype=np.int32)
+    type_site_base = np.zeros(R, dtype=np.int32)
+    type_mol_base = np.zeros(R, dtype=np.int32)
+
+    com0 = np.zeros((Mtot + 1, 3))
+    offset0 = np.zeros((S, 3))
+
+    s = 0
+    m = 0
+    for r in range(R):
+        type_site_base[r] = s
+        type_mol_base[r] = m
+        A = A_list[r]
+        q_template = parsed.atom_charges[r]
+        for mi in range(cap_list[r]):
+            mol_type[m] = r
+            mol_midx[m] = mi
+            mol_site_start[m] = s
+            site_q[s:s + A] = q_template
+            site_cls[s:s + A] = np.arange(class_base[r], class_base[r + 1])
+            site_type[s:s + A] = r
+            site_mol[s:s + A] = m
+            site_midx[s:s + A] = mi
+            if mi < parsed.n_mol[r]:
+                com0[m] = parsed.mol_com[r][mi]
+                offset0[s:s + A] = parsed.site_offset[r][mi]
+            m += 1
+            s += A
+
+    # ---- per-type constants --------------------------------------------
+    temp_K = deck.temp_K
+    activity = np.zeros(R)
+    for r, res in enumerate(deck.residues):
+        if res.active:
+            activity[r] = convert_fugacity(res.fugacity, temp_K)
+    self_e = np.zeros(R)
+    for r in range(R):
+        q = parsed.atom_charges[r]
+        q = np.where(np.abs(q) < 1e-10, 0.0, q)
+        self_e[r] = -ewald.alpha / SQRTPI * np.sum(q * q) * COULOMB_K
+
+    active_ids = np.asarray([r for r in range(R) if active[r]], dtype=np.int32)
+    p = deck.proba
+    p_cum = np.cumsum([p.translation, p.rotation, p.insertion_deletion, p.swap])
+
+    box = parsed.box
+    rng = np.array([-1.0, 0.0, 1.0])
+    grid = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), -1).reshape(27, 3)
+    image_shifts = grid @ box.matrix.T
+
+    # ---- reservoir -------------------------------------------------------
+    has_res = reservoir is not None
+    res_cap_list = tuple(
+        (_default_capacity(reservoir.n_mol[r], capacity) if active[r] else 1)
+        for r in range(R)) if has_res else tuple(0 for _ in range(R))
+    res_com, res_offset, res_n = _build_reservoir_arrays(
+        reservoir, A_list, res_cap_list, R, fdt) if has_res else (
+        np.zeros((1, 3)), np.zeros((1, 3)), np.zeros(R + 1, dtype=np.int32))
+
+    f = lambda x: jnp.asarray(x, dtype=fdt)
+    spec = SystemSpec(
+        H=f(box.matrix), Hinv=f(box.reciprocal), bounds=f(box.bounds),
+        box_diag=f(np.diag(box.matrix)), volume=f(box.volume),
+        k_cart=f(ewald.k_cart), k_weights=f(ewald.weights),
+        k_form=f(ewald.form_factor), alpha=f(ewald.alpha),
+        cutoff=f(ewald.real_space_cutoff), temp_K=f(temp_K),
+        site_q=f(site_q), site_cls=jnp.asarray(site_cls),
+        site_type=jnp.asarray(site_type), site_mol=jnp.asarray(site_mol),
+        site_midx=jnp.asarray(site_midx),
+        mol_type=jnp.asarray(mol_type), mol_midx=jnp.asarray(mol_midx),
+        mol_site_start=jnp.asarray(mol_site_start),
+        eps_cls=f(eps_cls), sig_cls=f(sig_cls),
+        type_A=jnp.asarray(np.asarray(A_list), dtype=jnp.int32),
+        type_cap=jnp.asarray(np.asarray(cap_list), dtype=jnp.int32),
+        type_site_base=jnp.asarray(type_site_base),
+        type_mol_base=jnp.asarray(type_mol_base),
+        type_active=jnp.asarray(np.asarray(active)),
+        type_activity=f(activity), type_self_energy=f(self_e),
+        active_type_ids=jnp.asarray(active_ids),
+        p_cum=f(p_cum), image_shifts=f(image_shifts),
+        R=R, A_list=A_list, cap_list=cap_list,
+        active_list=tuple(active), A_act=A_act,
+        n_active=len(active_ids), S=S, Mtot=Mtot, K=K,
+        box_kind=box.kind, is_triclinic=box.is_triclinic,
+        dtype_name=fdt.name, has_reservoir=has_res,
+        res_cap_list=res_cap_list)
+
+    n_mol0 = np.zeros(R + 1, dtype=np.int32)
+    n_mol0[:R] = parsed.n_mol
+    seed = deck.seed if deck.seed else 0
+    state = SimState(
+        com=f(com0), offset=f(offset0), n_mol=jnp.asarray(n_mol0),
+        amp_re=jnp.zeros(K, dtype=fdt), amp_im=jnp.zeros(K, dtype=fdt),
+        energy=jnp.zeros(6, dtype=fdt),
+        counters=jnp.zeros((2, N_MOVE_TYPES), dtype=jnp.int32),
+        extras=jnp.zeros(4, dtype=jnp.int32),
+        trans_step=f(deck.translation_step), rot_step=f(deck.rotation_step_angle),
+        key=jax.random.PRNGKey(seed),
+        res_com=f(res_com), res_offset=f(res_offset),
+        res_n=jnp.asarray(res_n))
+    return spec, state
+
+
+def _build_reservoir_arrays(reservoir: ParsedSystem, A_list, res_cap_list,
+                            R, fdt):
+    Mres = sum(res_cap_list)
+    Sres = sum(res_cap_list[r] * A_list[r] for r in range(R)) + max(A_list)
+    com = np.zeros((Mres + 1, 3))
+    off = np.zeros((Sres, 3))
+    n = np.zeros(R + 1, dtype=np.int32)
+    s = 0
+    m = 0
+    for r in range(R):
+        A = A_list[r]
+        for mi in range(res_cap_list[r]):
+            if mi < reservoir.n_mol[r]:
+                com[m] = reservoir.mol_com[r][mi]
+                off[s:s + A] = reservoir.site_offset[r][mi]
+            m += 1
+            s += A
+        n[r] = reservoir.n_mol[r]
+    return com, off, n

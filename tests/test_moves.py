@@ -1,0 +1,115 @@
+"""MC move correctness: incremental bookkeeping vs full recompute, detailed
+balance statistics on analytically solvable systems.
+
+The central invariant (which the reference never checks): after ANY sequence
+of accepted/rejected moves, the running energy components and the running
+structure factors must equal a from-scratch recomputation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maniac_tpu import load_system
+from maniac_tpu.mc.driver import drift_report, run_block
+from maniac_tpu.mc.moves import mc_step
+from maniac_tpu.physics.energy import system_energy
+from maniac_tpu.system import E_TOT
+
+from fixtures import make_lj_gas, make_water_box
+
+
+def _load(outdir, **kw):
+    return load_system(f"{outdir}/input.maniac", f"{outdir}/topology.data",
+                       f"{outdir}/parameters.inc", **kw)
+
+
+def _consistency_run(sysm, n_steps, seed=0, atol=1e-7):
+    """Run steps one by one; assert running energy == fresh recompute."""
+    spec = sysm.spec
+    state = sysm.state
+    step = jax.jit(lambda st, k: mc_step(spec, st, k))
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_steps)
+    worst = 0.0
+    for i in range(n_steps):
+        state = step(state, keys[i])
+        if i % 10 == 9 or i == n_steps - 1:
+            e, amp_re, amp_im = system_energy(spec, state)
+            drift = float(jnp.abs(state.energy[E_TOT] - e[E_TOT]))
+            amp_drift = float(jnp.max(jnp.abs(state.amp_re - amp_re)))
+            worst = max(worst, drift, amp_drift)
+            assert drift < atol, f"energy drift {drift} at step {i}"
+            assert amp_drift < atol, f"amplitude drift {amp_drift} at step {i}"
+    return state, worst
+
+
+def test_nvt_translation_rotation_consistency(tmp_path):
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.5, 0.5, 0.0, 0.0), tstep=1.0, rstep=0.8)
+    sysm = _load(str(tmp_path))
+    state, _ = _consistency_run(sysm, 60)
+    c = np.asarray(state.counters)
+    assert c[0, 2] > 0 and c[0, 3] > 0          # trials happened
+    assert c[1, 2] + c[1, 3] > 0                # something accepted
+    assert int(state.n_mol[0]) == 8             # NVT: count fixed
+
+
+def test_gcmc_insertion_deletion_consistency(tmp_path):
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.25, 0.25, 0.5, 0.0), fugacity=5000.0)
+    sysm = _load(str(tmp_path))
+    state, _ = _consistency_run(sysm, 80)
+    c = np.asarray(state.counters)
+    assert c[0, 0] > 0 and c[0, 1] > 0          # create & delete trials
+    # energy still consistent after population changes
+    assert int(state.n_mol[0]) != 8 or (c[1, 0] == c[1, 1])
+
+
+def test_swap_consistency(tmp_path):
+    make_lj_gas(str(tmp_path), n=24, L=16.0, two_species=True,
+                probs=(0.2, 0.0, 0.2, 0.6), cutoff=6.0, tol=1e-4,
+                fug_a=3.0, fug_b=3.0)
+    sysm = _load(str(tmp_path))
+    state, _ = _consistency_run(sysm, 80)
+    c = np.asarray(state.counters)
+    assert c[0, 4] > 0                          # swap trials happened
+    # total particles conserved by swaps alone would need no ins/del; just
+    # check bookkeeping held and some swaps were accepted over the run
+    n = np.asarray(state.n_mol)
+    assert n[0] >= 0 and n[1] >= 0
+
+
+def test_ideal_gas_occupancy(tmp_path):
+    """GCMC on an ideal gas (no interactions): <N> = activity * V."""
+    make_lj_gas(str(tmp_path), n=8, L=16.0, probs=(0.0, 0.0, 1.0, 0.0),
+                fugacity=100.0, cutoff=6.0, tol=1e-3, temp=300.0)
+    # zero out the LJ so it is truly ideal
+    with open(f"{tmp_path}/parameters.inc", "w") as f:
+        f.write("pair_coeff 1 1 0.0 0.0\n")
+    sysm = _load(str(tmp_path))
+    spec = sysm.spec
+    expected = float(spec.type_activity[0] * spec.volume)
+    assert 1.0 < expected < 400.0
+
+    state = sysm.state
+    # burn-in then sample
+    state = run_block(spec, state, 2000, False)
+    counts = []
+    for _ in range(40):
+        state = run_block(spec, state, 200, False)
+        counts.append(int(state.n_mol[0]))
+    mean_n = np.mean(counts)
+    # ideal gas: N ~ Poisson(activity*V)
+    assert abs(mean_n - expected) < max(4 * np.sqrt(expected / 40), 0.15 * expected), \
+        f"<N>={mean_n}, expected {expected}"
+
+
+def test_run_block_jit_and_drift(tmp_path):
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.4, 0.3, 0.3, 0.0), fugacity=500.0)
+    sysm = _load(str(tmp_path))
+    state = run_block(sysm.spec, sysm.state, 300, True)
+    rep = drift_report(sysm.spec, state)
+    assert rep["drift_K"] < 1e-6, rep
+    assert rep["amp_drift"] < 1e-8, rep
