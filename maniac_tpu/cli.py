@@ -1,0 +1,157 @@
+"""Command-line entry point, flag-compatible with the reference binary.
+
+Usage (reference: src/cli_utils.f90:10-27):
+
+    maniac -i input.maniac -d topology.data -p parameters.inc
+           [-r reservoir.data] [-o outputs/]
+
+TPU-native extensions:
+    --replicas N     vmapped independent chains (population/energy series of
+                     replica 0 are written; a replica summary goes to the log)
+    --dtype f32|f64  engine precision (f64 default on CPU, f32 on TPU)
+    --capacity N     per-active-type molecule capacity override
+    --platform P     jax platform override (cpu/tpu/axon)
+    --audit          per-block energy-drift audit (full recompute)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="maniac-tpu",
+        description="TPU-native GCMC molecular simulation (JAX)")
+    p.add_argument("-i", dest="input", required=True, help=".maniac input deck")
+    p.add_argument("-d", dest="data", required=True, help="LAMMPS data file")
+    p.add_argument("-p", dest="params", required=True, help="pair-coeff include file")
+    p.add_argument("-r", dest="reservoir", default=None, help="reservoir data file")
+    p.add_argument("-o", dest="outdir", default="outputs/", help="output directory")
+    p.add_argument("--replicas", type=int, default=1)
+    p.add_argument("--dtype", choices=["f32", "f64"], default=None)
+    p.add_argument("--capacity", type=int, default=None)
+    p.add_argument("--platform", default=None)
+    p.add_argument("--audit", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    dtype_name = args.dtype or ("f32" if on_tpu else "f64")
+    if dtype_name == "f64":
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from .utils.errors import ManiacError
+    from .utils.logger import Logger
+
+    outdir = args.outdir if args.outdir.endswith("/") else args.outdir + "/"
+    os.makedirs(outdir, exist_ok=True)
+    logger = Logger(os.path.join(outdir, "log.maniac"))
+
+    try:
+        return _run(args, outdir, logger,
+                    jnp.float64 if dtype_name == "f64" else jnp.float32)
+    except ManiacError as e:
+        return e.exit_code
+    except FileNotFoundError as e:
+        logger.log("-" * 50)
+        logger.log("FATAL ERROR:")
+        logger.log(f"File not found: {e.filename}")
+        logger.log("Simulation will now terminate.")
+        logger.log("-" * 50)
+        return 1
+    finally:
+        logger.close()
+
+
+def _run(args, outdir: str, logger, dtype) -> int:
+    import jax
+    import numpy as np
+
+    from . import __version__
+    from .api import load_system
+    from .io.writers import OutputWriter, snapshot
+    from .mc.driver import drift_report, run_block
+    from .parallel.replicas import replicate, run_block_replicated
+    from .utils.errors import ManiacError
+
+    logger.banner(f"MANIAC-TPU v{__version__}",
+                  f"backend: {jax.devices()[0].platform} | dtype: "
+                  f"{np.dtype(dtype).name} | replicas: {args.replicas}")
+
+    for path, label in ((args.input, "Input"), (args.data, "Data"),
+                        (args.params, "Parameter")):
+        if not os.path.exists(path):
+            logger.abort(f"{label} file not found: {path}", 1)
+    if args.reservoir and not os.path.exists(args.reservoir):
+        logger.abort(f"Reservoir file not found: {args.reservoir}", 1)
+
+    t0 = time.time()
+    sysm = load_system(args.input, args.data, args.params,
+                       reservoir_file=args.reservoir,
+                       capacity=args.capacity, dtype=dtype, logger=logger,
+                       seed=args.seed)
+    deck, spec = sysm.deck, sysm.spec
+    state = sysm.state
+
+    replicated = args.replicas > 1
+    if replicated:
+        state = replicate(spec, state, args.replicas)
+
+    writer = OutputWriter(outdir, deck, sysm.parsed, logger)
+    rep0 = 0 if replicated else None
+
+    logger.banner("Started Monte Carlo Loop")
+    writer.update_files(snapshot(spec, state, rep0), 0, append=False)
+
+    total_steps = 0
+    for block in range(1, deck.nb_block + 1):
+        if replicated:
+            state = run_block_replicated(spec, state, deck.nb_step,
+                                         deck.recalibrate_moves)
+        else:
+            state = run_block(spec, state, deck.nb_step,
+                              deck.recalibrate_moves)
+        total_steps += deck.nb_step * args.replicas
+        snap = snapshot(spec, state, rep0)
+        writer.print_status(snap, block)
+        writer.update_files(snap, block, append=True)
+        if args.audit and not replicated:
+            rep = drift_report(spec, state)
+            logger.log(f"  audit: |E_running - E_fresh| = "
+                       f"{rep['drift_K']:.3e} K")
+
+    elapsed = time.time() - t0
+    snap = snapshot(spec, state, rep0)
+    if int(np.asarray(state.extras).reshape(-1, 4)[..., 0].sum()) > 0:
+        logger.warn("Some insertions were rejected because the molecule "
+                    "capacity was reached; consider --capacity.")
+    if replicated:
+        n = np.asarray(state.n_mol)[:, : spec.R]
+        for r, res in enumerate(deck.residues):
+            if res.active:
+                logger.log(f"  replica <N({res.name})> = {n[:, r].mean():.3f}"
+                           f" +- {n[:, r].std():.3f}")
+    if deck.nb_block * deck.nb_step > 0:
+        rate = total_steps / max(elapsed, 1e-9)
+        logger.log(f"  throughput: {rate:,.0f} MC steps/s "
+                   f"({total_steps:,} steps in {elapsed:.2f} s)")
+    writer.final_report(snap, deck.nb_block)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,15 +74,18 @@ def run_steps(spec: SystemSpec, state: SimState, n_steps: int) -> SimState:
     return state
 
 
+def block_body(spec: SystemSpec, state: SimState, n_steps: int,
+               recalibrate: bool) -> SimState:
+    """One block: n_steps MC steps + step-size recalibration. Unjitted body,
+    shared by the single-chain and vmapped-replica paths."""
+    state = run_steps(spec, state, n_steps)
+    return _recalibrate(state, recalibrate, spec.dtype)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def run_block(spec: SystemSpec, state: SimState, n_steps: int,
               recalibrate: bool) -> SimState:
-    """One block: n_steps MC steps + step-size recalibration + amplitude
-    resync (bounds float drift of the incremental A(k) updates; the reference
-    mutates amplitudes forever, src/ewald_energy.f90:240-256)."""
-    state = run_steps(spec, state, n_steps)
-    state = _recalibrate(state, recalibrate, spec.dtype)
-    return state
+    return block_body(spec, state, n_steps, recalibrate)
 
 
 @partial(jax.jit, static_argnums=(2,))

@@ -100,9 +100,16 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     A_old = spec.type_A[t_old]
     A_new = spec.type_A[t_new]
 
+    # a swap draw with <2 active species is a dead draw (the reference lets
+    # swap probability mass fall through to insertion/deletion; we require
+    # the user to zero it instead, and drop the draw defensively here)
+    if can_swap:
+        dead_draw = jnp.zeros((), bool)
+    else:
+        dead_draw = (~is_trans) & (~is_rot) & (~is_indel)
     valid = jnp.where(is_create, True,
              jnp.where(is_rot, (n_old_count > 0) & (A_old > 1),
-                       n_old_count > 0))
+                       n_old_count > 0)) & (~dead_draw)
     cap_blocked = insert_like & (n_new_count >= spec.type_cap[t_new])
 
     # ---- gather footprints -------------------------------------------------

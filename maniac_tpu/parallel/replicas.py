@@ -1,0 +1,69 @@
+"""Batched replica chains: vmap within a chip, sharding across chips.
+
+The Metropolis chain is inherently sequential, so TPU throughput comes from
+running many independent replicas (and/or chemical-potential state points)
+in parallel: the batched unified move kernel keeps every replica on the same
+program regardless of which move type each replica drew (see
+maniac_tpu.mc.moves). The reference is a single serial chain
+(SURVEY.md section 2.18); replicas are this rebuild's parallelism model.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..mc.driver import block_body, initialize_state
+from ..system import SimState, SystemSpec
+
+
+def replicate(spec: SystemSpec, state: SimState, n_replicas: int,
+              base_seed: int | None = None) -> SimState:
+    """Broadcast one initialized state into n_replicas independent chains
+    with decorrelated PRNG keys."""
+    keys = jax.random.split(
+        state.key if base_seed is None else jax.random.PRNGKey(base_seed),
+        n_replicas)
+    batched = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (n_replicas,) + x.shape), state)
+    return batched.replace(key=keys)
+
+
+def perturb_activity(spec: SystemSpec, activities) -> SystemSpec:
+    """Per-replica chemical potentials for isotherm sweeps: returns a spec
+    whose type_activity has a leading replica axis (used with vmapped specs).
+    activities: (n_replicas, R)."""
+    import dataclasses
+    return dataclasses.replace(spec, type_activity=jnp.asarray(
+        activities, dtype=spec.dtype))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def run_block_replicated(spec: SystemSpec, states: SimState, n_steps: int,
+                         recalibrate: bool) -> SimState:
+    """One block over all replicas. All replicas advance in lockstep in one
+    fused program; with sharded inputs XLA partitions the batch across the
+    mesh with zero collectives (chains are independent)."""
+    return jax.vmap(lambda st: block_body(spec, st, n_steps, recalibrate))(states)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def run_block_sweep(spec: SystemSpec, states: SimState, n_steps: int,
+                    recalibrate: bool) -> SimState:
+    """Like run_block_replicated but with a per-replica activity axis on the
+    spec (chemical-potential sweep: one isotherm in one program)."""
+    return jax.vmap(
+        lambda act, st: block_body(
+            _with_activity(spec, act), st, n_steps, recalibrate),
+        in_axes=(0, 0))(spec.type_activity, states)
+
+
+def _with_activity(spec: SystemSpec, act) -> SystemSpec:
+    import dataclasses
+    return dataclasses.replace(spec, type_activity=act)
+
+
+def initialize_replicated(spec: SystemSpec, states: SimState) -> SimState:
+    return jax.vmap(lambda st: initialize_state(spec, st))(states)

@@ -1,251 +1,5 @@
-"""Synthetic test-system generators (LAMMPS .data / .maniac / .inc writers).
+"""Thin re-export: synthetic system builders live in maniac_tpu.systems."""
 
-The reference's example topologies live in an mc-topology submodule that is
-not available, so tests generate their own systems: TIP4P/2005-like water,
-NaCl rock salt (analytic Madelung anchor), LJ gas, and a synthetic
-framework+guest adsorption system.
-"""
-
-from __future__ import annotations
-
-import math
-import os
-
-import numpy as np
-
-# TIP4P/2005 rigid water geometry/charges
-R_OH = 0.9572
-ANG_HOH = math.radians(104.52)
-R_OM = 0.1546
-Q_H = 0.5564
-Q_M = -2 * Q_H
-EPS_O = 0.1852   # kcal/mol
-SIG_O = 3.1589   # Angstrom
-MASS = {"O": 15.9994, "H": 1.008, "M": 0.0001, "Na": 22.99, "Cl": 35.453,
-        "LJ": 39.948, "F": 12.011}
-
-
-def water_sites() -> tuple[np.ndarray, np.ndarray, list]:
-    """Returns (positions (4,3) relative to O, charges (4,), type slots)."""
-    h1 = R_OH * np.array([math.sin(ANG_HOH / 2), 0.0, math.cos(ANG_HOH / 2)])
-    h2 = R_OH * np.array([-math.sin(ANG_HOH / 2), 0.0, math.cos(ANG_HOH / 2)])
-    m = R_OM * np.array([0.0, 0.0, 1.0])
-    pos = np.stack([np.zeros(3), h1, h2, m])
-    q = np.array([0.0, Q_H, Q_H, Q_M])
-    return pos, q, ["O", "H", "H", "M"]
-
-
-def _random_rotation(rng) -> np.ndarray:
-    q = rng.normal(size=4)
-    q /= np.linalg.norm(q)
-    w, x, y, z = q
-    return np.array([
-        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
-        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
-        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
-    ])
-
-
-def _write_data(path, L, atoms, masses, n_types, tilt=None):
-    """atoms: list of (mol_id, type, q, x, y, z)."""
-    with open(path, "w") as f:
-        f.write("LAMMPS data file (maniac-tpu test fixture)\n\n")
-        f.write(f"{len(atoms)} atoms\n{n_types} atom types\n")
-        f.write("0 bonds\n0 bond types\n0 angles\n0 angle types\n")
-        f.write("0 dihedrals\n0 dihedral types\n0 impropers\n0 improper types\n\n")
-        f.write(f"{-L / 2:.6f} {L / 2:.6f} xlo xhi\n")
-        f.write(f"{-L / 2:.6f} {L / 2:.6f} ylo yhi\n")
-        f.write(f"{-L / 2:.6f} {L / 2:.6f} zlo zhi\n")
-        if tilt is not None:
-            f.write(f"{tilt[0]:.6f} {tilt[1]:.6f} {tilt[2]:.6f} xy xz yz\n")
-        f.write("\nMasses\n\n")
-        for t in range(1, n_types + 1):
-            f.write(f"{t} {masses[t]}\n")
-        f.write("\nAtoms # full\n\n")
-        for i, (mol, typ, q, x, y, z) in enumerate(atoms, 1):
-            f.write(f"{i} {mol} {typ} {q:.6f} {x:.10f} {y:.10f} {z:.10f} 0 0 0\n")
-
-
-def _write_deck(path, residues, nb_block=1, nb_step=0, temp=300.0,
-                tol=1e-5, cutoff=8.0, tstep=0.6, rstep=0.5,
-                probs=(0.5, 0.5, 0.0, 0.0), seed=12345, recal=False):
-    with open(path, "w") as f:
-        f.write("# maniac-tpu test deck\n")
-        f.write(f"nb_block {nb_block}\nnb_step {nb_step}\n")
-        f.write(f"temperature {temp}\nseed {seed}\n")
-        f.write(f"ewald_tolerance {tol}\nreal_space_cutoff {cutoff}\n")
-        f.write(f"translation_step {tstep}\nrotation_step_angle {rstep}\n")
-        f.write(f"recalibrate_moves {'true' if recal else 'false'}\n")
-        f.write(f"translation_proba {probs[0]}\nrotation_proba {probs[1]}\n")
-        f.write(f"insertion_deletion_proba {probs[2]}\nswap_proba {probs[3]}\n\n")
-        for res in residues:
-            f.write("begin_residue\n")
-            f.write(f"  name {res['name']}\n")
-            f.write(f"  state {'actif' if res['active'] else 'inactif'}\n")
-            if res.get("fugacity") is not None:
-                f.write(f"  fugacity {res['fugacity']}\n")
-            f.write(f"  types {' '.join(str(t) for t in res['types'])}\n")
-            f.write(f"  names {' '.join(res['names'])}\n")
-            f.write(f"  nb-atoms {res['nb_atoms']}\nend_residue\n\n")
-
-
-def _write_inc(path, coeffs):
-    with open(path, "w") as f:
-        f.write("# pair coefficients (eps kcal/mol, sigma A)\n")
-        for (i, j, e, s) in coeffs:
-            f.write(f"pair_coeff {i} {j} {e} {s}\n")
-
-
-def make_water_box(outdir, n_water=8, L=14.0, seed=7, **deck_kw):
-    """N rigid waters on a jittered grid in a cubic box."""
-    os.makedirs(outdir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    sites, q, names = water_sites()
-    per_axis = max(2, int(math.ceil(n_water ** (1 / 3))))
-    spacing = L / per_axis
-    centers = []
-    for i in range(per_axis):
-        for j in range(per_axis):
-            for k in range(per_axis):
-                centers.append((-L / 2 + (np.array([i, j, k]) + 0.5) * spacing))
-    centers = np.asarray(centers[:n_water])
-    centers += rng.uniform(-0.15, 0.15, centers.shape) * spacing
-
-    atoms = []
-    type_of = {"O": 1, "H": 2, "M": 3}
-    for m, c in enumerate(centers, 1):
-        R = _random_rotation(rng)
-        pos = c + sites @ R.T
-        for a in range(4):
-            atoms.append((m, type_of[names[a]], q[a], *pos[a]))
-
-    masses = {1: MASS["O"], 2: MASS["H"], 3: MASS["M"]}
-    _write_data(f"{outdir}/topology.data", L, atoms, masses, 3)
-    residues = [dict(name="wat", active=True, fugacity=deck_kw.pop("fugacity", 50.0),
-                     types=[1, 2, 3], names=["OW", "HW", "MW"], nb_atoms=4)]
-    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
-    _write_inc(f"{outdir}/parameters.inc", [(1, 1, EPS_O, SIG_O),
-                                            (2, 2, 0.0, 0.0),
-                                            (3, 3, 0.0, 0.0)])
-    return outdir
-
-
-def make_nacl(outdir, n_cells=2, a=5.6402, **deck_kw):
-    """Rock-salt NaCl, n_cells^3 conventional cells. Pure Coulomb (LJ=0)."""
-    os.makedirs(outdir, exist_ok=True)
-    L = n_cells * a
-    na_frac = [(0, 0, 0), (0.5, 0.5, 0), (0.5, 0, 0.5), (0, 0.5, 0.5)]
-    cl_frac = [(0.5, 0, 0), (0, 0.5, 0), (0, 0, 0.5), (0.5, 0.5, 0.5)]
-    atoms = []
-    mol = 0
-    for frac, typ, q in ((na_frac, 1, 1.0), (cl_frac, 2, -1.0)):
-        for i in range(n_cells):
-            for j in range(n_cells):
-                for k in range(n_cells):
-                    for fx, fy, fz in frac:
-                        mol += 1
-                        x = -L / 2 + (i + fx) * a
-                        y = -L / 2 + (j + fy) * a
-                        z = -L / 2 + (k + fz) * a
-                        atoms.append((mol, typ, q, x, y, z))
-    masses = {1: MASS["Na"], 2: MASS["Cl"]}
-    _write_data(f"{outdir}/topology.data", L, atoms, masses, 2)
-    residues = [
-        dict(name="na", active=True, fugacity=1.0, types=[1], names=["Na"], nb_atoms=1),
-        dict(name="cl", active=True, fugacity=1.0, types=[2], names=["Cl"], nb_atoms=1),
-    ]
-    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
-    _write_inc(f"{outdir}/parameters.inc", [(1, 1, 0.0, 0.0), (2, 2, 0.0, 0.0)])
-    return outdir
-
-
-def make_lj_gas(outdir, n=32, L=18.0, seed=3, two_species=False, **deck_kw):
-    """Single-site LJ particles, no charges (tests GCMC statistics/swaps)."""
-    os.makedirs(outdir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    per_axis = max(2, int(math.ceil(n ** (1 / 3))))
-    spacing = L / per_axis
-    atoms = []
-    m = 0
-    for i in range(per_axis):
-        for j in range(per_axis):
-            for k in range(per_axis):
-                if m >= n:
-                    break
-                m += 1
-                c = -L / 2 + (np.array([i, j, k]) + 0.5) * spacing \
-                    + rng.uniform(-0.2, 0.2, 3)
-                typ = 1 if (not two_species or m % 2) else 2
-                atoms.append((m, typ, 0.0, *c))
-    n_types = 2 if two_species else 1
-    masses = {1: MASS["LJ"], 2: MASS["LJ"]}
-    _write_data(f"{outdir}/topology.data", L, atoms, masses, n_types)
-    if two_species:
-        residues = [
-            dict(name="lja", active=True, fugacity=deck_kw.pop("fug_a", 2.0),
-                 types=[1], names=["A"], nb_atoms=1),
-            dict(name="ljb", active=True, fugacity=deck_kw.pop("fug_b", 2.0),
-                 types=[2], names=["B"], nb_atoms=1),
-        ]
-        coeffs = [(1, 1, 0.2, 3.4), (2, 2, 0.3, 3.0)]
-    else:
-        residues = [dict(name="lj", active=True,
-                         fugacity=deck_kw.pop("fugacity", 2.0),
-                         types=[1], names=["A"], nb_atoms=1)]
-        coeffs = [(1, 1, 0.2, 3.4)]
-    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
-    _write_inc(f"{outdir}/parameters.inc", coeffs)
-    return outdir
-
-
-def make_framework_water(outdir, n_cells=3, a=8.0, n_water=12, seed=11,
-                         **deck_kw):
-    """Synthetic nanoporous framework (simple-cubic LJ lattice, one inactive
-    rigid molecule) + water guests. Stand-in for the ZIF-8+H2O flagship."""
-    os.makedirs(outdir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    L = n_cells * a
-    atoms = []
-    # framework: one molecule, type 1 sites on an SC lattice with partial
-    # charges alternating to exercise framework electrostatics
-    fw_sites = []
-    for i in range(n_cells):
-        for j in range(n_cells):
-            for k in range(n_cells):
-                fw_sites.append((-L / 2 + np.array([i, j, k]) * a))
-    nq = len(fw_sites)
-    for idx, p in enumerate(fw_sites):
-        qf = 0.4 if idx % 2 == 0 else -0.4
-        if nq % 2 == 1 and idx == nq - 1:
-            qf = 0.0  # keep the framework neutral
-        atoms.append((1, 1, qf, *p))
-    sites, q, names = water_sites()
-    type_of = {"O": 2, "H": 3, "M": 4}
-    taken = set()
-    m = 1
-    placed = 0
-    while placed < n_water:
-        cell = tuple(rng.integers(0, n_cells, 3))
-        if cell in taken:
-            continue
-        taken.add(cell)
-        c = -L / 2 + (np.asarray(cell) + 0.5) * a
-        R = _random_rotation(rng)
-        pos = c + sites @ R.T
-        m += 1
-        for aa in range(4):
-            atoms.append((m, type_of[names[aa]], q[aa], *pos[aa]))
-        placed += 1
-    masses = {1: MASS["F"], 2: MASS["O"], 3: MASS["H"], 4: MASS["M"]}
-    _write_data(f"{outdir}/topology.data", L, atoms, masses, 4)
-    residues = [
-        dict(name="fwk", active=False, types=[1], names=["F"],
-             nb_atoms=len(fw_sites)),
-        dict(name="wat", active=True, fugacity=deck_kw.pop("fugacity", 50.0),
-             types=[2, 3, 4], names=["OW", "HW", "MW"], nb_atoms=4),
-    ]
-    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
-    _write_inc(f"{outdir}/parameters.inc",
-               [(1, 1, 0.3, 3.2), (2, 2, EPS_O, SIG_O),
-                (3, 3, 0.0, 0.0), (4, 4, 0.0, 0.0)])
-    return outdir
+from maniac_tpu.systems import *  # noqa: F401,F403
+from maniac_tpu.systems import (_random_rotation, _write_data, _write_deck,
+                                _write_inc)  # noqa: F401
