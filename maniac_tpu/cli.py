@@ -114,8 +114,15 @@ def _run(args, outdir: str, logger, dtype) -> int:
     writer = OutputWriter(outdir, deck, sysm.parsed, logger)
     rep0 = 0 if replicated else None
 
+    def res_snap():
+        if not spec.has_reservoir:
+            return None
+        return snapshot(spec, state, rep0, reservoir=True)
+
+    res_box = sysm.reservoir.box if sysm.reservoir else None
     logger.banner("Started Monte Carlo Loop")
-    writer.update_files(snapshot(spec, state, rep0), 0, append=False)
+    writer.update_files(snapshot(spec, state, rep0), 0, append=False,
+                        reservoir_snap=res_snap(), reservoir_box=res_box)
 
     total_steps = 0
     for block in range(1, deck.nb_block + 1):
@@ -128,7 +135,8 @@ def _run(args, outdir: str, logger, dtype) -> int:
         total_steps += deck.nb_step * args.replicas
         snap = snapshot(spec, state, rep0)
         writer.print_status(snap, block)
-        writer.update_files(snap, block, append=True)
+        writer.update_files(snap, block, append=True,
+                            reservoir_snap=res_snap(), reservoir_box=res_box)
         if args.audit and not replicated:
             rep = drift_report(spec, state)
             logger.log(f"  audit: |E_running - E_fresh| = "

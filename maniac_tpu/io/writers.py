@@ -49,20 +49,26 @@ class HostSnapshot:
     rot_step: float
 
 
-def snapshot(spec, state, replica: int | None = None) -> HostSnapshot:
+def snapshot(spec, state, replica: int | None = None,
+             reservoir: bool = False) -> HostSnapshot:
     """Pull one replica's state to host, unpacked per residue type."""
     def get(x):
         arr = np.asarray(x)
         return arr[replica] if replica is not None else arr
 
-    com_flat = get(state.com)
-    off_flat = get(state.offset)
-    n_mol = get(state.n_mol)[: spec.R]
+    if reservoir:
+        com_flat, off_flat = get(state.res_com), get(state.res_offset)
+        n_mol = get(state.res_n)[: spec.R]
+        caps = spec.res_cap_list
+    else:
+        com_flat, off_flat = get(state.com), get(state.offset)
+        n_mol = get(state.n_mol)[: spec.R]
+        caps = spec.cap_list
     coms, offs = [], []
     mol_base = 0
     site_base = 0
     for r in range(spec.R):
-        cap, A = spec.cap_list[r], spec.A_list[r]
+        cap, A = caps[r], spec.A_list[r]
         n = int(n_mol[r])
         coms.append(com_flat[mol_base:mol_base + n])
         offs.append(off_flat[site_base:site_base + n * A].reshape(n, A, 3))
@@ -226,8 +232,13 @@ class OutputWriter:
                         atom_offset += res.nb_atoms
 
     def update_files(self, snap: HostSnapshot, block: int,
-                     append: bool, reservoir_snap=None) -> None:
+                     append: bool, reservoir_snap: HostSnapshot | None = None,
+                     reservoir_box: Box | None = None) -> None:
         self.write_trajectory(snap, block, append)
+        if reservoir_snap is not None:
+            self.write_trajectory(reservoir_snap, block, append,
+                                  filename="reservoir.lammpstrj",
+                                  box=reservoir_box)
         self.write_energy_and_count(snap, block)
         self.write_topology(snap)
 

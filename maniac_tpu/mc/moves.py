@@ -55,7 +55,7 @@ def _axis_rotation(axis, theta, dtype):
 
 def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     fdt = spec.dtype
-    ks = jax.random.split(key, 10)
+    ks = jax.random.split(key, 12)
     u_move = jax.random.uniform(ks[0], dtype=fdt)
     u_cd = jax.random.uniform(ks[1], dtype=fdt)
     u_acc = jax.random.uniform(ks[2], dtype=fdt)
@@ -110,6 +110,11 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     valid = jnp.where(is_create, True,
              jnp.where(is_rot, (n_old_count > 0) & (A_old > 1),
                        n_old_count > 0)) & (~dead_draw)
+    if spec.has_reservoir:
+        # insertion geometry is sampled from the reservoir; an empty
+        # reservoir blocks insertions of that species (the reference would
+        # read a stale molecule slot here, src/create_molecule.f90:188-189)
+        valid = valid & (~insert_like | (state.res_n[t_new] > 0))
     cap_blocked = insert_like & (n_new_count >= spec.type_cap[t_new])
 
     # ---- gather footprints -------------------------------------------------
@@ -133,18 +138,31 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     P_old = com_old + off_old
 
     # geometry source for the inserted footprint: the moved molecule itself
-    # (translation/rotation) or molecule 0 of t_new (creation/swap; the
-    # reference copies molecule 1's current offsets then applies a full
-    # random rotation, src/create_molecule.f90:166-207).
+    # (translation/rotation); for creation/swap, a random reservoir molecule
+    # (no extra rotation) when -r was given, else molecule 0 of t_new with a
+    # full random rotation (reference: src/create_molecule.f90:166-207).
     src_start = jnp.where(insert_like, spec.type_site_base[t_new],
                           site_start_old)
-    off_src = slice1(state.offset, src_start)
     q_new = slice1(spec.site_q, src_start)
     cls_new = slice1(spec.site_cls, src_start)
     mask_new = jnp.arange(A_act) < A_new
 
+    if spec.has_reservoir:
+        res_pick = jax.random.randint(
+            ks[10], (), 0, jnp.maximum(state.res_n[t_new], 1))
+        res_src = spec.res_type_site_base[t_new] + res_pick * A_new
+        off_src = jnp.where(
+            insert_like,
+            jax.lax.dynamic_slice_in_dim(state.res_offset, res_src, A_act, 0),
+            slice1(state.offset, src_start))
+        rotate_insert = jnp.zeros((), bool)  # reservoir geometry used as-is
+    else:
+        res_pick = jnp.zeros((), jnp.int32)
+        off_src = slice1(state.offset, src_start)
+        rotate_insert = jnp.ones((), bool)
+
     theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step,
-                      jnp.where(insert_like, u_angle * TWOPI,
+                      jnp.where(insert_like & rotate_insert, u_angle * TWOPI,
                                 jnp.zeros((), fdt)))
     R = _axis_rotation(axis, theta, fdt)
     new_off = off_src @ R.T
@@ -240,6 +258,69 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     counters = counters.at[1, move].add(acc.astype(jnp.int32))
     extras = state.extras.at[0].add((valid & cap_blocked).astype(jnp.int32))
 
-    return state.replace(com=com, offset=offset, n_mol=n_mol,
-                         amp_re=amp_re, amp_im=amp_im, energy=e,
-                         counters=counters, extras=extras)
+    new_state = state.replace(com=com, offset=offset, n_mol=n_mol,
+                              amp_re=amp_re, amp_im=amp_im, energy=e,
+                              counters=counters, extras=extras)
+    if spec.has_reservoir:
+        new_state = _update_reservoir(
+            spec, state, new_state, acc, insert_like, remove_like,
+            t_old, t_new, A_old, A_new, A_act, res_pick, off_old, mask_old,
+            ks[11])
+    return new_state
+
+
+def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
+                      t_old, t_new, A_old, A_new, A_act, res_pick, off_old,
+                      mask_old, key):
+    """Reservoir bookkeeping on accepted insertions/deletions/swaps
+    (reference: src/create_molecule.f90:117-129 pop-on-insert,
+    src/delete_molecule.f90:148-166 push-on-delete).
+
+    Pop: the sampled reservoir molecule is replaced by the reservoir's last
+    molecule of that type. Push: the removed molecule's offsets are stored at
+    a random position in the reservoir box. A full reservoir drops the
+    pushed molecule (counted in extras[1]); the reference would write out of
+    bounds there."""
+    res_off = state.res_offset
+    res_com = state.res_com
+    res_n = state.res_n
+
+    def slice_res(arr, start):
+        return jax.lax.dynamic_slice_in_dim(arr, start, A_act, axis=0)
+
+    # --- pop sampled molecule on accepted insertion ----------------------
+    do_pop = acc & insert_like
+    last = jnp.maximum(res_n[t_new] - 1, 0)
+    pop_slot = spec.res_type_mol_base[t_new] + res_pick
+    last_slot = spec.res_type_mol_base[t_new] + last
+    pop_start = spec.res_type_site_base[t_new] + res_pick * A_new
+    last_start = spec.res_type_site_base[t_new] + last * A_new
+    mask_new_rows = (jnp.arange(A_act) < A_new)
+    rows = jnp.where((do_pop & mask_new_rows)[:, None],
+                     slice_res(res_off, last_start),
+                     slice_res(res_off, pop_start))
+    res_off = jax.lax.dynamic_update_slice_in_dim(res_off, rows, pop_start, 0)
+    res_com = res_com.at[pop_slot].set(
+        jnp.where(do_pop, res_com[last_slot], res_com[pop_slot]))
+    res_n = res_n.at[t_new].add(jnp.where(do_pop, -1, 0))
+
+    # --- push removed molecule on accepted deletion ------------------------
+    full = res_n[t_old] >= spec.res_cap[t_old]
+    do_push = acc & remove_like & (~full)
+    push_idx = jnp.minimum(res_n[t_old], spec.res_cap[t_old] - 1)
+    push_slot = spec.res_type_mol_base[t_old] + push_idx
+    push_start = spec.res_type_site_base[t_old] + push_idx * A_old
+    u3 = jax.random.uniform(key, (3,), dtype=spec.dtype) - 0.5
+    res_pos = spec.res_H @ u3  # centered placement (reference convention)
+    cur = slice_res(res_off, push_start)
+    rows2 = jnp.where((do_push & mask_old)[:, None], off_old, cur)
+    res_off = jax.lax.dynamic_update_slice_in_dim(res_off, rows2,
+                                                  push_start, 0)
+    res_com = res_com.at[push_slot].set(
+        jnp.where(do_push, res_pos, res_com[push_slot]))
+    res_n = res_n.at[t_old].add(jnp.where(do_push, 1, 0))
+    extras = state.extras.at[1].add(
+        (acc & remove_like & full).astype(jnp.int32))
+
+    return state.replace(res_com=res_com, res_offset=res_off, res_n=res_n,
+                         extras=extras)

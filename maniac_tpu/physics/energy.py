@@ -62,21 +62,21 @@ def pair_energy_footprint(spec: SystemSpec, others_pos, others_mask,
             & (spec.site_mol != exclude_mol_b))                    # (S,)
     mask = keep[None, None, :] & mov_mask[:, :, None]              # (B,A,S)
 
-    # LJ (cutoff applies)
-    eps_rows = jnp.take(spec.eps_cls, mov_cls, axis=0)             # (B,A,C+1)
-    sig_rows = jnp.take(spec.sig_cls, mov_cls, axis=0)
-    eps = jnp.take(eps_rows, spec.site_cls, axis=-1)               # (B,A,S)
-    sig = jnp.take(sig_rows, spec.site_cls, axis=-1)
-    sr2 = (sig * sig) / r2
+    # LJ (cutoff applies); class->site tables give one contiguous row gather
+    # per footprint atom instead of a (class,class) double gather
+    eps = jnp.take(spec.eps_site, mov_cls, axis=0)                 # (B,A,S)
+    sig2 = jnp.take(spec.sig2_site, mov_cls, axis=0)
+    inv_r2 = 1.0 / r2
+    sr2 = sig2 * inv_r2
     sr6 = sr2 * sr2 * sr2
     lj = 4.0 * eps * (sr6 * sr6 - sr6)
     lj_mask = mask & (r2 < spec.cutoff * spec.cutoff)
     e_lj = jnp.sum(jnp.where(lj_mask, lj, 0.0), axis=(1, 2))
 
     # damped Coulomb (no cutoff; reference quirk)
-    r = jnp.sqrt(r2)
+    inv_r = jnp.sqrt(inv_r2)
     qq = mov_q[:, :, None] * spec.site_q[None, None, :]
-    coul = qq * erfc(spec.alpha * r) / r
+    coul = qq * erfc(spec.alpha * r2 * inv_r) * inv_r
     e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2)) * COULOMB_K
     return e_lj, e_coul
 
@@ -108,20 +108,69 @@ def footprint_phases(spec: SystemSpec, pos):
     return pos @ spec.k_cart.T
 
 
-def amp_delta(spec: SystemSpec, pos, q, mask, signs):
-    """Structure-factor update dA(k) = sum_b s_b sum_a q e^{i k.r_ba}.
-
-    pos: (B,A,3), q/mask: (B,A), signs: (B,) in {-1,0,+1}. Returns
-    (d_re[K], d_im[K]). Mirrors the incremental A(k) update of
-    ComputeRecipEnergySingleMol (reference: src/ewald_energy.f90:240-256),
-    with the deletion branch fixed to subtract the removed molecule's own
-    contribution (the reference passes is_creation for deletions,
-    src/monte_carlo_utils.f90:308 - a sign/identity bug we do not replicate).
-    """
+def amp_delta_direct(spec: SystemSpec, pos, q, mask, signs):
+    """Reference-style direct structure-factor update: cos/sin over the full
+    (A, K) phase matrix. Kept as the precision oracle for amp_delta."""
     theta = footprint_phases(spec, pos)                  # (B,A,K)
     w = (q * mask) [..., None] * signs[:, None, None]    # (B,A,1)
     d_re = jnp.sum(w * jnp.cos(theta), axis=(0, 1))
     d_im = jnp.sum(w * jnp.sin(theta), axis=(0, 1))
+    return d_re, d_im
+
+
+def amp_delta(spec: SystemSpec, pos, q, mask, signs):
+    """Structure-factor update dA(k) = sum_b s_b sum_a q e^{i k.r_ba}.
+
+    pos: (B,A,3), q/mask: (B,A), signs: (B,) in {-1,0,+1}. Returns
+    (d_re[K], d_im[K]). Same update as the reference's incremental A(k)
+    (ComputeRecipEnergySingleMol, src/ewald_energy.f90:240-256) with its
+    deletion branch fixed (the reference passes is_creation for deletions,
+    src/monte_carlo_utils.f90:308 - a sign/identity bug we do not replicate).
+
+    TPU-first evaluation: the phase factor is separable,
+    e^{i k.r} = ex[|kx|] ey[|ky|]^(sy) ez[|kz|]^(sz), so we build per-axis
+    power tables with ONE cos/sin per atom per axis (the reference caches the
+    same tables per atom across all molecules, src/ewald_phase.f90:90-111;
+    we recompute them per move, which is cheaper than its save/restore
+    copies), then expand them over the k-list with static one-hot matmuls on
+    the MXU - no (A, K) transcendentals anywhere.
+    """
+    B, A = q.shape
+    BA = B * A
+    theta = (pos @ spec.two_pi_Hinv.T).reshape(BA, 3)     # (BA, 3)
+    c1, s1 = jnp.cos(theta), jnp.sin(theta)               # (BA, 3)
+
+    # power tables e^{i j theta}, j = 0..kmax_pad, by repeated complex mult
+    res = [jnp.ones_like(c1)]
+    ims = [jnp.zeros_like(s1)]
+    for _ in range(spec.kmax_pad):
+        re, im = res[-1], ims[-1]
+        res.append(re * c1 - im * s1)
+        ims.append(re * s1 + im * c1)
+    tab_re = jnp.stack(res, axis=1)                        # (BA, J, 3)
+    tab_im = jnp.stack(ims, axis=1)
+
+    # expand over the k-list: (K, J) @ (J, BA) per axis -> (K, BA), on MXU
+    def expand(ax):
+        oh = spec.k_onehot[ax]                             # (K, J)
+        er = oh @ tab_re[:, :, ax].T
+        ei = oh @ tab_im[:, :, ax].T
+        return er, ei
+
+    ex_re, ex_im = expand(0)
+    ey_re, ey_im = expand(1)
+    ez_re, ez_im = expand(2)
+    ey_im = ey_im * spec.k_sign_y[:, None]                 # conj for ky < 0
+    ez_im = ez_im * spec.k_sign_z[:, None]
+
+    t_re = ex_re * ey_re - ex_im * ey_im
+    t_im = ex_re * ey_im + ex_im * ey_re
+    p_re = t_re * ez_re - t_im * ez_im                     # (K, BA)
+    p_im = t_re * ez_im + t_im * ez_re
+
+    w = ((q * mask) * signs[:, None]).reshape(BA)          # (BA,)
+    d_re = p_re @ w
+    d_im = p_im @ w
     return d_re, d_im
 
 

@@ -47,18 +47,22 @@ def _round_up(x: int, m: int) -> int:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["H", "Hinv", "bounds", "box_diag", "volume",
                       "k_cart", "k_weights", "k_form",
+                      "k_onehot", "k_sign_y", "k_sign_z", "two_pi_Hinv",
                       "alpha", "cutoff", "temp_K",
                       "site_q", "site_cls", "site_type", "site_mol",
                       "site_midx",
                       "mol_type", "mol_midx", "mol_site_start",
-                      "eps_cls", "sig_cls",
+                      "eps_cls", "sig_cls", "eps_site", "sig2_site",
                       "type_A", "type_cap", "type_site_base", "type_mol_base",
                       "type_active", "type_activity", "type_self_energy",
                       "active_type_ids",
-                      "p_cum", "image_shifts"],
+                      "p_cum", "image_shifts",
+                      "res_type_site_base", "res_type_mol_base", "res_cap",
+                      "res_H", "res_bounds_lo"],
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
-                      "dtype_name", "has_reservoir", "res_cap_list"])
+                      "dtype_name", "has_reservoir", "res_cap_list",
+                      "kmax_pad"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -71,6 +75,12 @@ class SystemSpec:
     k_cart: jnp.ndarray       # (K,3)
     k_weights: jnp.ndarray    # (K,)
     k_form: jnp.ndarray       # (K,)
+    # separable-phase machinery: static one-hot selectors per axis stacked as
+    # (3, K, kmax_pad+1); signs recover e^{-i|k|theta} = conj for ky,kz < 0
+    k_onehot: jnp.ndarray
+    k_sign_y: jnp.ndarray     # (K,)
+    k_sign_z: jnp.ndarray     # (K,)
+    two_pi_Hinv: jnp.ndarray  # (3,3): theta = two_pi_Hinv @ r
     alpha: jnp.ndarray        # scalar
     cutoff: jnp.ndarray       # scalar
     temp_K: jnp.ndarray       # scalar
@@ -87,6 +97,11 @@ class SystemSpec:
     # LJ class tables, shape (C+1, C+1); row/col C are zero padding
     eps_cls: jnp.ndarray
     sig_cls: jnp.ndarray
+    # class -> flat-site expansions (C+1, S): one contiguous row gather per
+    # footprint atom replaces the two-level (class, class) gather in the hot
+    # pair kernel; sig2_site stores sigma^2
+    eps_site: jnp.ndarray
+    sig2_site: jnp.ndarray
     # per-residue-type tables (length R, padded with 0 where needed)
     type_A: jnp.ndarray       # (R,) int32 atoms per molecule
     type_cap: jnp.ndarray     # (R,) int32 capacity
@@ -99,6 +114,12 @@ class SystemSpec:
     # move probability cumulative thresholds [trans, +rot, +indel, +swap]
     p_cum: jnp.ndarray        # (4,)
     image_shifts: jnp.ndarray  # (27,3) lattice image shifts (triclinic path)
+    # reservoir layout (dummies when has_reservoir is False)
+    res_type_site_base: jnp.ndarray  # (R,) int32
+    res_type_mol_base: jnp.ndarray   # (R,) int32
+    res_cap: jnp.ndarray             # (R,) int32
+    res_H: jnp.ndarray               # (3,3)
+    res_bounds_lo: jnp.ndarray       # (3,)
     # --- static metadata ---
     R: int
     A_list: tuple
@@ -114,6 +135,7 @@ class SystemSpec:
     dtype_name: str
     has_reservoir: bool
     res_cap_list: tuple
+    kmax_pad: int             # common padded kmax for the one-hot selectors
 
     @property
     def dtype(self):
@@ -257,17 +279,36 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     has_res = reservoir is not None
     res_cap_list = tuple(
         (_default_capacity(reservoir.n_mol[r], capacity) if active[r] else 1)
-        for r in range(R)) if has_res else tuple(0 for _ in range(R))
-    res_com, res_offset, res_n = _build_reservoir_arrays(
-        reservoir, A_list, res_cap_list, R, fdt) if has_res else (
-        np.zeros((1, 3)), np.zeros((1, 3)), np.zeros(R + 1, dtype=np.int32))
+        for r in range(R)) if has_res else tuple(1 for _ in range(R))
+    (res_com, res_offset, res_n, res_site_base,
+     res_mol_base) = _build_reservoir_arrays(
+        reservoir, A_list, res_cap_list, R, A_act)
+    res_H = reservoir.box.matrix if has_res else box.matrix
+    res_lo = reservoir.box.bounds[:, 0] if has_res else box.bounds[:, 0]
+
+    # ---- separable phase selectors -------------------------------------
+    kmax_pad = int(np.max(ewald.kmax))
+    K_arr = ewald.k_int
+    onehot = np.zeros((3, len(K_arr), kmax_pad + 1))
+    for ax in range(3):
+        onehot[ax, np.arange(len(K_arr)), np.abs(K_arr[:, ax])] = 1.0
+    sign_y = np.where(K_arr[:, 1] < 0, -1.0, 1.0)
+    sign_z = np.where(K_arr[:, 2] < 0, -1.0, 1.0)
+
+    # ---- class -> site expansions for the hot pair kernel ---------------
+    eps_site = eps_cls[:, site_cls]       # (C+1, S)
+    sig_site = sig_cls[:, site_cls]
+    sig2_site = sig_site * sig_site
 
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
         H=f(box.matrix), Hinv=f(box.reciprocal), bounds=f(box.bounds),
         box_diag=f(np.diag(box.matrix)), volume=f(box.volume),
         k_cart=f(ewald.k_cart), k_weights=f(ewald.weights),
-        k_form=f(ewald.form_factor), alpha=f(ewald.alpha),
+        k_form=f(ewald.form_factor),
+        k_onehot=f(onehot), k_sign_y=f(sign_y), k_sign_z=f(sign_z),
+        two_pi_Hinv=f(2.0 * np.pi * box.reciprocal),
+        alpha=f(ewald.alpha),
         cutoff=f(ewald.real_space_cutoff), temp_K=f(temp_K),
         site_q=f(site_q), site_cls=jnp.asarray(site_cls),
         site_type=jnp.asarray(site_type), site_mol=jnp.asarray(site_mol),
@@ -275,6 +316,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         mol_type=jnp.asarray(mol_type), mol_midx=jnp.asarray(mol_midx),
         mol_site_start=jnp.asarray(mol_site_start),
         eps_cls=f(eps_cls), sig_cls=f(sig_cls),
+        eps_site=f(eps_site), sig2_site=f(sig2_site),
         type_A=jnp.asarray(np.asarray(A_list), dtype=jnp.int32),
         type_cap=jnp.asarray(np.asarray(cap_list), dtype=jnp.int32),
         type_site_base=jnp.asarray(type_site_base),
@@ -283,12 +325,16 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         type_activity=f(activity), type_self_energy=f(self_e),
         active_type_ids=jnp.asarray(active_ids),
         p_cum=f(p_cum), image_shifts=f(image_shifts),
+        res_type_site_base=jnp.asarray(res_site_base),
+        res_type_mol_base=jnp.asarray(res_mol_base),
+        res_cap=jnp.asarray(np.asarray(res_cap_list), dtype=jnp.int32),
+        res_H=f(res_H), res_bounds_lo=f(res_lo),
         R=R, A_list=A_list, cap_list=cap_list,
         active_list=tuple(active), A_act=A_act,
         n_active=len(active_ids), S=S, Mtot=Mtot, K=K,
         box_kind=box.kind, is_triclinic=box.is_triclinic,
         dtype_name=fdt.name, has_reservoir=has_res,
-        res_cap_list=res_cap_list)
+        res_cap_list=res_cap_list, kmax_pad=kmax_pad)
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol
@@ -306,22 +352,27 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     return spec, state
 
 
-def _build_reservoir_arrays(reservoir: ParsedSystem, A_list, res_cap_list,
-                            R, fdt):
+def _build_reservoir_arrays(reservoir: ParsedSystem | None, A_list,
+                            res_cap_list, R, A_act):
     Mres = sum(res_cap_list)
-    Sres = sum(res_cap_list[r] * A_list[r] for r in range(R)) + max(A_list)
+    Sres = sum(res_cap_list[r] * A_list[r] for r in range(R)) + A_act
     com = np.zeros((Mres + 1, 3))
     off = np.zeros((Sres, 3))
     n = np.zeros(R + 1, dtype=np.int32)
+    site_base = np.zeros(R, dtype=np.int32)
+    mol_base = np.zeros(R, dtype=np.int32)
     s = 0
     m = 0
     for r in range(R):
+        site_base[r] = s
+        mol_base[r] = m
         A = A_list[r]
         for mi in range(res_cap_list[r]):
-            if mi < reservoir.n_mol[r]:
+            if reservoir is not None and mi < reservoir.n_mol[r]:
                 com[m] = reservoir.mol_com[r][mi]
                 off[s:s + A] = reservoir.site_offset[r][mi]
             m += 1
             s += A
-        n[r] = reservoir.n_mol[r]
-    return com, off, n
+        if reservoir is not None:
+            n[r] = reservoir.n_mol[r]
+    return com, off, n, site_base, mol_base

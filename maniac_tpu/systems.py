@@ -132,6 +132,34 @@ def make_water_box(outdir, n_water=8, L=14.0, seed=7, **deck_kw):
     return outdir
 
 
+def make_water_reservoir(outdir, n_water=16, L=20.0, seed=23):
+    """A reservoir data file matching make_water_box's residue declaration
+    (for the -r flag). Returns the file path."""
+    rng = np.random.default_rng(seed)
+    sites, q, names = water_sites()
+    per_axis = max(2, int(math.ceil(n_water ** (1 / 3))))
+    spacing = L / per_axis
+    atoms = []
+    type_of = {"O": 1, "H": 2, "M": 3}
+    m = 0
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                if m >= n_water:
+                    break
+                m += 1
+                c = -L / 2 + (np.array([i, j, k]) + 0.5) * spacing
+                R = _random_rotation(rng)
+                pos = c + sites @ R.T
+                for a in range(4):
+                    atoms.append((m, type_of[names[a]], q[a], *pos[a]))
+    masses = {1: MASS["O"], 2: MASS["H"], 3: MASS["M"]}
+    os.makedirs(outdir, exist_ok=True)
+    path = f"{outdir}/reservoir.data"
+    _write_data(path, L, atoms, masses, 3)
+    return path
+
+
 def make_nacl(outdir, n_cells=2, a=5.6402, **deck_kw):
     """Rock-salt NaCl, n_cells^3 conventional cells. Pure Coulomb (LJ=0)."""
     os.makedirs(outdir, exist_ok=True)

@@ -151,3 +151,22 @@ def test_intra_matches_direct(tmp_path):
                 total += qq[i] * qq[j] * (erfc(alpha * r) - 1.0) / r
     total *= COULOMB_K
     np.testing.assert_allclose(float(state.energy[E_INTRA]), total, rtol=1e-10)
+
+
+def test_amp_delta_separable_matches_direct(tmp_path):
+    """MXU one-hot phase expansion == direct cos/sin over (A,K)."""
+    import jax
+    from maniac_tpu.physics.energy import amp_delta, amp_delta_direct
+    make_water_box(str(tmp_path), n_water=4, L=12.0, cutoff=5.0, tol=1e-5)
+    sysm = _load(str(tmp_path))
+    spec = sysm.spec
+    key = jax.random.PRNGKey(3)
+    pos = jax.random.uniform(key, (2, 4, 3), dtype=spec.dtype) * 12.0 - 6.0
+    q = jnp.asarray([[0.0, 0.5, 0.5, -1.0], [0.3, -0.3, 0.1, -0.1]],
+                    dtype=spec.dtype)
+    mask = jnp.asarray([[True, True, True, False], [True, True, True, True]])
+    signs = jnp.asarray([-1.0, 1.0], dtype=spec.dtype)
+    d1 = amp_delta(spec, pos, q, mask, signs)
+    d2 = amp_delta_direct(spec, pos, q, mask, signs)
+    np.testing.assert_allclose(d1[0], d2[0], atol=5e-12)
+    np.testing.assert_allclose(d1[1], d2[1], atol=5e-12)
