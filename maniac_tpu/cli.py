@@ -37,6 +37,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--platform", default=None)
     p.add_argument("--audit", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="write a full checkpoint (.npz) every block")
+    p.add_argument("--resume", default=None,
+                   help="resume from a checkpoint written by --checkpoint")
     return p
 
 
@@ -107,8 +111,14 @@ def _run(args, outdir: str, logger, dtype) -> int:
     deck, spec = sysm.deck, sysm.spec
     state = sysm.state
 
+    start_block = 0
+    if args.resume:
+        from .io.checkpoint import load_checkpoint
+        state, start_block = load_checkpoint(args.resume, spec)
+        logger.info(f"Resumed from {args.resume} at block {start_block}")
+
     replicated = args.replicas > 1
-    if replicated:
+    if replicated and state.com.ndim == 2:
         state = replicate(spec, state, args.replicas)
 
     writer = OutputWriter(outdir, deck, sysm.parsed, logger)
@@ -125,7 +135,7 @@ def _run(args, outdir: str, logger, dtype) -> int:
                         reservoir_snap=res_snap(), reservoir_box=res_box)
 
     total_steps = 0
-    for block in range(1, deck.nb_block + 1):
+    for block in range(start_block + 1, deck.nb_block + 1):
         if replicated:
             state = run_block_replicated(spec, state, deck.nb_step,
                                          deck.recalibrate_moves)
@@ -141,6 +151,9 @@ def _run(args, outdir: str, logger, dtype) -> int:
             rep = drift_report(spec, state)
             logger.log(f"  audit: |E_running - E_fresh| = "
                        f"{rep['drift_K']:.3e} K")
+        if args.checkpoint:
+            from .io.checkpoint import save_checkpoint
+            save_checkpoint(args.checkpoint, spec, state, block)
 
     elapsed = time.time() - t0
     snap = snapshot(spec, state, rep0)

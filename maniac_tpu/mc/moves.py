@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from ..constants import (PROB_CREATE_DELETE, TWOPI, TYPE_CREATION,
                          TYPE_DELETION, TYPE_ROTATION, TYPE_SWAP,
                          TYPE_TRANSLATION)
-from ..system import E_COUL, E_INTRA, E_LJ, E_RECIP, E_SELF, E_TOT, SimState, SystemSpec
+from ..system import (E_COUL, E_INTRA, E_LJ, E_RECIP, E_SELF, E_TOT,
+                      N_MOVE_TYPES, SimState, SystemSpec)
 from ..physics.energy import (active_site_mask, amp_delta, intra_energy,
                               pair_energy_footprint, recip_energy,
                               site_positions)
@@ -214,49 +215,63 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     acc = valid & (~cap_blocked) & (u_acc <= p_acc)
 
     # ---- state update (functional; reject = keep old) ----------------------
+    # All writes are expressed as pure arithmetic select/one-hot ops: batched
+    # dynamic_update_slice / .at[] scatters lower to TPU scatters that
+    # measured ~30x slower than the whole energy kernel (36 ms vs 1.2 ms per
+    # vmapped step at B=1024).
     accf = acc.astype(fdt)
-
-    # write inserted footprint (com + offsets) at slot_new
     do_write = acc & w_new
-    com = state.com.at[slot_new].set(
-        jnp.where(do_write, com_new, state.com[slot_new]))
-    cur_rows = slice1(state.offset, site_start_new)
-    rows = jnp.where((do_write & mask_new)[:, None], new_off, cur_rows)
-    offset = jax.lax.dynamic_update_slice_in_dim(
-        state.offset, rows, site_start_new, axis=0)
-
-    # compaction on removal: copy last molecule of t_old into slot m_old
     do_compact = acc & remove_like
     last_idx = jnp.maximum(n_old_count - 1, 0)
     slot_last = spec.type_mol_base[t_old] + last_idx
     start_last = spec.type_site_base[t_old] + last_idx * A_old
-    com = com.at[mol_slot_old].set(
-        jnp.where(do_compact, com[slot_last], com[mol_slot_old]))
-    last_rows = slice1(offset, start_last)
-    tgt_rows = slice1(offset, site_start_old)
-    rows2 = jnp.where((do_compact & mask_old)[:, None], last_rows, tgt_rows)
-    offset = jax.lax.dynamic_update_slice_in_dim(
-        offset, rows2, site_start_old, axis=0)
+    last_rows = slice1(state.offset, start_last)  # compaction source
 
-    n_mol = state.n_mol
-    n_mol = n_mol.at[t_new].add(jnp.where(acc & insert_like, 1, 0))
-    n_mol = n_mol.at[t_old].add(jnp.where(acc & remove_like, -1, 0))
+    s_idx = jnp.arange(spec.S, dtype=jnp.int32)
+    a_idx = jnp.arange(A_act, dtype=jnp.int32)
+    rel_new = s_idx - site_start_new
+    rel_old = s_idx - site_start_old
+    in_new = do_write & (rel_new >= 0) & (rel_new < A_new)        # (S,)
+    in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
+    # one-hot expansion of the A_act replacement rows over the S axis
+    oh_new = (rel_new[:, None] == a_idx[None, :]).astype(fdt)     # (S, A)
+    oh_old = (rel_old[:, None] == a_idx[None, :]).astype(fdt)
+    vals_new = oh_new @ new_off                                    # (S, 3)
+    vals_old = oh_old @ last_rows
+    offset = jnp.where(in_new[:, None], vals_new,
+                       jnp.where(in_old[:, None], vals_old, state.offset))
+
+    m_idx = jnp.arange(spec.Mtot + 1, dtype=jnp.int32)
+    com = jnp.where((do_write & (m_idx == slot_new))[:, None], com_new,
+                    jnp.where((do_compact & (m_idx == mol_slot_old))[:, None],
+                              state.com[slot_last], state.com))
+
+    r_idx = jnp.arange(spec.R + 1, dtype=jnp.int32)
+    n_mol = (state.n_mol
+             + jnp.where(acc & insert_like & (r_idx == t_new), 1, 0)
+             - jnp.where(acc & remove_like & (r_idx == t_old), 1, 0))
 
     amp_re = state.amp_re + accf * d_re
     amp_im = state.amp_im + accf * d_im
 
-    e = state.energy
-    e = e.at[E_RECIP].set(jnp.where(acc, e_recip_new, e[E_RECIP]))
-    e = e.at[E_LJ].add(accf * (e_lj[1] - e_lj[0]))
-    e = e.at[E_COUL].add(accf * (e_coul[1] - e_coul[0]))
-    e = e.at[E_SELF].add(accf * (s_new - s_old))
-    e = e.at[E_INTRA].add(accf * (i_new - i_old))
-    e = e.at[E_TOT].add(accf * delta_e)
+    comp_delta = jnp.stack([
+        jnp.where(acc, e_recip_new - state.energy[E_RECIP], 0.0),
+        accf * (e_lj[1] - e_lj[0]),
+        accf * (e_coul[1] - e_coul[0]),
+        accf * (s_new - s_old),
+        accf * (i_new - i_old),
+        accf * delta_e,
+    ])
+    e = state.energy + comp_delta
 
-    counters = state.counters
-    counters = counters.at[0, move].add(valid.astype(jnp.int32))
-    counters = counters.at[1, move].add(acc.astype(jnp.int32))
-    extras = state.extras.at[0].add((valid & cap_blocked).astype(jnp.int32))
+    mv_idx = jnp.arange(N_MOVE_TYPES, dtype=jnp.int32)
+    oh_move = (mv_idx == move)
+    counters = state.counters + jnp.stack([
+        jnp.where(oh_move & valid, 1, 0),
+        jnp.where(oh_move & acc, 1, 0)]).astype(jnp.int32)
+    x_idx = jnp.arange(4, dtype=jnp.int32)
+    extras = state.extras + jnp.where(
+        (x_idx == 0) & valid & cap_blocked, 1, 0).astype(jnp.int32)
 
     new_state = state.replace(com=com, offset=offset, n_mol=n_mol,
                               amp_re=amp_re, amp_im=amp_im, energy=e,
@@ -281,12 +296,20 @@ def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
     a random position in the reservoir box. A full reservoir drops the
     pushed molecule (counted in extras[1]); the reference would write out of
     bounds there."""
-    res_off = state.res_offset
-    res_com = state.res_com
+    fdt = spec.dtype
+    res_off0 = state.res_offset
+    res_com0 = state.res_com
     res_n = state.res_n
+    Sres = res_off0.shape[0]
+    Mres = res_com0.shape[0]
 
     def slice_res(arr, start):
         return jax.lax.dynamic_slice_in_dim(arr, start, A_act, axis=0)
+
+    # scatter-free writes (same rationale as in mc_step)
+    s_idx = jnp.arange(Sres, dtype=jnp.int32)
+    m_idx = jnp.arange(Mres, dtype=jnp.int32)
+    a_idx = jnp.arange(A_act, dtype=jnp.int32)
 
     # --- pop sampled molecule on accepted insertion ----------------------
     do_pop = acc & insert_like
@@ -295,14 +318,7 @@ def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
     last_slot = spec.res_type_mol_base[t_new] + last
     pop_start = spec.res_type_site_base[t_new] + res_pick * A_new
     last_start = spec.res_type_site_base[t_new] + last * A_new
-    mask_new_rows = (jnp.arange(A_act) < A_new)
-    rows = jnp.where((do_pop & mask_new_rows)[:, None],
-                     slice_res(res_off, last_start),
-                     slice_res(res_off, pop_start))
-    res_off = jax.lax.dynamic_update_slice_in_dim(res_off, rows, pop_start, 0)
-    res_com = res_com.at[pop_slot].set(
-        jnp.where(do_pop, res_com[last_slot], res_com[pop_slot]))
-    res_n = res_n.at[t_new].add(jnp.where(do_pop, -1, 0))
+    last_rows = slice_res(res_off0, last_start)
 
     # --- push removed molecule on accepted deletion ------------------------
     full = res_n[t_old] >= spec.res_cap[t_old]
@@ -310,17 +326,30 @@ def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
     push_idx = jnp.minimum(res_n[t_old], spec.res_cap[t_old] - 1)
     push_slot = spec.res_type_mol_base[t_old] + push_idx
     push_start = spec.res_type_site_base[t_old] + push_idx * A_old
-    u3 = jax.random.uniform(key, (3,), dtype=spec.dtype) - 0.5
+    u3 = jax.random.uniform(key, (3,), dtype=fdt) - 0.5
     res_pos = spec.res_H @ u3  # centered placement (reference convention)
-    cur = slice_res(res_off, push_start)
-    rows2 = jnp.where((do_push & mask_old)[:, None], off_old, cur)
-    res_off = jax.lax.dynamic_update_slice_in_dim(res_off, rows2,
-                                                  push_start, 0)
-    res_com = res_com.at[push_slot].set(
-        jnp.where(do_push, res_pos, res_com[push_slot]))
-    res_n = res_n.at[t_old].add(jnp.where(do_push, 1, 0))
-    extras = state.extras.at[1].add(
-        (acc & remove_like & full).astype(jnp.int32))
+
+    rel_pop = s_idx - pop_start
+    rel_push = s_idx - push_start
+    in_pop = do_pop & (rel_pop >= 0) & (rel_pop < A_new)
+    in_push = do_push & (rel_push >= 0) & (rel_push < A_old)
+    vals_pop = (rel_pop[:, None] == a_idx[None, :]).astype(fdt) @ last_rows
+    vals_push = (rel_push[:, None] == a_idx[None, :]).astype(fdt) @ off_old
+    res_off = jnp.where(in_pop[:, None], vals_pop,
+                        jnp.where(in_push[:, None], vals_push, res_off0))
+
+    res_com = jnp.where((do_pop & (m_idx == pop_slot))[:, None],
+                        res_com0[last_slot],
+                        jnp.where((do_push & (m_idx == push_slot))[:, None],
+                                  res_pos, res_com0))
+
+    r_idx = jnp.arange(res_n.shape[0], dtype=jnp.int32)
+    res_n = (res_n
+             - jnp.where(do_pop & (r_idx == t_new), 1, 0)
+             + jnp.where(do_push & (r_idx == t_old), 1, 0))
+    x_idx = jnp.arange(4, dtype=jnp.int32)
+    extras = state.extras + jnp.where(
+        (x_idx == 1) & acc & remove_like & full, 1, 0).astype(jnp.int32)
 
     return state.replace(res_com=res_com, res_offset=res_off, res_n=res_n,
                          extras=extras)
