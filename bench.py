@@ -35,6 +35,7 @@ def main() -> None:
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
 
     from maniac_tpu import load_system
+    from maniac_tpu.mc.driver import resync_amplitudes_replicated
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.systems import make_zif_like
 
@@ -51,13 +52,21 @@ def main() -> None:
         # (block_until_ready can return early through the axon relay)
         return float(np.asarray(st.energy).reshape(-1)[-1])
 
+    resync = dtype_name != "f64"  # f32 runs bound amplitude drift per block
+
+    def one_block(st):
+        st = run_block_replicated(spec, st, steps_per_block, False)
+        if resync:
+            st = resync_amplitudes_replicated(spec, st)
+        return st
+
     # compile + warmup (excluded from timing)
-    states = run_block_replicated(spec, states, steps_per_block, False)
+    states = one_block(states)
     sync(states)
 
     t0 = time.perf_counter()
     for _ in range(n_blocks):
-        states = run_block_replicated(spec, states, steps_per_block, False)
+        states = one_block(states)
     sync(states)
     elapsed = time.perf_counter() - t0
 

@@ -88,7 +88,8 @@ def _run(args, outdir: str, logger, dtype) -> int:
     from . import __version__
     from .api import load_system
     from .io.writers import OutputWriter, snapshot
-    from .mc.driver import drift_report, run_block
+    from .mc.driver import (drift_report, resync_amplitudes,
+                            resync_amplitudes_replicated, run_block)
     from .parallel.replicas import replicate, run_block_replicated
     from .utils.errors import ManiacError
 
@@ -142,6 +143,11 @@ def _run(args, outdir: str, logger, dtype) -> int:
         else:
             state = run_block(spec, state, deck.nb_step,
                               deck.recalibrate_moves)
+        if spec.dtype == np.float32:
+            # bound incremental A(k) drift at block granularity (f32 only;
+            # DIVERGENCES.md #13, tests/test_moves.py::test_f32_resync)
+            state = (resync_amplitudes_replicated(spec, state) if replicated
+                     else resync_amplitudes(spec, state))
         total_steps += deck.nb_step * args.replicas
         snap = snapshot(spec, state, rep0)
         writer.print_status(snap, block)

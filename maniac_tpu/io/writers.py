@@ -141,8 +141,10 @@ class OutputWriter:
                     f"{e[E_LJ]:16.6f} {e[E_COUL]:16.6f} {e[E_SELF]:16.6f} "
                     f"{e[E_INTRA]:16.6f}\n")
 
+        # every active species, every block, N=0 included: holes in the <N>
+        # series would bias the adsorption observable exactly at low occupancy
         for r, res in enumerate(self.deck.residues):
-            if not res.active or snap.n_mol[r] == 0:
+            if not res.active:
                 continue
             path = os.path.join(self.outdir, f"number_{res.name}.dat")
             with open(path, "w" if first else "a") as f:

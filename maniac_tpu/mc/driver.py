@@ -26,7 +26,8 @@ from ..constants import (MAX_ROTATION_ANGLE, MAX_TRANSLATION_STEP,
                          MIN_ROTATION_ANGLE, MIN_TRANSLATION_STEP,
                          MIN_TRIALS_FOR_RECALIBRATION, TARGET_ACCEPTANCE,
                          TOL_ACCEPTANCE, TYPE_ROTATION, TYPE_TRANSLATION)
-from ..physics.energy import recip_energy, system_energy
+from ..physics.energy import (active_site_mask, full_amplitudes, recip_energy,
+                              site_positions, system_energy)
 from ..system import E_RECIP, E_TOT, SimState, SystemSpec
 from .moves import mc_step
 
@@ -92,6 +93,32 @@ def run_block(spec: SystemSpec, state: SimState, n_steps: int,
 def resync(spec: SystemSpec, state: SimState, full: bool = True) -> SimState:
     """Recompute structure factors (and the full energy) from positions."""
     return initialize_state(spec, state)
+
+
+def resync_amplitudes_body(spec: SystemSpec, state: SimState) -> SimState:
+    """Re-synthesize structure factors (and E_RECIP) from positions, leaving
+    the other energy components running. This is the per-block float32 drift
+    bound: the incremental A(k) updates accumulate rounding forever
+    (reference mutates them unbounded, src/ewald_energy.f90:241-256), so f32
+    runs resynthesize at block granularity (DIVERGENCES.md #13)."""
+    pos = site_positions(spec, state)
+    active = active_site_mask(spec, state.n_mol)
+    amp_re, amp_im = full_amplitudes(spec, pos, active)
+    e_recip = recip_energy(spec, amp_re, amp_im)
+    e = state.energy
+    e = e.at[E_TOT].add(e_recip - e[E_RECIP])
+    e = e.at[E_RECIP].set(e_recip)
+    return state.replace(amp_re=amp_re, amp_im=amp_im, energy=e)
+
+
+@jax.jit
+def resync_amplitudes(spec: SystemSpec, state: SimState) -> SimState:
+    return resync_amplitudes_body(spec, state)
+
+
+@jax.jit
+def resync_amplitudes_replicated(spec: SystemSpec, states: SimState) -> SimState:
+    return jax.vmap(lambda st: resync_amplitudes_body(spec, st))(states)
 
 
 def drift_report(spec: SystemSpec, state: SimState) -> dict:

@@ -54,6 +54,26 @@ def _axis_rotation(axis, theta, dtype):
     return jnp.stack([rx, ry, rz])[axis]
 
 
+def _uniform_rotation(key, dtype):
+    """Uniform SO(3) rotation matrix (Shoemake quaternion from 3 uniforms).
+
+    Used for template-based insertions without a reservoir: the reference's
+    single-random-axis full rotation of molecule 1's *current* geometry
+    (src/create_molecule.f90:195-204) does not sample orientations uniformly;
+    with a static template it would never leave a one-parameter family, so we
+    propose a genuinely uniform orientation instead (see DIVERGENCES.md)."""
+    u = jax.random.uniform(key, (3,), dtype=dtype)
+    a, b = jnp.sqrt(1.0 - u[0]), jnp.sqrt(u[0])
+    t2, t3 = TWOPI * u[1], TWOPI * u[2]
+    w, x = a * jnp.sin(t2), a * jnp.cos(t2)
+    y, z = b * jnp.sin(t3), b * jnp.cos(t3)
+    return jnp.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], dtype=dtype)
+
+
 def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     fdt = spec.dtype
     ks = jax.random.split(key, 12)
@@ -156,17 +176,20 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
             insert_like,
             jax.lax.dynamic_slice_in_dim(state.res_offset, res_src, A_act, 0),
             slice1(state.offset, src_start))
-        rotate_insert = jnp.zeros((), bool)  # reservoir geometry used as-is
+        # reservoir geometry is used as-is (reference convention)
+        theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step, 0.0)
+        Rm = _axis_rotation(axis, theta, fdt)
     else:
         res_pick = jnp.zeros((), jnp.int32)
-        off_src = slice1(state.offset, src_start)
-        rotate_insert = jnp.ones((), bool)
-
-    theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step,
-                      jnp.where(insert_like & rotate_insert, u_angle * TWOPI,
-                                jnp.zeros((), fdt)))
-    R = _axis_rotation(axis, theta, fdt)
-    new_off = off_src @ R.T
+        # insertion source: the static per-type rigid template with a uniform
+        # random orientation (not molecule 0's live offsets - fixes the
+        # reference's stale-slot insertion and its N=0 collapse)
+        off_src = jnp.where(insert_like, spec.type_template_off[t_new],
+                            slice1(state.offset, src_start))
+        theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step, 0.0)
+        Rm = jnp.where(insert_like, _uniform_rotation(ks[10], fdt),
+                       _axis_rotation(axis, theta, fdt))
+    new_off = off_src @ Rm.T
 
     com_trans = wrap_into_box(com_old + u_disp * state.trans_step, spec)
     com_insert = spec.bounds[:, 0] + spec.H @ u_frac
@@ -196,7 +219,9 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
 
     signs = jnp.stack([-w_old.astype(fdt), w_new.astype(fdt)])
     d_re, d_im = amp_delta(spec, P, q2, m2, signs)
-    e_recip_old = recip_energy(spec, state.amp_re, state.amp_im)
+    # the running E_RECIP component IS recip_energy(amp) by the bookkeeping
+    # invariant; reusing it saves one O(K) reduction per step
+    e_recip_old = state.energy[E_RECIP]
     e_recip_new = recip_energy(spec, state.amp_re + d_re, state.amp_im + d_im)
 
     e_old = e_lj[0] + e_coul[0] + e_recip_old + s_old + i_old

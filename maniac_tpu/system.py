@@ -55,7 +55,7 @@ def _round_up(x: int, m: int) -> int:
                       "eps_cls", "sig_cls", "eps_site", "sig2_site",
                       "type_A", "type_cap", "type_site_base", "type_mol_base",
                       "type_active", "type_activity", "type_self_energy",
-                      "active_type_ids",
+                      "type_template_off", "active_type_ids",
                       "p_cum", "image_shifts",
                       "res_type_site_base", "res_type_mol_base", "res_cap",
                       "res_H", "res_bounds_lo"],
@@ -110,6 +110,10 @@ class SystemSpec:
     type_active: jnp.ndarray     # (R,) bool
     type_activity: jnp.ndarray   # (R,) fugacity converted to activity (1/A^3)
     type_self_energy: jnp.ndarray  # (R,) Ewald self energy per molecule (K)
+    # (R, A_act, 3) rigid-geometry template per type: insertion source when no
+    # reservoir is attached (fixes the reference's stale-slot insertion,
+    # src/create_molecule.f90:188-195 - see DIVERGENCES.md)
+    type_template_off: jnp.ndarray
     active_type_ids: jnp.ndarray   # (n_active,) int32
     # move probability cumulative thresholds [trans, +rot, +indel, +swap]
     p_cum: jnp.ndarray        # (4,)
@@ -266,6 +270,18 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         q = np.where(np.abs(q) < 1e-10, 0.0, q)
         self_e[r] = -ewald.alpha / SQRTPI * np.sum(q * q) * COULOMB_K
 
+    # rigid-geometry insertion templates: first molecule of the initial
+    # configuration, else first reservoir molecule; active multi-site types
+    # with no geometry source anywhere get a collapsed (all-zero) template,
+    # matching the information available to the reference
+    template_off = np.zeros((R, A_act, 3))
+    for r in range(R):
+        A = min(A_list[r], A_act)
+        if parsed.n_mol[r] > 0:
+            template_off[r, :A] = parsed.site_offset[r][0][:A]
+        elif reservoir is not None and reservoir.n_mol[r] > 0:
+            template_off[r, :A] = reservoir.site_offset[r][0][:A]
+
     active_ids = np.asarray([r for r in range(R) if active[r]], dtype=np.int32)
     p = deck.proba
     p_cum = np.cumsum([p.translation, p.rotation, p.insertion_deletion, p.swap])
@@ -323,6 +339,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         type_mol_base=jnp.asarray(type_mol_base),
         type_active=jnp.asarray(np.asarray(active)),
         type_activity=f(activity), type_self_energy=f(self_e),
+        type_template_off=f(template_off),
         active_type_ids=jnp.asarray(active_ids),
         p_cum=f(p_cum), image_shifts=f(image_shifts),
         res_type_site_base=jnp.asarray(res_site_base),

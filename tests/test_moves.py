@@ -105,6 +105,78 @@ def test_ideal_gas_occupancy(tmp_path):
         f"<N>={mean_n}, expected {expected}"
 
 
+def test_insert_from_zero_population_uses_template(tmp_path):
+    """A species whose population hits zero must still insert sane rigid
+    geometry (the reference reads a stale molecule slot there,
+    src/create_molecule.f90:188-195; we insert from
+    SystemSpec.type_template_off)."""
+    from maniac_tpu.mc.driver import initialize_state
+
+    make_water_box(str(tmp_path), n_water=1, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.0, 0.0, 1.0, 0.0), fugacity=50000.0)
+    sysm = _load(str(tmp_path))
+    spec, state = sysm.spec, sysm.state
+
+    tmpl = np.asarray(spec.type_template_off[0])[: spec.A_list[0]]
+    assert np.linalg.norm(tmpl) > 0.1  # captured from the initial molecule
+
+    # simulate a start-at-zero species: wipe population AND offset memory
+    state = state.replace(
+        n_mol=jnp.zeros_like(state.n_mol),
+        offset=jnp.zeros_like(state.offset),
+        com=jnp.zeros_like(state.com))
+    state = initialize_state(spec, state)
+
+    step = jax.jit(lambda st, k: mc_step(spec, st, k))
+    keys = jax.random.split(jax.random.PRNGKey(3), 100)
+    for i in range(100):
+        state = step(state, keys[i])
+        if int(state.n_mol[0]) > 0:
+            break
+    assert int(state.n_mol[0]) > 0, "no insertion accepted in 100 tries"
+
+    A = spec.A_list[0]
+    off = np.asarray(state.offset[:A])
+    # rigid-body insertion: intramolecular distances match the template
+    d_new = np.linalg.norm(off[:, None] - off[None, :], axis=-1)
+    d_tmpl = np.linalg.norm(tmpl[:, None] - tmpl[None, :], axis=-1)
+    np.testing.assert_allclose(d_new, d_tmpl, atol=1e-9)
+    assert d_new.max() > 0.5  # not collapsed onto the COM
+
+    # bookkeeping still equals recompute after template insertions
+    e, amp_re, amp_im = system_energy(spec, state)
+    assert float(jnp.abs(state.energy[E_TOT] - e[E_TOT])) < 1e-7
+
+
+def test_f32_block_resync_bounds_amplitude_drift(tmp_path):
+    """DIVERGENCES.md #13: in float32 the incremental A(k) update drifts;
+    per-block resynthesis (resync_amplitudes) must bound it."""
+    from maniac_tpu.mc.driver import resync_amplitudes
+
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.4, 0.3, 0.3, 0.0), fugacity=2000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    spec = sysm.spec
+
+    def amp_err(st):
+        _, amp_re, amp_im = system_energy(spec, st)
+        return float(jnp.max(jnp.abs(st.amp_re - amp_re)
+                             + jnp.abs(st.amp_im - amp_im)))
+
+    n_blocks, steps = 10, 1000
+    st_plain = sysm.state
+    st_sync = sysm.state
+    for _ in range(n_blocks):
+        st_plain = run_block(spec, st_plain, steps, False)
+        st_sync = resync_amplitudes(spec, run_block(spec, st_sync, steps, False))
+
+    err_plain, err_sync = amp_err(st_plain), amp_err(st_sync)
+    # resync'd amplitudes are one fresh synthesis away from exact: tiny.
+    # 10k unsynced f32 incremental updates accumulate visibly more.
+    assert err_sync < 5e-4, err_sync
+    assert err_sync <= err_plain + 1e-6, (err_sync, err_plain)
+
+
 def test_run_block_jit_and_drift(tmp_path):
     make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
                    probs=(0.4, 0.3, 0.3, 0.0), fugacity=500.0)

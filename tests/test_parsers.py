@@ -170,6 +170,19 @@ def test_reference_bad_inputs(name):
 
 
 @needs_ref
+def test_reference_bad_input_01_leading_space_accepted():
+    """Divergence (DIVERGENCES.md #19): bad-input-01 differs from
+    good-input-01 only by one leading space before a keyword. The reference
+    rejects it (its parser requires keywords at column 1); we deliberately
+    accept leading whitespace, so this deck parses identically to the good
+    one."""
+    deck = parse_deck(f"{REF}/inputs/bad-input-01.maniac")
+    good = parse_deck(f"{REF}/inputs/good-input-01.maniac")
+    assert deck.n_residue_types == good.n_residue_types == 3
+    assert deck.proba.translation == good.proba.translation > 0
+
+
+@needs_ref
 def test_reference_good_data():
     deck = parse_deck(f"{REF}/data/input.maniac")
     for name in ("good-01.data", "good-02.data"):
