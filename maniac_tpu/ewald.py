@@ -27,12 +27,21 @@ class EwaldSetup:
     screening_factor: float
     fourier_precision: float
     kmax: np.ndarray            # (3,) int
-    k_int: np.ndarray           # (K,3) integer triples
+    k_int: np.ndarray           # (K,3) integer triples (valid modes only)
     k_cart: np.ndarray          # (K,3) cartesian k-vectors (with 2*pi)
     weights: np.ndarray         # (K,) W(k) = exp(-|k|^2/(4 a^2)) / |k|^2
     form_factor: np.ndarray     # (K,) 1 for kx=0, 2 otherwise
     real_space_cutoff: float    # possibly clamped
     tolerance: float            # possibly clamped
+    # dense half-space grid (jx in [0,k1], jy in [-k2,k2], jz in [-k3,k3]),
+    # C-order flattened to G = (k1+1)(2k2+1)(2k3+1) entries. Modes outside
+    # the reference's normalized ellipsoid carry weight 0, so the amplitude
+    # update is a pure separable outer product with NO gather/one-hot over a
+    # k-list - the TPU-native layout for incremental structure factors.
+    dense_shape: tuple          # (Jx, Jy, Jz)
+    dense_int: np.ndarray       # (G,3)
+    dense_cart: np.ndarray      # (G,3)
+    dense_weights: np.ndarray   # (G,) form * W(k), 0 for invalid modes
 
     @property
     def num_kvectors(self) -> int:
@@ -80,10 +89,24 @@ def setup_ewald(box: Box, real_space_cutoff: float, tolerance: float,
     weights = np.exp(-ksq / (4.0 * alpha ** 2)) / ksq
     form = np.where(k_int[:, 0] == 0, 1.0, 2.0)
 
+    # dense half-space grid: the full meshgrid (pre-validity-filter) with
+    # invalid modes carried at weight 0
+    dense_shape = (int(kmax[0]) + 1, 2 * int(kmax[1]) + 1, 2 * int(kmax[2]) + 1)
+    dense_int = grid
+    dense_cart = TWOPI * (dense_int @ recip_rows)
+    dksq = np.sum(dense_cart * dense_cart, axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dense_w = np.exp(-dksq / (4.0 * alpha ** 2)) / np.where(dksq > 0,
+                                                                dksq, 1.0)
+    dense_form = np.where(dense_int[:, 0] == 0, 1.0, 2.0)
+    dense_weights = np.where(valid, dense_form * dense_w, 0.0)
+
     return EwaldSetup(alpha=float(alpha), screening_factor=float(screening),
                       fourier_precision=float(fourier_precision), kmax=kmax,
                       k_int=k_int, k_cart=k_cart, weights=weights,
-                      form_factor=form, real_space_cutoff=rc, tolerance=tol)
+                      form_factor=form, real_space_cutoff=rc, tolerance=tol,
+                      dense_shape=dense_shape, dense_int=dense_int,
+                      dense_cart=dense_cart, dense_weights=dense_weights)
 
 
 def log_ewald_parameters(ew: EwaldSetup, logger: Logger) -> None:

@@ -20,7 +20,7 @@ import numpy as np
 
 from ..system import SimState, SystemSpec
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2  # v2: SimState stores absolute site positions ("pos")
 
 
 def save_checkpoint(path: str, spec: SystemSpec, state: SimState,

@@ -60,10 +60,12 @@ def snapshot(spec, state, replica: int | None = None,
         com_flat, off_flat = get(state.res_com), get(state.res_offset)
         n_mol = get(state.res_n)[: spec.R]
         caps = spec.res_cap_list
+        absolute = False      # reservoir stores offsets
     else:
-        com_flat, off_flat = get(state.com), get(state.offset)
+        com_flat, off_flat = get(state.com), get(state.pos)
         n_mol = get(state.n_mol)[: spec.R]
         caps = spec.cap_list
+        absolute = True       # primary stores absolute site positions
     coms, offs = [], []
     mol_base = 0
     site_base = 0
@@ -71,7 +73,10 @@ def snapshot(spec, state, replica: int | None = None,
         cap, A = caps[r], spec.A_list[r]
         n = int(n_mol[r])
         coms.append(com_flat[mol_base:mol_base + n])
-        offs.append(off_flat[site_base:site_base + n * A].reshape(n, A, 3))
+        rows = off_flat[site_base:site_base + n * A].reshape(n, A, 3)
+        if absolute:
+            rows = rows - coms[-1][:, None, :]
+        offs.append(rows)
         mol_base += cap
         site_base += cap * A
     return HostSnapshot(n_mol=n_mol, com=coms, offset=offs,

@@ -37,7 +37,7 @@ from ..constants import (PROB_CREATE_DELETE, TWOPI, TYPE_CREATION,
 from ..system import (E_COUL, E_INTRA, E_LJ, E_RECIP, E_SELF, E_TOT,
                       N_MOVE_TYPES, SimState, SystemSpec)
 from ..physics.energy import (active_site_mask, amp_delta, intra_energy,
-                              pair_energy_footprint, recip_energy,
+                              pair_energy_footprint, recip_energy_delta,
                               site_positions)
 from ..physics.pbc import wrap_into_box
 
@@ -52,6 +52,16 @@ def _axis_rotation(axis, theta, dtype):
     ry = jnp.array([[c, zero, s], [zero, one, zero], [-s, zero, c]])
     rz = jnp.array([[c, -s, zero], [s, c, zero], [zero, zero, one]])
     return jnp.stack([rx, ry, rz])[axis]
+
+
+def _place_rows(rel, in_mask, rows, base):
+    """Scatter-free write of rows[a] (A, 3) into base (S, 3) where
+    rel == a and in_mask: A_act unrolled fused selects, one elementwise pass
+    over (S, 3), no (S, A) one-hot materialization."""
+    out = base
+    for a in range(rows.shape[0]):
+        out = jnp.where(((rel == a) & in_mask)[:, None], rows[a], out)
+    return out
 
 
 def _uniform_rotation(key, dtype):
@@ -151,12 +161,12 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     def slice1(arr, start):
         return jax.lax.dynamic_slice_in_dim(arr, start, A_act, axis=0)
 
-    off_old = slice1(state.offset, site_start_old)          # (A_act, 3)
+    P_old = slice1(state.pos, site_start_old)               # (A_act, 3)
     q_old = slice1(spec.site_q, site_start_old)
     cls_old = slice1(spec.site_cls, site_start_old)
     mask_old = jnp.arange(A_act) < A_old
     com_old = state.com[mol_slot_old]
-    P_old = com_old + off_old
+    off_old = P_old - com_old
 
     # geometry source for the inserted footprint: the moved molecule itself
     # (translation/rotation); for creation/swap, a random reservoir molecule
@@ -175,7 +185,7 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
         off_src = jnp.where(
             insert_like,
             jax.lax.dynamic_slice_in_dim(state.res_offset, res_src, A_act, 0),
-            slice1(state.offset, src_start))
+            off_old)
         # reservoir geometry is used as-is (reference convention)
         theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step, 0.0)
         Rm = _axis_rotation(axis, theta, fdt)
@@ -185,7 +195,7 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
         # random orientation (not molecule 0's live offsets - fixes the
         # reference's stale-slot insertion and its N=0 collapse)
         off_src = jnp.where(insert_like, spec.type_template_off[t_new],
-                            slice1(state.offset, src_start))
+                            off_old)
         theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step, 0.0)
         Rm = jnp.where(insert_like, _uniform_rotation(ks[10], fdt),
                        _axis_rotation(axis, theta, fdt))
@@ -205,10 +215,22 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
 
     P = jnp.stack([P_old, P_new])
     q2 = jnp.stack([q_old, q_new])
-    cls2 = jnp.stack([cls_old, cls_new])
     m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
-    e_lj, e_coul = pair_energy_footprint(
-        spec, others_pos, others_mask, P, q2, cls2, m2, ex_a, ex_b)
+    from ..kernels import use_pair_kernel
+    if use_pair_kernel(spec):
+        from ..kernels.pair import pair_footprint_pallas
+        pad = spec.A_pad - A_act
+        Pp = jnp.pad(P, ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+        m2f = m2.astype(fdt)
+        qw = jnp.pad(q2 * m2f, ((0, 0), (0, pad)))
+        ljw = jnp.pad(m2f, ((0, 0), (0, pad)))
+        e_lj, e_coul = pair_footprint_pallas(
+            spec, others_pos.T, Pp, qw, ljw, t_old, t_new,
+            state.n_mol, ex_a, ex_b)
+    else:
+        cls2 = jnp.stack([cls_old, cls_new])
+        e_lj, e_coul = pair_energy_footprint(
+            spec, others_pos, others_mask, P, q2, cls2, m2, ex_a, ex_b)
 
     i_old = jnp.where(remove_like & valid,
                       intra_energy(spec, P_old, q_old, mask_old), 0.0)
@@ -220,9 +242,11 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     signs = jnp.stack([-w_old.astype(fdt), w_new.astype(fdt)])
     d_re, d_im = amp_delta(spec, P, q2, m2, signs)
     # the running E_RECIP component IS recip_energy(amp) by the bookkeeping
-    # invariant; reusing it saves one O(K) reduction per step
+    # invariant; the delta form needs one O(K) pass instead of re-summing
+    # |A|^2 for old AND new
     e_recip_old = state.energy[E_RECIP]
-    e_recip_new = recip_energy(spec, state.amp_re + d_re, state.amp_im + d_im)
+    e_recip_new = e_recip_old + recip_energy_delta(
+        spec, state.amp_re, state.amp_im, d_re, d_im)
 
     e_old = e_lj[0] + e_coul[0] + e_recip_old + s_old + i_old
     e_new = e_lj[1] + e_coul[1] + e_recip_new + s_new + i_new
@@ -240,31 +264,29 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     acc = valid & (~cap_blocked) & (u_acc <= p_acc)
 
     # ---- state update (functional; reject = keep old) ----------------------
-    # All writes are expressed as pure arithmetic select/one-hot ops: batched
-    # dynamic_update_slice / .at[] scatters lower to TPU scatters that
-    # measured ~30x slower than the whole energy kernel (36 ms vs 1.2 ms per
-    # vmapped step at B=1024).
+    # All writes are pure arithmetic selects: batched dynamic_update_slice /
+    # .at[] scatters lower to TPU scatters that measured ~30x slower than the
+    # whole energy kernel, and (S, A_act) one-hot matmuls materialize
+    # (B, S, A_act) temporaries - unrolled per-row selects fuse into one
+    # elementwise pass over (S, 3).
     accf = acc.astype(fdt)
     do_write = acc & w_new
     do_compact = acc & remove_like
     last_idx = jnp.maximum(n_old_count - 1, 0)
     slot_last = spec.type_mol_base[t_old] + last_idx
     start_last = spec.type_site_base[t_old] + last_idx * A_old
-    last_rows = slice1(state.offset, start_last)  # compaction source
+    last_rows = slice1(state.pos, start_last)  # compaction source (absolute)
 
     s_idx = jnp.arange(spec.S, dtype=jnp.int32)
-    a_idx = jnp.arange(A_act, dtype=jnp.int32)
     rel_new = s_idx - site_start_new
     rel_old = s_idx - site_start_old
     in_new = do_write & (rel_new >= 0) & (rel_new < A_new)        # (S,)
     in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
-    # one-hot expansion of the A_act replacement rows over the S axis
-    oh_new = (rel_new[:, None] == a_idx[None, :]).astype(fdt)     # (S, A)
-    oh_old = (rel_old[:, None] == a_idx[None, :]).astype(fdt)
-    vals_new = oh_new @ new_off                                    # (S, 3)
-    vals_old = oh_old @ last_rows
-    offset = jnp.where(in_new[:, None], vals_new,
-                       jnp.where(in_old[:, None], vals_old, state.offset))
+    # compaction rows first, then the written molecule (new rows win, same
+    # precedence as the previous nested-where; regions only coexist in swap
+    # moves, where they are disjoint by construction t_old != t_new)
+    pos = _place_rows(rel_old, in_old, last_rows, state.pos)
+    pos = _place_rows(rel_new, in_new, P_new, pos)
 
     m_idx = jnp.arange(spec.Mtot + 1, dtype=jnp.int32)
     com = jnp.where((do_write & (m_idx == slot_new))[:, None], com_new,
@@ -298,7 +320,7 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     extras = state.extras + jnp.where(
         (x_idx == 0) & valid & cap_blocked, 1, 0).astype(jnp.int32)
 
-    new_state = state.replace(com=com, offset=offset, n_mol=n_mol,
+    new_state = state.replace(com=com, pos=pos, n_mol=n_mol,
                               amp_re=amp_re, amp_im=amp_im, energy=e,
                               counters=counters, extras=extras)
     if spec.has_reservoir:
@@ -334,7 +356,6 @@ def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
     # scatter-free writes (same rationale as in mc_step)
     s_idx = jnp.arange(Sres, dtype=jnp.int32)
     m_idx = jnp.arange(Mres, dtype=jnp.int32)
-    a_idx = jnp.arange(A_act, dtype=jnp.int32)
 
     # --- pop sampled molecule on accepted insertion ----------------------
     do_pop = acc & insert_like
@@ -358,10 +379,8 @@ def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
     rel_push = s_idx - push_start
     in_pop = do_pop & (rel_pop >= 0) & (rel_pop < A_new)
     in_push = do_push & (rel_push >= 0) & (rel_push < A_old)
-    vals_pop = (rel_pop[:, None] == a_idx[None, :]).astype(fdt) @ last_rows
-    vals_push = (rel_push[:, None] == a_idx[None, :]).astype(fdt) @ off_old
-    res_off = jnp.where(in_pop[:, None], vals_pop,
-                        jnp.where(in_push[:, None], vals_push, res_off0))
+    res_off = _place_rows(rel_push, in_push, off_old, res_off0)
+    res_off = _place_rows(rel_pop, in_pop, last_rows, res_off)
 
     res_com = jnp.where((do_pop & (m_idx == pop_slot))[:, None],
                         res_com0[last_slot],

@@ -31,8 +31,10 @@ _R2_FLOOR = 1e-18
 
 
 def site_positions(spec: SystemSpec, state) -> jnp.ndarray:
-    """Absolute site positions (S,3) = COM[mol(site)] + offset."""
-    return state.com[spec.site_mol] + state.offset
+    """Absolute site positions (S,3) - stored directly in the state (the
+    COM+offset split of the reference would cost a (S,)-indexed gather per
+    step here; see SimState.pos)."""
+    return state.pos
 
 
 def active_site_mask(spec: SystemSpec, n_mol) -> jnp.ndarray:
@@ -118,66 +120,99 @@ def amp_delta_direct(spec: SystemSpec, pos, q, mask, signs):
     return d_re, d_im
 
 
+def _axis_phase_tables(spec: SystemSpec, theta):
+    """Per-axis complex phase power tables over the dense-grid index ranges.
+
+    theta: (N, 3) phase angles 2*pi*frac(r). Returns
+    ((px_re, px_im), (py_re, py_im), (pz_re, pz_im)) with shapes
+    (N, kx+1), (N, 2ky+1), (N, 2kz+1); the signed y/z tables run jy=-ky..ky
+    in dense-grid order (negative j = complex conjugate of |j|).
+
+    One cos/sin per atom per axis; powers by repeated complex multiply
+    (the reference caches equivalent tables per molecule slot and copies
+    them for rollback, src/ewald_phase.f90:90-183 - we recompute)."""
+    kx, ky, kz = spec.kmax_xyz
+    kmax = max(kx, ky, kz)
+    c1, s1 = jnp.cos(theta), jnp.sin(theta)               # (N, 3)
+
+    res = [jnp.ones_like(c1)]
+    ims = [jnp.zeros_like(s1)]
+    for _ in range(kmax):
+        re, im = res[-1], ims[-1]
+        res.append(re * c1 - im * s1)
+        ims.append(re * s1 + im * c1)
+
+    def signed(ax, k):
+        pos_re = [res[j][:, ax] for j in range(k + 1)]
+        pos_im = [ims[j][:, ax] for j in range(k + 1)]
+        neg_re = [res[j][:, ax] for j in range(k, 0, -1)]
+        neg_im = [-ims[j][:, ax] for j in range(k, 0, -1)]
+        return (jnp.stack(neg_re + pos_re, axis=1),
+                jnp.stack(neg_im + pos_im, axis=1))
+
+    px = (jnp.stack([res[j][:, 0] for j in range(kx + 1)], axis=1),
+          jnp.stack([ims[j][:, 0] for j in range(kx + 1)], axis=1))
+    return px, signed(1, ky), signed(2, kz)
+
+
+def _separable_amp(spec: SystemSpec, theta, w):
+    """A[jx,jy,jz] = sum_n w_n e^{i(jx tx + jy ty + jz tz)} on the dense
+    grid, flattened to (K,). theta: (N,3), w: (N,). Two small MXU
+    contractions; no gathers, no one-hot selectors, no (N, K)
+    transcendentals."""
+    (px_re, px_im), (py_re, py_im), (pz_re, pz_im) = \
+        _axis_phase_tables(spec, theta)
+    px_re = px_re * w[:, None]
+    px_im = px_im * w[:, None]
+    # t[n, jx, jy] = w * px * py  -> (N, Jx*Jy)
+    t_re = (px_re[:, :, None] * py_re[:, None, :]
+            - px_im[:, :, None] * py_im[:, None, :])
+    t_im = (px_re[:, :, None] * py_im[:, None, :]
+            + px_im[:, :, None] * py_re[:, None, :])
+    N = theta.shape[0]
+    t_re = t_re.reshape(N, -1)
+    t_im = t_im.reshape(N, -1)
+    # contract atoms on the MXU: (Jx*Jy, N) @ (N, Jz)
+    d_re = t_re.T @ pz_re - t_im.T @ pz_im                # (Jx*Jy, Jz)
+    d_im = t_re.T @ pz_im + t_im.T @ pz_re
+    return d_re.reshape(-1), d_im.reshape(-1)
+
+
 def amp_delta(spec: SystemSpec, pos, q, mask, signs):
     """Structure-factor update dA(k) = sum_b s_b sum_a q e^{i k.r_ba}.
 
     pos: (B,A,3), q/mask: (B,A), signs: (B,) in {-1,0,+1}. Returns
-    (d_re[K], d_im[K]). Same update as the reference's incremental A(k)
-    (ComputeRecipEnergySingleMol, src/ewald_energy.f90:240-256) with its
-    deletion branch fixed (the reference passes is_creation for deletions,
-    src/monte_carlo_utils.f90:308 - a sign/identity bug we do not replicate).
+    (d_re[K], d_im[K]) on the dense grid. Same update as the reference's
+    incremental A(k) (ComputeRecipEnergySingleMol,
+    src/ewald_energy.f90:240-256) with its deletion branch fixed (the
+    reference passes is_creation for deletions,
+    src/monte_carlo_utils.f90:308 - a sign/identity bug we do not
+    replicate).
 
-    TPU-first evaluation: the phase factor is separable,
-    e^{i k.r} = ex[|kx|] ey[|ky|]^(sy) ez[|kz|]^(sz), so we build per-axis
-    power tables with ONE cos/sin per atom per axis (the reference caches the
-    same tables per atom across all molecules, src/ewald_phase.f90:90-111;
-    we recompute them per move, which is cheaper than its save/restore
-    copies), then expand them over the k-list with static one-hot matmuls on
-    the MXU - no (A, K) transcendentals anywhere.
-    """
+    TPU-first evaluation: the phase factor is separable, so the dense-grid
+    delta is an outer product of per-axis power tables contracted over the
+    footprint atoms - O(A * Jx*Jy*Jz) MXU FLOPs, ~6 transcendentals per
+    atom, zero k-list gathers (see _separable_amp)."""
     B, A = q.shape
-    BA = B * A
-    theta = (pos @ spec.two_pi_Hinv.T).reshape(BA, 3)     # (BA, 3)
-    c1, s1 = jnp.cos(theta), jnp.sin(theta)               # (BA, 3)
-
-    # power tables e^{i j theta}, j = 0..kmax_pad, by repeated complex mult
-    res = [jnp.ones_like(c1)]
-    ims = [jnp.zeros_like(s1)]
-    for _ in range(spec.kmax_pad):
-        re, im = res[-1], ims[-1]
-        res.append(re * c1 - im * s1)
-        ims.append(re * s1 + im * c1)
-    tab_re = jnp.stack(res, axis=1)                        # (BA, J, 3)
-    tab_im = jnp.stack(ims, axis=1)
-
-    # expand over the k-list: (K, J) @ (J, BA) per axis -> (K, BA), on MXU
-    def expand(ax):
-        oh = spec.k_onehot[ax]                             # (K, J)
-        er = oh @ tab_re[:, :, ax].T
-        ei = oh @ tab_im[:, :, ax].T
-        return er, ei
-
-    ex_re, ex_im = expand(0)
-    ey_re, ey_im = expand(1)
-    ez_re, ez_im = expand(2)
-    ey_im = ey_im * spec.k_sign_y[:, None]                 # conj for ky < 0
-    ez_im = ez_im * spec.k_sign_z[:, None]
-
-    t_re = ex_re * ey_re - ex_im * ey_im
-    t_im = ex_re * ey_im + ex_im * ey_re
-    p_re = t_re * ez_re - t_im * ez_im                     # (K, BA)
-    p_im = t_re * ez_im + t_im * ez_re
-
-    w = ((q * mask) * signs[:, None]).reshape(BA)          # (BA,)
-    d_re = p_re @ w
-    d_im = p_im @ w
-    return d_re, d_im
+    theta = (pos @ spec.two_pi_Hinv.T).reshape(B * A, 3)
+    w = ((q * mask) * signs[:, None]).reshape(B * A)
+    return _separable_amp(spec, theta, w)
 
 
 def recip_energy(spec: SystemSpec, amp_re, amp_im):
-    """E_recip = C * 2*pi/V * sum_k f_k W_k |A_k|^2 (Kelvin)."""
+    """E_recip = C * 2*pi/V * sum_k f_k W_k |A_k|^2 (Kelvin); the form
+    factor is folded into k_weights (invalid dense modes carry weight 0)."""
     amp2 = amp_re * amp_re + amp_im * amp_im
-    return (jnp.sum(spec.k_form * spec.k_weights * amp2)
+    return (jnp.sum(spec.k_weights * amp2)
+            * COULOMB_K * TWOPI / spec.volume)
+
+
+def recip_energy_delta(spec: SystemSpec, amp_re, amp_im, d_re, d_im):
+    """E_recip(A + d) - E_recip(A) without re-summing |A|^2:
+    sum_k w_k (2 A.d + |d|^2), scaled."""
+    cross = (2.0 * (amp_re * d_re + amp_im * d_im)
+             + d_re * d_re + d_im * d_im)
+    return (jnp.sum(spec.k_weights * cross)
             * COULOMB_K * TWOPI / spec.volume)
 
 
@@ -189,22 +224,24 @@ _CHUNK = 128
 
 
 def full_amplitudes(spec: SystemSpec, pos, active):
-    """A(k) = sum_s q_s e^{i k.r_s} over all active sites, chunked over S."""
+    """A(k) = sum_s q_s e^{i k.r_s} over all active sites on the dense grid,
+    chunked over S (separable per-axis tables + MXU contraction per chunk -
+    no (S, K) phase matrix is ever materialized)."""
     S = spec.S
     qm = jnp.where(active, spec.site_q, 0.0)
-    pos_c = pos.reshape(S // _CHUNK, _CHUNK, 3)
+    theta = pos @ spec.two_pi_Hinv.T                    # (S, 3)
+    theta_c = theta.reshape(S // _CHUNK, _CHUNK, 3)
     q_c = qm.reshape(S // _CHUNK, _CHUNK)
 
     def body(carry, xs):
         re, im = carry
-        p, q = xs
-        theta = p @ spec.k_cart.T                       # (chunk, K)
-        re = re + q @ jnp.cos(theta)
-        im = im + q @ jnp.sin(theta)
-        return (re, im), None
+        t, q = xs
+        d_re, d_im = _separable_amp(spec, t, q)
+        return (re + d_re, im + d_im), None
 
-    init = (jnp.zeros(spec.K, dtype=pos.dtype), jnp.zeros(spec.K, dtype=pos.dtype))
-    (re, im), _ = jax.lax.scan(body, init, (pos_c, q_c))
+    init = (jnp.zeros(spec.K, dtype=pos.dtype),
+            jnp.zeros(spec.K, dtype=pos.dtype))
+    (re, im), _ = jax.lax.scan(body, init, (theta_c, q_c))
     return re, im
 
 

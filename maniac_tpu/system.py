@@ -46,13 +46,13 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["H", "Hinv", "bounds", "box_diag", "volume",
-                      "k_cart", "k_weights", "k_form",
-                      "k_onehot", "k_sign_y", "k_sign_z", "two_pi_Hinv",
+                      "k_cart", "k_weights", "two_pi_Hinv",
                       "alpha", "cutoff", "temp_K",
                       "site_q", "site_cls", "site_type", "site_mol",
                       "site_midx",
                       "mol_type", "mol_midx", "mol_site_start",
                       "eps_cls", "sig_cls", "eps_site", "sig2_site",
+                      "eps_type_rows", "sig2_type_rows",
                       "type_A", "type_cap", "type_site_base", "type_mol_base",
                       "type_active", "type_activity", "type_self_energy",
                       "type_template_off", "active_type_ids",
@@ -62,7 +62,7 @@ def _round_up(x: int, m: int) -> int:
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
-                      "kmax_pad"])
+                      "kmax_xyz", "A_pad"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -71,15 +71,15 @@ class SystemSpec:
     bounds: jnp.ndarray       # (3,2)
     box_diag: jnp.ndarray     # (3,) diagonal lengths (ortho path)
     volume: jnp.ndarray       # scalar
-    # ewald
-    k_cart: jnp.ndarray       # (K,3)
-    k_weights: jnp.ndarray    # (K,)
-    k_form: jnp.ndarray       # (K,)
-    # separable-phase machinery: static one-hot selectors per axis stacked as
-    # (3, K, kmax_pad+1); signs recover e^{-i|k|theta} = conj for ky,kz < 0
-    k_onehot: jnp.ndarray
-    k_sign_y: jnp.ndarray     # (K,)
-    k_sign_z: jnp.ndarray     # (K,)
+    # ewald: DENSE half-space k-grid, C-order flattened over
+    # (jx in [0,kx], jy in [-ky,ky], jz in [-kz,kz]), K = Jx*Jy*Jz entries.
+    # Invalid modes (outside the reference's normalized ellipsoid, and the
+    # origin) carry weight 0, so amplitudes are a pure separable outer
+    # product of per-axis phase tables - no gathers/one-hots anywhere in the
+    # k-space path (replaces the reference's explicit k-vector list,
+    # src/ewald_kvectors.f90:44-87, with a TPU-native layout).
+    k_cart: jnp.ndarray       # (K,3) cartesian k (invalid modes included)
+    k_weights: jnp.ndarray    # (K,) form_factor * W(k); 0 for invalid modes
     two_pi_Hinv: jnp.ndarray  # (3,3): theta = two_pi_Hinv @ r
     alpha: jnp.ndarray        # scalar
     cutoff: jnp.ndarray       # scalar
@@ -102,6 +102,13 @@ class SystemSpec:
     # pair kernel; sig2_site stores sigma^2
     eps_site: jnp.ndarray
     sig2_site: jnp.ndarray
+    # per-TYPE footprint LJ rows (R*A_pad, S): rows [t*A_pad + a] hold the
+    # eps/sigma^2 of atom a of residue type t vs every site (zero rows for
+    # padding and for types too large to be a move footprint). Shared input
+    # of the Pallas pair kernel: selecting A_pad rows by the footprint's
+    # residue type replaces any per-replica gather.
+    eps_type_rows: jnp.ndarray
+    sig2_type_rows: jnp.ndarray
     # per-residue-type tables (length R, padded with 0 where needed)
     type_A: jnp.ndarray       # (R,) int32 atoms per molecule
     type_cap: jnp.ndarray     # (R,) int32 capacity
@@ -139,7 +146,8 @@ class SystemSpec:
     dtype_name: str
     has_reservoir: bool
     res_cap_list: tuple
-    kmax_pad: int             # common padded kmax for the one-hot selectors
+    kmax_xyz: tuple           # (kx, ky, kz): dense grid is (kx+1, 2ky+1, 2kz+1)
+    A_pad: int                # footprint rows padded to a sublane multiple
 
     @property
     def dtype(self):
@@ -147,7 +155,7 @@ class SystemSpec:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["com", "offset", "n_mol", "amp_re", "amp_im",
+         data_fields=["com", "pos", "n_mol", "amp_re", "amp_im",
                       "energy", "counters", "extras",
                       "trans_step", "rot_step", "key",
                       "res_com", "res_offset", "res_n"],
@@ -155,7 +163,12 @@ class SystemSpec:
 @dataclass
 class SimState:
     com: jnp.ndarray          # (Mtot+1, 3); last row is the pad molecule
-    offset: jnp.ndarray       # (S, 3)
+    # ABSOLUTE site positions (S, 3). The reference stores COM + per-site
+    # offsets (src/simulation_state.f90:115-116); storing absolute positions
+    # instead makes the hot energy paths gather-free (TPU gathers measured
+    # ~5x the whole step cost) - offsets are derived as pos - com where a
+    # move needs them.
+    pos: jnp.ndarray
     n_mol: jnp.ndarray        # (R+1,) int32; last entry 0 (pad type)
     amp_re: jnp.ndarray       # (K,)
     amp_im: jnp.ndarray       # (K,)
@@ -204,7 +217,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     Mtot = sum(cap_list)
     S_used = sum(cap_list[r] * A_list[r] for r in range(R))
     S = _round_up(S_used + A_act, 128)
-    K = ewald.num_kvectors
+    K = int(np.prod(ewald.dense_shape))  # dense grid size (valid modes: see
+    # ewald.num_kvectors, logged for parity with the reference)
     fdt = np.dtype(dtype)
 
     # ---- class tables -------------------------------------------------
@@ -254,7 +268,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
             site_midx[s:s + A] = mi
             if mi < parsed.n_mol[r]:
                 com0[m] = parsed.mol_com[r][mi]
-                offset0[s:s + A] = parsed.site_offset[r][mi]
+                offset0[s:s + A] = parsed.mol_com[r][mi] + parsed.site_offset[r][mi]
             m += 1
             s += A
 
@@ -302,27 +316,28 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     res_H = reservoir.box.matrix if has_res else box.matrix
     res_lo = reservoir.box.bounds[:, 0] if has_res else box.bounds[:, 0]
 
-    # ---- separable phase selectors -------------------------------------
-    kmax_pad = int(np.max(ewald.kmax))
-    K_arr = ewald.k_int
-    onehot = np.zeros((3, len(K_arr), kmax_pad + 1))
-    for ax in range(3):
-        onehot[ax, np.arange(len(K_arr)), np.abs(K_arr[:, ax])] = 1.0
-    sign_y = np.where(K_arr[:, 1] < 0, -1.0, 1.0)
-    sign_z = np.where(K_arr[:, 2] < 0, -1.0, 1.0)
-
     # ---- class -> site expansions for the hot pair kernel ---------------
     eps_site = eps_cls[:, site_cls]       # (C+1, S)
     sig_site = sig_cls[:, site_cls]
     sig2_site = sig_site * sig_site
 
+    # per-type footprint rows for the Pallas kernel (see SystemSpec docs)
+    A_pad = max(8, _round_up(A_act, 8))
+    eps_type_rows = np.zeros((R * A_pad, S))
+    sig2_type_rows = np.zeros((R * A_pad, S))
+    for r in range(R):
+        A = A_list[r]
+        if A > A_pad:
+            continue  # cannot be a move footprint (asserted inactive)
+        rows = slice(class_base[r], class_base[r] + A)
+        eps_type_rows[r * A_pad:r * A_pad + A] = eps_site[rows]
+        sig2_type_rows[r * A_pad:r * A_pad + A] = sig2_site[rows]
+
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
         H=f(box.matrix), Hinv=f(box.reciprocal), bounds=f(box.bounds),
         box_diag=f(np.diag(box.matrix)), volume=f(box.volume),
-        k_cart=f(ewald.k_cart), k_weights=f(ewald.weights),
-        k_form=f(ewald.form_factor),
-        k_onehot=f(onehot), k_sign_y=f(sign_y), k_sign_z=f(sign_z),
+        k_cart=f(ewald.dense_cart), k_weights=f(ewald.dense_weights),
         two_pi_Hinv=f(2.0 * np.pi * box.reciprocal),
         alpha=f(ewald.alpha),
         cutoff=f(ewald.real_space_cutoff), temp_K=f(temp_K),
@@ -333,6 +348,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         mol_site_start=jnp.asarray(mol_site_start),
         eps_cls=f(eps_cls), sig_cls=f(sig_cls),
         eps_site=f(eps_site), sig2_site=f(sig2_site),
+        eps_type_rows=f(eps_type_rows), sig2_type_rows=f(sig2_type_rows),
         type_A=jnp.asarray(np.asarray(A_list), dtype=jnp.int32),
         type_cap=jnp.asarray(np.asarray(cap_list), dtype=jnp.int32),
         type_site_base=jnp.asarray(type_site_base),
@@ -351,13 +367,14 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         n_active=len(active_ids), S=S, Mtot=Mtot, K=K,
         box_kind=box.kind, is_triclinic=box.is_triclinic,
         dtype_name=fdt.name, has_reservoir=has_res,
-        res_cap_list=res_cap_list, kmax_pad=kmax_pad)
+        res_cap_list=res_cap_list,
+        kmax_xyz=tuple(int(k) for k in ewald.kmax), A_pad=A_pad)
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol
     seed = deck.seed if deck.seed else 0
     state = SimState(
-        com=f(com0), offset=f(offset0), n_mol=jnp.asarray(n_mol0),
+        com=f(com0), pos=f(offset0), n_mol=jnp.asarray(n_mol0),
         amp_re=jnp.zeros(K, dtype=fdt), amp_im=jnp.zeros(K, dtype=fdt),
         energy=jnp.zeros(6, dtype=fdt),
         counters=jnp.zeros((2, N_MOVE_TYPES), dtype=jnp.int32),

@@ -125,9 +125,8 @@ def test_recip_brute_force(tmp_path):
     im = q @ np.sin(theta)
     np.testing.assert_allclose(np.asarray(state.amp_re), re, atol=1e-9)
     np.testing.assert_allclose(np.asarray(state.amp_im), im, atol=1e-9)
-    w = np.asarray(spec.k_weights)
-    f = np.asarray(spec.k_form)
-    e_recip = (f * w * (re ** 2 + im ** 2)).sum() * COULOMB_K \
+    w = np.asarray(spec.k_weights)  # form factor folded in; 0 off-ellipsoid
+    e_recip = (w * (re ** 2 + im ** 2)).sum() * COULOMB_K \
         * 2 * math.pi / float(spec.volume)
     np.testing.assert_allclose(float(state.energy[E_RECIP]), e_recip,
                                rtol=1e-12)

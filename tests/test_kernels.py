@@ -1,0 +1,75 @@
+"""Pallas kernel parity vs the XLA reference path.
+
+On CPU the kernels run in interpreter mode; trajectories must be identical
+(same accept decisions, bit-identical positions) with energies agreeing to
+f32 working precision. The TPU bench exercises the compiled kernels; these
+tests pin the semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maniac_tpu import load_system
+from maniac_tpu.mc.moves import mc_step
+
+from fixtures import make_lj_gas, make_water_box
+
+
+def _load(outdir, **kw):
+    return load_system(f"{outdir}/input.maniac", f"{outdir}/topology.data",
+                       f"{outdir}/parameters.inc", **kw)
+
+
+def _run_both(sysm, n_steps, seed, monkeypatch):
+    spec, state0 = sysm.spec, sysm.state
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_steps)
+    out = []
+    for flag in ("0", "1"):
+        monkeypatch.setenv("MANIAC_PALLAS", flag)
+        step = jax.jit(lambda st, k: mc_step(spec, st, k))
+        st = state0
+        for k in keys:
+            st = step(st, k)
+        out.append(st)
+    return out
+
+
+def test_pair_kernel_parity_water_gcmc(tmp_path, monkeypatch):
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    st_x, st_p = _run_both(sysm, 30, 5, monkeypatch)
+    assert int(st_x.n_mol[0]) == int(st_p.n_mol[0])
+    np.testing.assert_array_equal(np.asarray(st_x.pos), np.asarray(st_p.pos))
+    np.testing.assert_allclose(np.asarray(st_x.energy),
+                               np.asarray(st_p.energy), atol=0.05)
+
+
+def test_pair_kernel_parity_two_species_swap(tmp_path, monkeypatch):
+    make_lj_gas(str(tmp_path), n=24, L=16.0, two_species=True,
+                probs=(0.2, 0.0, 0.2, 0.6), cutoff=6.0, tol=1e-4,
+                fug_a=3.0, fug_b=3.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    st_x, st_p = _run_both(sysm, 40, 11, monkeypatch)
+    np.testing.assert_array_equal(np.asarray(st_x.n_mol),
+                                  np.asarray(st_p.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_x.pos), np.asarray(st_p.pos))
+    np.testing.assert_allclose(np.asarray(st_x.energy),
+                               np.asarray(st_p.energy), atol=0.05)
+
+
+def test_kernel_erfc_accuracy():
+    """The kernel's f32 erfc must sit inside XLA's own f32 erfc error
+    envelope (abs ~1e-7, rel ~5e-6 for x < 6)."""
+    from scipy.special import erfc as erfc64
+    from maniac_tpu.kernels.pair import _erfc
+    x = np.linspace(0.0, 8.0, 20001)
+    ours = np.asarray(_erfc(jnp.asarray(x, dtype=jnp.float32)),
+                      dtype=np.float64)
+    ref = erfc64(x)
+    abs_err = np.abs(ours - ref)
+    assert abs_err.max() < 5e-7, abs_err.max()
+    rel = abs_err[x < 6] / np.maximum(ref[x < 6], 1e-300)
+    assert rel.max() < 1e-5, rel.max()

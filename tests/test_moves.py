@@ -120,10 +120,10 @@ def test_insert_from_zero_population_uses_template(tmp_path):
     tmpl = np.asarray(spec.type_template_off[0])[: spec.A_list[0]]
     assert np.linalg.norm(tmpl) > 0.1  # captured from the initial molecule
 
-    # simulate a start-at-zero species: wipe population AND offset memory
+    # simulate a start-at-zero species: wipe population AND position memory
     state = state.replace(
         n_mol=jnp.zeros_like(state.n_mol),
-        offset=jnp.zeros_like(state.offset),
+        pos=jnp.zeros_like(state.pos),
         com=jnp.zeros_like(state.com))
     state = initialize_state(spec, state)
 
@@ -136,7 +136,7 @@ def test_insert_from_zero_population_uses_template(tmp_path):
     assert int(state.n_mol[0]) > 0, "no insertion accepted in 100 tries"
 
     A = spec.A_list[0]
-    off = np.asarray(state.offset[:A])
+    off = np.asarray(state.pos[:A])  # absolute; pair distances are invariant
     # rigid-body insertion: intramolecular distances match the template
     d_new = np.linalg.norm(off[:, None] - off[None, :], axis=-1)
     d_tmpl = np.linalg.norm(tmpl[:, None] - tmpl[None, :], axis=-1)
