@@ -62,10 +62,10 @@ def snapshot(spec, state, replica: int | None = None,
         caps = spec.res_cap_list
         absolute = False      # reservoir stores offsets
     else:
-        com_flat, off_flat = get(state.com), get(state.pos)
+        com_flat, off_flat = get(state.com), get(state.pos).T
         n_mol = get(state.n_mol)[: spec.R]
         caps = spec.cap_list
-        absolute = True       # primary stores absolute site positions
+        absolute = True       # primary stores absolute site positions (3,S)
     coms, offs = [], []
     mol_base = 0
     site_base = 0

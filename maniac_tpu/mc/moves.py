@@ -57,10 +57,19 @@ def _axis_rotation(axis, theta, dtype):
 def _place_rows(rel, in_mask, rows, base):
     """Scatter-free write of rows[a] (A, 3) into base (S, 3) where
     rel == a and in_mask: A_act unrolled fused selects, one elementwise pass
-    over (S, 3), no (S, A) one-hot materialization."""
+    over (S, 3), no (S, A) one-hot materialization. (Reservoir layout.)"""
     out = base
     for a in range(rows.shape[0]):
         out = jnp.where(((rel == a) & in_mask)[:, None], rows[a], out)
+    return out
+
+
+def _place_cols(rel, in_mask, cols, base):
+    """Transposed-layout variant: write cols[:, a] (3, A) into base (3, S)
+    where rel == a and in_mask - the site axis stays on the vector lanes."""
+    out = base
+    for a in range(cols.shape[1]):
+        out = jnp.where(((rel == a) & in_mask)[None, :], cols[:, a:a + 1], out)
     return out
 
 
@@ -161,7 +170,10 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     def slice1(arr, start):
         return jax.lax.dynamic_slice_in_dim(arr, start, A_act, axis=0)
 
-    P_old = slice1(state.pos, site_start_old)               # (A_act, 3)
+    def slice_pos(start):  # (3, S) -> (A_act, 3)
+        return jax.lax.dynamic_slice_in_dim(state.pos, start, A_act, axis=1).T
+
+    P_old = slice_pos(site_start_old)                       # (A_act, 3)
     q_old = slice1(spec.site_q, site_start_old)
     cls_old = slice1(spec.site_cls, site_start_old)
     mask_old = jnp.arange(A_act) < A_old
@@ -208,8 +220,6 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     P_new = com_new + new_off
 
     # ---- energies -----------------------------------------------------------
-    others_pos = site_positions(spec, state)
-    others_mask = active_site_mask(spec, state.n_mol)
     ex_a = jnp.where(w_old, mol_slot_old, spec.Mtot + 1)
     ex_b = slot_new
 
@@ -225,12 +235,13 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
         qw = jnp.pad(q2 * m2f, ((0, 0), (0, pad)))
         ljw = jnp.pad(m2f, ((0, 0), (0, pad)))
         e_lj, e_coul = pair_footprint_pallas(
-            spec, others_pos.T, Pp, qw, ljw, t_old, t_new,
+            spec, state.pos, Pp, qw, ljw, t_old, t_new,
             state.n_mol, ex_a, ex_b)
     else:
         cls2 = jnp.stack([cls_old, cls_new])
         e_lj, e_coul = pair_energy_footprint(
-            spec, others_pos, others_mask, P, q2, cls2, m2, ex_a, ex_b)
+            spec, site_positions(spec, state),
+            active_site_mask(spec, state.n_mol), P, q2, cls2, m2, ex_a, ex_b)
 
     i_old = jnp.where(remove_like & valid,
                       intra_energy(spec, P_old, q_old, mask_old), 0.0)
@@ -275,18 +286,19 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     last_idx = jnp.maximum(n_old_count - 1, 0)
     slot_last = spec.type_mol_base[t_old] + last_idx
     start_last = spec.type_site_base[t_old] + last_idx * A_old
-    last_rows = slice1(state.pos, start_last)  # compaction source (absolute)
+    last_cols = jax.lax.dynamic_slice_in_dim(     # compaction source (3, A)
+        state.pos, start_last, A_act, axis=1)
 
     s_idx = jnp.arange(spec.S, dtype=jnp.int32)
     rel_new = s_idx - site_start_new
     rel_old = s_idx - site_start_old
     in_new = do_write & (rel_new >= 0) & (rel_new < A_new)        # (S,)
     in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
-    # compaction rows first, then the written molecule (new rows win, same
+    # compaction first, then the written molecule (new rows win, same
     # precedence as the previous nested-where; regions only coexist in swap
     # moves, where they are disjoint by construction t_old != t_new)
-    pos = _place_rows(rel_old, in_old, last_rows, state.pos)
-    pos = _place_rows(rel_new, in_new, P_new, pos)
+    pos = _place_cols(rel_old, in_old, last_cols, state.pos)
+    pos = _place_cols(rel_new, in_new, P_new.T, pos)
 
     m_idx = jnp.arange(spec.Mtot + 1, dtype=jnp.int32)
     com = jnp.where((do_write & (m_idx == slot_new))[:, None], com_new,

@@ -31,10 +31,11 @@ _R2_FLOOR = 1e-18
 
 
 def site_positions(spec: SystemSpec, state) -> jnp.ndarray:
-    """Absolute site positions (S,3) - stored directly in the state (the
-    COM+offset split of the reference would cost a (S,)-indexed gather per
-    step here; see SimState.pos)."""
-    return state.pos
+    """Absolute site positions (S,3). The state stores them transposed
+    (3,S) for lane efficiency (see SimState.pos); cold paths (full
+    recompute, resync, audits) go through this transpose, the hot step
+    reads state.pos directly."""
+    return state.pos.T
 
 
 def active_site_mask(spec: SystemSpec, n_mol) -> jnp.ndarray:

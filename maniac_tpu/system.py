@@ -163,11 +163,12 @@ class SystemSpec:
 @dataclass
 class SimState:
     com: jnp.ndarray          # (Mtot+1, 3); last row is the pad molecule
-    # ABSOLUTE site positions (S, 3). The reference stores COM + per-site
-    # offsets (src/simulation_state.f90:115-116); storing absolute positions
-    # instead makes the hot energy paths gather-free (TPU gathers measured
-    # ~5x the whole step cost) - offsets are derived as pos - com where a
-    # move needs them.
+    # ABSOLUTE site positions, TRANSPOSED: (3, S). The reference stores COM +
+    # per-site offsets (src/simulation_state.f90:115-116); storing absolute
+    # positions makes the hot energy paths gather-free (TPU gathers measured
+    # ~5x the whole step cost), and the (3, S) layout puts the site axis on
+    # the 128-wide vector lanes ((S, 3) arrays use 3 of 128 lanes in every
+    # elementwise pass). Offsets are derived as pos - com where needed.
     pos: jnp.ndarray
     n_mol: jnp.ndarray        # (R+1,) int32; last entry 0 (pad type)
     amp_re: jnp.ndarray       # (K,)
@@ -374,7 +375,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     n_mol0[:R] = parsed.n_mol
     seed = deck.seed if deck.seed else 0
     state = SimState(
-        com=f(com0), pos=f(offset0), n_mol=jnp.asarray(n_mol0),
+        com=f(com0), pos=f(offset0.T), n_mol=jnp.asarray(n_mol0),
         amp_re=jnp.zeros(K, dtype=fdt), amp_im=jnp.zeros(K, dtype=fdt),
         energy=jnp.zeros(6, dtype=fdt),
         counters=jnp.zeros((2, N_MOVE_TYPES), dtype=jnp.int32),

@@ -136,7 +136,7 @@ def test_insert_from_zero_population_uses_template(tmp_path):
     assert int(state.n_mol[0]) > 0, "no insertion accepted in 100 tries"
 
     A = spec.A_list[0]
-    off = np.asarray(state.pos[:A])  # absolute; pair distances are invariant
+    off = np.asarray(state.pos[:, :A].T)  # absolute; distances are invariant
     # rigid-body insertion: intramolecular distances match the template
     d_new = np.linalg.norm(off[:, None] - off[None, :], axis=-1)
     d_tmpl = np.linalg.norm(tmpl[:, None] - tmpl[None, :], axis=-1)

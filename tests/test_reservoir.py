@@ -56,7 +56,7 @@ def test_reservoir_geometry_is_copied(tmp_path):
     for i in range(60):
         state = step(state, keys[i])
     n = int(state.n_mol[0])
-    off = np.asarray(state.pos)[: n * 4].reshape(n, 4, 3)
+    off = np.asarray(state.pos).T[: n * 4].reshape(n, 4, 3)
     # all waters are rigid with identical internal distances
     d_ref = None
     for m in range(n):
