@@ -1,0 +1,95 @@
+"""Absolute integration-level energy anchor vs an independent oracle.
+
+The reference gates final TotEng against LAMMPS to 0.01 kcal/mol
+(tests/integration/energy/H2O-gas/run-test.sh:16-17). gfortran and the
+mc-topology submodule are unavailable here, so scripts/oracle.py provides a
+from-first-principles periodic-energy oracle that shares no code (or even
+the Coulomb constant) with the engine. These tests pin the engine's TotEng
+on realistic multi-molecule configurations to the same 0.01 kcal/mol bar.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from oracle import (COULOMB_K_ORACLE, intramolecular_coulomb, lj_energy,
+                    oracle_total, periodic_coulomb)
+
+from maniac_tpu import load_system
+from maniac_tpu.constants import COULOMB_K, KB_KCALMOL
+from maniac_tpu.physics.energy import site_positions
+from maniac_tpu.system import E_TOT
+
+from fixtures import make_nacl, make_water_box
+
+TOL_KCALMOL = 0.01  # the reference's LAMMPS-parity bar
+
+
+def _load(outdir, **kw):
+    return load_system(f"{outdir}/input.maniac", f"{outdir}/topology.data",
+                       f"{outdir}/parameters.inc", **kw)
+
+
+def test_coulomb_constant_documents_reference_rounding():
+    """The reference hardcodes e^2/(4 pi eps0) = 14.40198 eV*A
+    (src/constants.f90:12), 1.56e-4 ABOVE the CODATA value. Energy parity
+    requires the engine to keep the reference's constant; this test pins
+    the known discrepancy so an accidental 'fix' is caught."""
+    ratio = COULOMB_K / COULOMB_K_ORACLE - 1.0
+    assert 1.4e-4 < ratio < 1.7e-4, ratio
+
+
+def _gather_inputs(sysm):
+    spec, state = sysm.spec, sysm.state
+    pos = np.asarray(site_positions(spec, state), dtype=np.float64)
+    q = np.asarray(spec.site_q, dtype=np.float64)
+    mol = np.asarray(spec.site_mol)
+    active = np.asarray(spec.site_midx) < np.asarray(
+        state.n_mol)[np.asarray(spec.site_type)]
+    pos, q, mol = pos[active], q[active], mol[active]
+    cls = np.asarray(spec.site_cls)[active]
+    eps = np.asarray(sysm.spec.eps_cls)[np.ix_(cls, cls)]
+    sig = np.asarray(sysm.spec.sig_cls)[np.ix_(cls, cls)]
+    return pos, q, mol, eps, sig
+
+
+def test_water_box_total_energy_vs_oracle(tmp_path):
+    """8 rigid waters, full engine startup energy vs the oracle."""
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=6.0, tol=1e-6)
+    sysm = _load(str(tmp_path))
+    pos, q, mol, eps, sig = _gather_inputs(sysm)
+    ref = oracle_total(pos, q, mol, 14.0, eps, sig, cutoff=6.0,
+                       alpha=0.45, n_images=3, kmax=24, coulomb_k=COULOMB_K)
+    got = float(sysm.state.energy[E_TOT])
+    diff_kcal = abs(got - ref) * KB_KCALMOL
+    assert diff_kcal < TOL_KCALMOL, (got, ref, diff_kcal)
+
+
+def test_nacl_total_energy_vs_oracle(tmp_path):
+    """Rock-salt cell: pure Coulomb crystal through the whole pipeline."""
+    a = 5.6402
+    make_nacl(str(tmp_path), n_cells=2, a=a, cutoff=5.6, tol=1e-7)
+    sysm = _load(str(tmp_path))
+    pos, q, mol, eps, sig = _gather_inputs(sysm)
+    L = 2 * a
+    ref = periodic_coulomb(pos, q, L, alpha=0.5, n_images=3, kmax=24,
+                           coulomb_k=COULOMB_K)
+    # NaCl fixture has one site per "molecule": no intra, no LJ
+    got = float(sysm.state.energy[E_TOT])
+    diff_kcal = abs(got - ref) * KB_KCALMOL
+    assert diff_kcal < TOL_KCALMOL, (got, ref, diff_kcal)
+
+
+def test_oracle_self_consistency_alpha_invariance():
+    """The oracle itself must be invariant to its Ewald split."""
+    rng = np.random.default_rng(4)
+    pos = rng.uniform(0, 10.0, (16, 3))
+    q = rng.normal(0, 0.5, 16)
+    q -= q.mean()  # neutral
+    e1 = periodic_coulomb(pos, q, 10.0, alpha=0.4, n_images=3, kmax=20)
+    e2 = periodic_coulomb(pos, q, 10.0, alpha=0.6, n_images=3, kmax=28)
+    assert abs(e1 - e2) < 1e-6 * max(1.0, abs(e1))
