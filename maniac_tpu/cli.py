@@ -119,7 +119,7 @@ def _run(args, outdir: str, logger, dtype) -> int:
         logger.info(f"Resumed from {args.resume} at block {start_block}")
 
     replicated = args.replicas > 1
-    if replicated and state.com.ndim == 2:
+    if replicated and state.pos.ndim == 2:
         state = replicate(spec, state, args.replicas)
 
     writer = OutputWriter(outdir, deck, sysm.parsed, logger)

@@ -62,7 +62,7 @@ def snapshot(spec, state, replica: int | None = None,
         caps = spec.res_cap_list
         absolute = False      # reservoir stores offsets
     else:
-        com_flat, off_flat = get(state.com), get(state.pos).T
+        com_flat, off_flat = get(state.com).T, get(state.pos).T
         n_mol = get(state.n_mol)[: spec.R]
         caps = spec.cap_list
         absolute = True       # primary stores absolute site positions (3,S)

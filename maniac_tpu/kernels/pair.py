@@ -5,7 +5,7 @@ geometry) vs all-sites interaction energy, fused end-to-end in VMEM. The
 pure-XLA path (physics/energy.py pair_energy_footprint) materializes several
 (B, 2, A, S) temporaries per step (eps/sigma gathers, masks, the erfc
 argument) - HBM traffic dominates it. Here each replica's program reads its
-(3, S) position slab plus small shared tables and writes four scalars.
+(3, S) position slab plus small shared tables and writes per-row sums.
 
 Semantics match the XLA path exactly (same formulas as the reference,
 src/energy_utils.f90:374-442 ComputePairInteractionEnergy_singlemol):
@@ -15,12 +15,16 @@ Triclinic boxes use the XLA path (the 27-image search stays there).
 
 Key design points (see pallas_guide.md):
 * positions come in transposed (3, S): lane axis = sites.
-* LJ parameters come from a compact per-TYPE table (R*A_pad, S) shared by
-  all replicas (broadcast under vmap, lives in VMEM once) - the footprint's
-  rows are a dynamic sublane slice at t*A_pad, so nothing per-replica is
-  ever gathered or materialized in HBM.
-* erfc is the single-precision rational polynomial (|err| < 1.5e-7); the
-  jax.scipy erfc lowering is not Mosaic-friendly.
+* BOTH footprint sides (old+new geometry) are packed into one
+  (F = 2*A_act padded to 8, S) tile, so the whole interaction is a single
+  full-sublane VPU pass; per-side energies are recovered from per-row sums.
+* LJ parameters come from a compact per-(t_old, t_new)-PAIR row table
+  (R^2 * F, S) shared by all replicas (broadcast under vmap, lives in VMEM
+  once) - the footprint's rows are one aligned dynamic sublane slice, so
+  nothing per-replica is ever gathered or materialized in HBM.
+* minimum image via precomputed 1/L multipliers (no per-element divides).
+* erfc is a relative-accurate f32 rational polynomial; the jax.scipy erfc
+  lowering is not Mosaic-friendly.
 """
 
 from __future__ import annotations
@@ -58,22 +62,23 @@ def _erfc(x):
 
 
 def _pair_kernel(
-        idx_ref,         # VMEM (1, 8) int32: ex_a, ex_b, t_old, t_new, n_mol...
-        box_ref,         # VMEM (1, 8) f32: Lx Ly Lz alpha rc2 0 0 0
+        idx_ref,         # VMEM (1, 4+R+1) int32: ex_a, ex_b, pair_id, 0, n_mol
+        box_ref,         # VMEM (1, 8) f32: invLx invLy invLz Lx Ly Lz alpha rc2
         post_ref,        # VMEM (3, S) replica site positions, transposed
-        pt_ref,          # VMEM (2, 3, A_PAD) footprint positions, transposed
-        qw_ref,          # VMEM (2, A_PAD) charge * mask * side-weight
-        ljw_ref,         # VMEM (2, A_PAD) LJ row mask * side-weight (0/1)
-        eps_ref,         # VMEM (R*A_PAD, S) shared per-type LJ eps rows
-        sig2_ref,        # VMEM (R*A_PAD, S) shared per-type sigma^2 rows
+        pt_ref,          # VMEM (3, F) packed footprint positions (old|new)
+        qw_ref,          # VMEM (1, F) charge * mask * side-weight
+        ljw_ref,         # VMEM (1, F) LJ row mask * side-weight (0/1)
+        eps_ref,         # VMEM (R*R*F, S) shared per-type-PAIR LJ eps rows
+        sig2_ref,        # VMEM (R*R*F, S) shared per-type-PAIR sigma^2 rows
         site_q_ref,      # VMEM (1, S) shared
         site_mol_ref,    # VMEM (1, S) int32 shared
         site_type_ref,   # VMEM (1, S) int32 shared
         site_midx_ref,   # VMEM (1, S) int32 shared
-        out_ref,         # VMEM (2, 2) f32: [side, (lj, coul)]
-        *, R: int, S: int, A_pad: int):
-    lx, ly, lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
-    alpha, rc2 = box_ref[0, 3], box_ref[0, 4]
+        out_ref,         # VMEM (F, 2) f32 per-row sums: [:, 0]=lj [:, 1]=coul
+        *, R: int, S: int, F: int):
+    inv_lx, inv_ly, inv_lz = box_ref[0, 0], box_ref[0, 1], box_ref[0, 2]
+    lx, ly, lz = box_ref[0, 3], box_ref[0, 4], box_ref[0, 5]
+    alpha, rc2 = box_ref[0, 6], box_ref[0, 7]
 
     # active-site mask from population counts: site_midx < n_mol[site_type],
     # unrolled over the R residue types (gather-free)
@@ -86,83 +91,86 @@ def _pair_kernel(
     smol = site_mol_ref[0, :]
     keep = (keep & (smol != idx_ref[0, 0]) & (smol != idx_ref[0, 1]))[None, :]
 
+    pid = idx_ref[0, 2]
+    eps = eps_ref[pl.ds(pid * F, F), :]                     # (F, S)
+    sig2 = sig2_ref[pl.ds(pid * F, F), :]
+
     x = post_ref[0, :][None, :]                             # (1, S)
     y = post_ref[1, :][None, :]
     z = post_ref[2, :][None, :]
     sq = site_q_ref[0, :][None, :]
 
-    results = []
-    for side in range(2):
-        t = idx_ref[0, 2 + side]
-        eps = eps_ref[pl.ds(t * A_pad, A_pad), :]           # (A_pad, S)
-        sig2 = sig2_ref[pl.ds(t * A_pad, A_pad), :]
+    px = pt_ref[0, :][:, None]                              # (F, 1)
+    py = pt_ref[1, :][:, None]
+    pz = pt_ref[2, :][:, None]
+    dx = x - px                                             # (F, S)
+    dy = y - py
+    dz = z - pz
+    dx = dx - lx * jnp.round(dx * inv_lx)
+    dy = dy - ly * jnp.round(dy * inv_ly)
+    dz = dz - lz * jnp.round(dz * inv_lz)
+    r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
 
-        px = pt_ref[side, 0, :][:, None]                    # (A_PAD, 1)
-        py = pt_ref[side, 1, :][:, None]
-        pz = pt_ref[side, 2, :][:, None]
-        dx = x - px                                         # (A_PAD, S)
-        dy = y - py
-        dz = z - pz
-        dx = dx - lx * jnp.round(dx / lx)
-        dy = dy - ly * jnp.round(dy / ly)
-        dz = dz - lz * jnp.round(dz / lz)
-        r2 = jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
+    inv_r2 = 1.0 / r2
+    sr2 = sig2 * inv_r2
+    sr6 = sr2 * sr2 * sr2
+    lj = 4.0 * eps * (sr6 * sr6 - sr6)
+    # select, don't multiply: excluded overlapping pairs have lj = inf
+    # and inf * 0 = nan (the XLA path selects for the same reason)
+    ljsel = (r2 < rc2) & keep & (ljw_ref[0, :][:, None] > 0.0)
+    e_lj = jnp.sum(jnp.where(ljsel, lj, 0.0), axis=1)       # (F,)
 
-        inv_r2 = 1.0 / r2
-        sr2 = sig2 * inv_r2
-        sr6 = sr2 * sr2 * sr2
-        lj = 4.0 * eps * (sr6 * sr6 - sr6)
-        # select, don't multiply: excluded overlapping pairs have lj = inf
-        # and inf * 0 = nan (the XLA path selects for the same reason)
-        ljsel = (r2 < rc2) & keep & (ljw_ref[side][:, None] > 0.0)
-        e_lj = jnp.sum(jnp.where(ljsel, lj, 0.0))
+    inv_r = jax.lax.rsqrt(r2)
+    r = r2 * inv_r
+    coul = qw_ref[0, :][:, None] * sq * _erfc(alpha * r) * inv_r
+    e_coul = jnp.sum(jnp.where(keep, coul, 0.0), axis=1)    # (F,)
 
-        inv_r = jax.lax.rsqrt(r2)
-        r = r2 * inv_r
-        coul = qw_ref[side][:, None] * sq * _erfc(alpha * r) * inv_r
-        e_coul = jnp.sum(jnp.where(keep, coul, 0.0))
-        results.append((e_lj, e_coul))
-
-    out_ref[:, :] = jnp.array([[results[0][0], results[0][1]],
-                               [results[1][0], results[1][1]]])
+    out_ref[:, :] = jnp.stack([e_lj, e_coul], axis=1)
 
 
 def pair_footprint_pallas(spec, post, pt, qw, ljw, t_old, t_new,
                           n_mol, ex_a, ex_b, *, interpret=False):
     """Single-replica call (vmap over replicas batches it).
 
-    post: (3, S); pt: (2, 3, A_PAD); qw/ljw: (2, A_PAD); t_old/t_new:
-    int32 residue types selecting the LJ rows; n_mol: (R+1,) int32;
+    post: (3, S); pt: (3, F) packed old|new footprint positions; qw/ljw:
+    (F,) charge*mask*weight and LJ-mask*weight rows; t_old/t_new: int32
+    residue types selecting the LJ pair-row table; n_mol: (R+1,) int32;
     ex_a/ex_b: int32 excluded molecule slots. Returns (e_lj[2], e_coul[2])
-    in Kelvin.
+    in Kelvin, summed per footprint side.
     """
     S = post.shape[-1]
+    F = pt.shape[-1]
     R = spec.R
+    A_act = spec.A_act
     f = spec.dtype
     if not interpret:  # CPU has no Mosaic backend; tests force the kernel
         interpret = jax.devices()[0].platform == "cpu"
+    pair_id = t_old * R + t_new
     # per-replica scalars ride in full-shape VMEM rows: vmapped pallas_call
     # cannot block scalar SMEM operands
     idx = jnp.concatenate([
-        jnp.stack([ex_a, ex_b, t_old, t_new]).astype(jnp.int32),
+        jnp.stack([ex_a, ex_b, pair_id, jnp.zeros((), jnp.int32)]
+                  ).astype(jnp.int32),
         n_mol.astype(jnp.int32)]).reshape(1, -1)
-    box = jnp.stack([spec.box_diag[0], spec.box_diag[1], spec.box_diag[2],
-                     spec.alpha, spec.cutoff * spec.cutoff,
-                     jnp.zeros((), f), jnp.zeros((), f),
-                     jnp.zeros((), f)]).astype(f).reshape(1, 8)
+    inv_l = 1.0 / spec.box_diag
+    box = jnp.concatenate([
+        inv_l, spec.box_diag,
+        jnp.stack([spec.alpha, spec.cutoff * spec.cutoff])]
+    ).astype(f).reshape(1, 8)
 
-    kernel = functools.partial(_pair_kernel, R=R, S=S, A_pad=pt.shape[-1])
+    kernel = functools.partial(_pair_kernel, R=R, S=S, F=F)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((2, 2), f),
+        out_shape=jax.ShapeDtypeStruct((F, 2), f),
         in_specs=[vmem] * 12,
         out_specs=vmem,
         interpret=interpret,
-    )(idx, box, post, pt, qw, ljw,
-      spec.eps_type_rows, spec.sig2_type_rows,
+    )(idx, box, post, pt.reshape(3, F), qw.reshape(1, F), ljw.reshape(1, F),
+      spec.eps_pair_rows, spec.sig2_pair_rows,
       spec.site_q.reshape(1, S), spec.site_mol.reshape(1, S),
       spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S))
-    e_lj = out[:, 0]
-    e_coul = out[:, 1] * COULOMB_K
+    e_lj = jnp.stack([jnp.sum(out[:A_act, 0]), jnp.sum(out[A_act:, 0])])
+    e_coul = jnp.stack([jnp.sum(out[:A_act, 1]),
+                        jnp.sum(out[A_act:, 1])]) * COULOMB_K
     return e_lj, e_coul

@@ -63,15 +63,20 @@ def _recalibrate(state: SimState, recalibrate: bool, dtype) -> SimState:
 
 
 def run_steps(spec: SystemSpec, state: SimState, n_steps: int) -> SimState:
-    """lax.scan over n_steps MC steps; the whole chain stays on device."""
+    """lax.scan over n_steps MC steps; the whole chain stays on device.
+
+    All uniforms for the block come from ONE threefry invocation (per-step
+    key splitting measured as a large fraction of the step cost)."""
+    from .moves import N_UNIFORMS, mc_step_u
     key, sub = jax.random.split(state.key)
-    keys = jax.random.split(sub, n_steps)
+    uniforms = jax.random.uniform(sub, (n_steps, N_UNIFORMS),
+                                  dtype=spec.dtype)
     state = state.replace(key=key)
 
-    def body(st, k):
-        return mc_step(spec, st, k), None
+    def body(st, u):
+        return mc_step_u(spec, st, u), None
 
-    state, _ = jax.lax.scan(body, state, keys)
+    state, _ = jax.lax.scan(body, state, uniforms)
     return state
 
 

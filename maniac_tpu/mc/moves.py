@@ -73,7 +73,7 @@ def _place_cols(rel, in_mask, cols, base):
     return out
 
 
-def _uniform_rotation(key, dtype):
+def _uniform_rotation(u, dtype):
     """Uniform SO(3) rotation matrix (Shoemake quaternion from 3 uniforms).
 
     Used for template-based insertions without a reservoir: the reference's
@@ -81,7 +81,6 @@ def _uniform_rotation(key, dtype):
     (src/create_molecule.f90:195-204) does not sample orientations uniformly;
     with a static template it would never leave a one-parameter family, so we
     propose a genuinely uniform orientation instead (see DIVERGENCES.md)."""
-    u = jax.random.uniform(key, (3,), dtype=dtype)
     a, b = jnp.sqrt(1.0 - u[0]), jnp.sqrt(u[0])
     t2, t3 = TWOPI * u[1], TWOPI * u[2]
     w, x = a * jnp.sin(t2), a * jnp.cos(t2)
@@ -93,16 +92,33 @@ def _uniform_rotation(key, dtype):
     ], dtype=dtype)
 
 
+N_UNIFORMS = 21  # uniforms consumed per MC step (see mc_step_u)
+
+
+def _uint(u, n):
+    """floor(u * n) as a uniform int in [0, n) (clamped against u*n
+    rounding up to n in f32)."""
+    return jnp.minimum((u * n.astype(u.dtype)).astype(jnp.int32),
+                       n.astype(jnp.int32) - 1)
+
+
 def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
+    """One MC trial from a PRNG key (single-step API; the block driver
+    pre-draws all uniforms for a whole block in ONE threefry call -
+    per-step key splitting measured as a large fraction of the step)."""
+    u = jax.random.uniform(key, (N_UNIFORMS,), dtype=spec.dtype)
+    return mc_step_u(spec, state, u)
+
+
+def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
     fdt = spec.dtype
-    ks = jax.random.split(key, 12)
-    u_move = jax.random.uniform(ks[0], dtype=fdt)
-    u_cd = jax.random.uniform(ks[1], dtype=fdt)
-    u_acc = jax.random.uniform(ks[2], dtype=fdt)
-    u_disp = jax.random.uniform(ks[3], (3,), dtype=fdt) - 0.5
-    u_frac = jax.random.uniform(ks[4], (3,), dtype=fdt)
-    axis = jax.random.randint(ks[5], (), 0, 3)
-    u_angle = jax.random.uniform(ks[6], dtype=fdt)
+    u_move = u[0]
+    u_cd = u[1]
+    u_acc = u[2]
+    u_disp = u[3:6] - 0.5
+    u_frac = u[6:9]
+    axis = _uint(u[10], jnp.int32(3))
+    u_angle = u[9]
 
     # ---- move class selection (reference: src/monte_carlo.f90:50-75) ----
     is_trans = u_move <= spec.p_cum[0]
@@ -123,10 +139,10 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     w_new = is_trans | is_rot | is_create | is_swap
 
     # ---- pick residue types & molecule -----------------------------------
-    i1 = jax.random.randint(ks[7], (), 0, spec.n_active)
+    i1 = _uint(u[11], jnp.int32(spec.n_active))
     t1 = spec.active_type_ids[i1]
     if spec.n_active >= 2:
-        di = jax.random.randint(ks[8], (), 1, spec.n_active)
+        di = 1 + _uint(u[12], jnp.int32(spec.n_active - 1))
         t2 = spec.active_type_ids[(i1 + di) % spec.n_active]
     else:
         t2 = t1
@@ -135,7 +151,7 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
 
     n_old_count = state.n_mol[t_old]
     n_new_count = state.n_mol[t_new]
-    m_old = jax.random.randint(ks[9], (), 0, jnp.maximum(n_old_count, 1))
+    m_old = _uint(u[13], jnp.maximum(n_old_count, 1))
 
     A_old = spec.type_A[t_old]
     A_new = spec.type_A[t_new]
@@ -167,32 +183,45 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
                          mol_slot_old)
     site_start_new = spec.mol_site_start[slot_new]
 
-    def slice1(arr, start):
-        return jax.lax.dynamic_slice_in_dim(arr, start, A_act, axis=0)
+    # footprint extraction via one-hot matmuls in pos's NATIVE layout:
+    # per-replica dynamic slices lower to gathers whose layout constraint
+    # forces XLA to re-lay-out the whole (B, 3, S) array every step
+    # (profiled at ~40% of the step)
+    a_iota = jnp.arange(A_act, dtype=jnp.int32)
+    s_iota = jnp.arange(spec.S, dtype=jnp.int32)
+    last_idx = jnp.maximum(n_old_count - 1, 0)
+    start_last = spec.type_site_base[t_old] + last_idx * A_old
+    oh2 = jnp.concatenate([
+        ((s_iota[:, None] - site_start_old) == a_iota[None, :]),
+        ((s_iota[:, None] - start_last) == a_iota[None, :])],
+        axis=1).astype(fdt)                                 # (S, 2*A_act)
+    cols2 = state.pos @ oh2                                 # (3, 2*A_act)
+    P_old = cols2[:, :A_act].T                              # (A_act, 3)
+    last_cols = cols2[:, A_act:]                            # (3, A_act)
 
-    def slice_pos(start):  # (3, S) -> (A_act, 3)
-        return jax.lax.dynamic_slice_in_dim(state.pos, start, A_act, axis=1).T
-
-    P_old = slice_pos(site_start_old)                       # (A_act, 3)
-    q_old = slice1(spec.site_q, site_start_old)
-    cls_old = slice1(spec.site_cls, site_start_old)
+    q_old = spec.type_q_rows[t_old]
+    cls_old = spec.type_cls_rows[t_old]
     mask_old = jnp.arange(A_act) < A_old
-    com_old = state.com[mol_slot_old]
+    # com reads via one-hot matmul too (same gather/layout rationale)
+    slot_last = spec.type_mol_base[t_old] + last_idx
+    m_iota = jnp.arange(spec.Mtot + 1, dtype=jnp.int32)
+    ohc = jnp.stack([(m_iota == mol_slot_old),
+                     (m_iota == slot_last)], axis=1).astype(fdt)
+    comcols = state.com @ ohc                               # (3, 2)
+    com_old = comcols[:, 0]
+    com_last = comcols[:, 1]
     off_old = P_old - com_old
 
     # geometry source for the inserted footprint: the moved molecule itself
     # (translation/rotation); for creation/swap, a random reservoir molecule
     # (no extra rotation) when -r was given, else molecule 0 of t_new with a
     # full random rotation (reference: src/create_molecule.f90:166-207).
-    src_start = jnp.where(insert_like, spec.type_site_base[t_new],
-                          site_start_old)
-    q_new = slice1(spec.site_q, src_start)
-    cls_new = slice1(spec.site_cls, src_start)
+    q_new = spec.type_q_rows[t_new]     # == q_old unless swap/create
+    cls_new = spec.type_cls_rows[t_new]
     mask_new = jnp.arange(A_act) < A_new
 
     if spec.has_reservoir:
-        res_pick = jax.random.randint(
-            ks[10], (), 0, jnp.maximum(state.res_n[t_new], 1))
+        res_pick = _uint(u[14], jnp.maximum(state.res_n[t_new], 1))
         res_src = spec.res_type_site_base[t_new] + res_pick * A_new
         off_src = jnp.where(
             insert_like,
@@ -209,7 +238,7 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
         off_src = jnp.where(insert_like, spec.type_template_off[t_new],
                             off_old)
         theta = jnp.where(is_rot, (u_angle - 0.5) * state.rot_step, 0.0)
-        Rm = jnp.where(insert_like, _uniform_rotation(ks[10], fdt),
+        Rm = jnp.where(insert_like, _uniform_rotation(u[15:18], fdt),
                        _axis_rotation(axis, theta, fdt))
     new_off = off_src @ Rm.T
 
@@ -227,15 +256,19 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     q2 = jnp.stack([q_old, q_new])
     m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
     from ..kernels import use_pair_kernel
-    if use_pair_kernel(spec):
+    use_kernels = use_pair_kernel(spec)
+    if use_kernels:
         from ..kernels.pair import pair_footprint_pallas
-        pad = spec.A_pad - A_act
-        Pp = jnp.pad(P, ((0, 0), (0, pad), (0, 0))).transpose(0, 2, 1)
+        pad = spec.F_pack - 2 * A_act
+        # pack both footprint sides into one (F_pack,) row axis: old | new
+        pt_pack = jnp.pad(jnp.concatenate([P_old.T, P_new.T], axis=1),
+                          ((0, 0), (0, pad)))
         m2f = m2.astype(fdt)
-        qw = jnp.pad(q2 * m2f, ((0, 0), (0, pad)))
-        ljw = jnp.pad(m2f, ((0, 0), (0, pad)))
+        qw_pack = jnp.pad(jnp.concatenate([q_old * m2f[0], q_new * m2f[1]]),
+                          (0, pad))
+        ljw_pack = jnp.pad(jnp.concatenate([m2f[0], m2f[1]]), (0, pad))
         e_lj, e_coul = pair_footprint_pallas(
-            spec, state.pos, Pp, qw, ljw, t_old, t_new,
+            spec, state.pos, pt_pack, qw_pack, ljw_pack, t_old, t_new,
             state.n_mol, ex_a, ex_b)
     else:
         cls2 = jnp.stack([cls_old, cls_new])
@@ -256,14 +289,8 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
     # invariant; the delta form needs one O(K) pass instead of re-summing
     # |A|^2 for old AND new
     e_recip_old = state.energy[E_RECIP]
-    e_recip_new = e_recip_old + recip_energy_delta(
-        spec, state.amp_re, state.amp_im, d_re, d_im)
 
-    e_old = e_lj[0] + e_coul[0] + e_recip_old + s_old + i_old
-    e_new = e_lj[1] + e_coul[1] + e_recip_new + s_new + i_new
-    delta_e = e_new - e_old
-
-    # ---- acceptance ---------------------------------------------------------
+    # ---- acceptance prefactor (reference: src/monte_carlo_utils.f90:184-226)
     V = spec.volume
     nf = n_new_count.astype(fdt)
     no = n_old_count.astype(fdt)
@@ -271,47 +298,61 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
                      spec.type_activity[t_new] * V / (nf + 1.0), 1.0)
     pref = pref * jnp.where(remove_like,
                             no / (spec.type_activity[t_old] * V), 1.0)
-    p_acc = jnp.minimum(1.0, pref * jnp.exp(-delta_e / spec.temp_K))
-    acc = valid & (~cap_blocked) & (u_acc <= p_acc)
+    gate = valid & (~cap_blocked)
 
-    # ---- state update (functional; reject = keep old) ----------------------
-    # All writes are pure arithmetic selects: batched dynamic_update_slice /
-    # .at[] scatters lower to TPU scatters that measured ~30x slower than the
-    # whole energy kernel, and (S, A_act) one-hot matmuls materialize
-    # (B, S, A_act) temporaries - unrolled per-row selects fuse into one
-    # elementwise pass over (S, 3).
-    accf = acc.astype(fdt)
+    # ---- commit: recip cross-energy + Metropolis + amp/pos writes ---------
+    e_other_old = e_lj[0] + e_coul[0] + s_old + i_old
+    e_other_new = e_lj[1] + e_coul[1] + s_new + i_new
+
+    if use_kernels:
+        from ..kernels.commit import commit_pallas
+        (amp_re, amp_im, pos, accf, e_recip_new, delta_e) = commit_pallas(
+            spec, state.amp_re, state.amp_im, state.pos, d_re, d_im,
+            e_other_old, e_other_new, e_recip_old, pref, u_acc, gate,
+            site_start_new, site_start_old, start_last, A_new, A_old,
+            w_new, remove_like, P_new.T, last_cols)
+        acc = accf > 0.5
+    else:
+        e_recip_new = e_recip_old + recip_energy_delta(
+            spec, state.amp_re, state.amp_im, d_re, d_im)
+        delta_e = (e_other_new + e_recip_new) - (e_other_old + e_recip_old)
+        p_acc = jnp.minimum(1.0, pref * jnp.exp(-delta_e / spec.temp_K))
+        acc = gate & (u_acc <= p_acc)
+        accf = acc.astype(fdt)
+
+        # ---- state update (functional; reject = keep old) ----------------
+        # All writes are pure arithmetic selects: batched
+        # dynamic_update_slice / .at[] scatters lower to TPU scatters that
+        # measured ~30x slower than the whole energy kernel, and (S, A_act)
+        # one-hot matmuls materialize (B, S, A_act) temporaries - unrolled
+        # per-row selects fuse into one elementwise pass.
+        s_idx = jnp.arange(spec.S, dtype=jnp.int32)
+        rel_new = s_idx - site_start_new
+        rel_old = s_idx - site_start_old
+        do_write = acc & w_new
+        do_compact = acc & remove_like
+        in_new = do_write & (rel_new >= 0) & (rel_new < A_new)    # (S,)
+        in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
+        # compaction first, then the written molecule (new rows win, same
+        # precedence as the previous nested-where; regions only coexist in
+        # swap moves, where they are disjoint since t_old != t_new)
+        pos = _place_cols(rel_old, in_old, last_cols, state.pos)
+        pos = _place_cols(rel_new, in_new, P_new.T, pos)
+
+        amp_re = state.amp_re + accf * d_re
+        amp_im = state.amp_im + accf * d_im
+
     do_write = acc & w_new
     do_compact = acc & remove_like
-    last_idx = jnp.maximum(n_old_count - 1, 0)
-    slot_last = spec.type_mol_base[t_old] + last_idx
-    start_last = spec.type_site_base[t_old] + last_idx * A_old
-    last_cols = jax.lax.dynamic_slice_in_dim(     # compaction source (3, A)
-        state.pos, start_last, A_act, axis=1)
-
-    s_idx = jnp.arange(spec.S, dtype=jnp.int32)
-    rel_new = s_idx - site_start_new
-    rel_old = s_idx - site_start_old
-    in_new = do_write & (rel_new >= 0) & (rel_new < A_new)        # (S,)
-    in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
-    # compaction first, then the written molecule (new rows win, same
-    # precedence as the previous nested-where; regions only coexist in swap
-    # moves, where they are disjoint by construction t_old != t_new)
-    pos = _place_cols(rel_old, in_old, last_cols, state.pos)
-    pos = _place_cols(rel_new, in_new, P_new.T, pos)
-
-    m_idx = jnp.arange(spec.Mtot + 1, dtype=jnp.int32)
-    com = jnp.where((do_write & (m_idx == slot_new))[:, None], com_new,
-                    jnp.where((do_compact & (m_idx == mol_slot_old))[:, None],
-                              state.com[slot_last], state.com))
+    com = jnp.where((do_write & (m_iota == slot_new))[None, :],
+                    com_new[:, None],
+                    jnp.where((do_compact & (m_iota == mol_slot_old))[None, :],
+                              com_last[:, None], state.com))
 
     r_idx = jnp.arange(spec.R + 1, dtype=jnp.int32)
     n_mol = (state.n_mol
              + jnp.where(acc & insert_like & (r_idx == t_new), 1, 0)
              - jnp.where(acc & remove_like & (r_idx == t_old), 1, 0))
-
-    amp_re = state.amp_re + accf * d_re
-    amp_im = state.amp_im + accf * d_im
 
     comp_delta = jnp.stack([
         jnp.where(acc, e_recip_new - state.energy[E_RECIP], 0.0),
@@ -339,13 +380,13 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
         new_state = _update_reservoir(
             spec, state, new_state, acc, insert_like, remove_like,
             t_old, t_new, A_old, A_new, A_act, res_pick, off_old, mask_old,
-            ks[11])
+            u[18:21])
     return new_state
 
 
 def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
                       t_old, t_new, A_old, A_new, A_act, res_pick, off_old,
-                      mask_old, key):
+                      mask_old, u3):
     """Reservoir bookkeeping on accepted insertions/deletions/swaps
     (reference: src/create_molecule.f90:117-129 pop-on-insert,
     src/delete_molecule.f90:148-166 push-on-delete).
@@ -384,8 +425,7 @@ def _update_reservoir(spec, old_state, state, acc, insert_like, remove_like,
     push_idx = jnp.minimum(res_n[t_old], spec.res_cap[t_old] - 1)
     push_slot = spec.res_type_mol_base[t_old] + push_idx
     push_start = spec.res_type_site_base[t_old] + push_idx * A_old
-    u3 = jax.random.uniform(key, (3,), dtype=fdt) - 0.5
-    res_pos = spec.res_H @ u3  # centered placement (reference convention)
+    res_pos = spec.res_H @ (u3 - 0.5)  # centered placement (ref convention)
 
     rel_pop = s_idx - pop_start
     rel_push = s_idx - push_start

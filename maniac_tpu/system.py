@@ -52,17 +52,18 @@ def _round_up(x: int, m: int) -> int:
                       "site_midx",
                       "mol_type", "mol_midx", "mol_site_start",
                       "eps_cls", "sig_cls", "eps_site", "sig2_site",
-                      "eps_type_rows", "sig2_type_rows",
+                      "eps_pair_rows", "sig2_pair_rows",
                       "type_A", "type_cap", "type_site_base", "type_mol_base",
                       "type_active", "type_activity", "type_self_energy",
-                      "type_template_off", "active_type_ids",
+                      "type_template_off", "type_q_rows", "type_cls_rows",
+                      "active_type_ids",
                       "p_cum", "image_shifts",
                       "res_type_site_base", "res_type_mol_base", "res_cap",
                       "res_H", "res_bounds_lo"],
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
-                      "kmax_xyz", "A_pad"])
+                      "kmax_xyz", "F_pack"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -102,13 +103,14 @@ class SystemSpec:
     # pair kernel; sig2_site stores sigma^2
     eps_site: jnp.ndarray
     sig2_site: jnp.ndarray
-    # per-TYPE footprint LJ rows (R*A_pad, S): rows [t*A_pad + a] hold the
-    # eps/sigma^2 of atom a of residue type t vs every site (zero rows for
-    # padding and for types too large to be a move footprint). Shared input
-    # of the Pallas pair kernel: selecting A_pad rows by the footprint's
-    # residue type replaces any per-replica gather.
-    eps_type_rows: jnp.ndarray
-    sig2_type_rows: jnp.ndarray
+    # per-(t_old, t_new)-PAIR footprint LJ rows (R*R*F_pack, S): block
+    # pid = t_old*R + t_new holds [A_act rows of t_old | A_act rows of
+    # t_new | zero pad], i.e. the eps/sigma^2 of every footprint atom of a
+    # packed old|new move vs every site. Shared input of the Pallas pair
+    # kernel: one aligned sublane slice replaces any per-replica gather,
+    # and both footprint sides ride one full-sublane (F_pack, S) VPU pass.
+    eps_pair_rows: jnp.ndarray
+    sig2_pair_rows: jnp.ndarray
     # per-residue-type tables (length R, padded with 0 where needed)
     type_A: jnp.ndarray       # (R,) int32 atoms per molecule
     type_cap: jnp.ndarray     # (R,) int32 capacity
@@ -121,6 +123,11 @@ class SystemSpec:
     # reservoir is attached (fixes the reference's stale-slot insertion,
     # src/create_molecule.f90:188-195 - see DIVERGENCES.md)
     type_template_off: jnp.ndarray
+    # (R, A_act) per-type site charges / LJ classes: every molecule of a
+    # type shares them, so footprint charge/class lookups are one (R,)-row
+    # pick instead of a dynamic slice (= gather) into the (S,) site arrays
+    type_q_rows: jnp.ndarray
+    type_cls_rows: jnp.ndarray     # int32
     active_type_ids: jnp.ndarray   # (n_active,) int32
     # move probability cumulative thresholds [trans, +rot, +indel, +swap]
     p_cum: jnp.ndarray        # (4,)
@@ -147,7 +154,7 @@ class SystemSpec:
     has_reservoir: bool
     res_cap_list: tuple
     kmax_xyz: tuple           # (kx, ky, kz): dense grid is (kx+1, 2ky+1, 2kz+1)
-    A_pad: int                # footprint rows padded to a sublane multiple
+    F_pack: int               # packed footprint rows (2*A_act, sublane-padded)
 
     @property
     def dtype(self):
@@ -162,7 +169,7 @@ class SystemSpec:
          meta_fields=[])
 @dataclass
 class SimState:
-    com: jnp.ndarray          # (Mtot+1, 3); last row is the pad molecule
+    com: jnp.ndarray          # (3, Mtot+1) transposed; last col = pad molecule
     # ABSOLUTE site positions, TRANSPOSED: (3, S). The reference stores COM +
     # per-site offsets (src/simulation_state.f90:115-116); storing absolute
     # positions makes the hot energy paths gather-free (TPU gathers measured
@@ -285,6 +292,14 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         q = np.where(np.abs(q) < 1e-10, 0.0, q)
         self_e[r] = -ewald.alpha / SQRTPI * np.sum(q * q) * COULOMB_K
 
+    # per-type charge / LJ-class rows for footprint lookups
+    type_q_rows = np.zeros((R, A_act))
+    type_cls_rows = np.full((R, A_act), C, dtype=np.int32)
+    for r in range(R):
+        A = min(A_list[r], A_act)
+        type_q_rows[r, :A] = parsed.atom_charges[r][:A]
+        type_cls_rows[r, :A] = np.arange(class_base[r], class_base[r] + A)
+
     # rigid-geometry insertion templates: first molecule of the initial
     # configuration, else first reservoir molecule; active multi-site types
     # with no geometry source anywhere get a collapsed (all-zero) template,
@@ -322,17 +337,20 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     sig_site = sig_cls[:, site_cls]
     sig2_site = sig_site * sig_site
 
-    # per-type footprint rows for the Pallas kernel (see SystemSpec docs)
-    A_pad = max(8, _round_up(A_act, 8))
-    eps_type_rows = np.zeros((R * A_pad, S))
-    sig2_type_rows = np.zeros((R * A_pad, S))
-    for r in range(R):
-        A = A_list[r]
-        if A > A_pad:
-            continue  # cannot be a move footprint (asserted inactive)
-        rows = slice(class_base[r], class_base[r] + A)
-        eps_type_rows[r * A_pad:r * A_pad + A] = eps_site[rows]
-        sig2_type_rows[r * A_pad:r * A_pad + A] = sig2_site[rows]
+    # per-type-pair packed footprint rows for the Pallas kernel (see
+    # SystemSpec docs)
+    F_pack = max(8, _round_up(2 * A_act, 8))
+    eps_pair_rows = np.zeros((R * R * F_pack, S))
+    sig2_pair_rows = np.zeros((R * R * F_pack, S))
+    for to in range(R):
+        for tn in range(R):
+            base = (to * R + tn) * F_pack
+            for side, t in ((0, to), (1, tn)):
+                A = min(A_list[t], A_act)
+                rows = slice(class_base[t], class_base[t] + A)
+                dst = slice(base + side * A_act, base + side * A_act + A)
+                eps_pair_rows[dst] = eps_site[rows]
+                sig2_pair_rows[dst] = sig2_site[rows]
 
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
@@ -349,7 +367,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         mol_site_start=jnp.asarray(mol_site_start),
         eps_cls=f(eps_cls), sig_cls=f(sig_cls),
         eps_site=f(eps_site), sig2_site=f(sig2_site),
-        eps_type_rows=f(eps_type_rows), sig2_type_rows=f(sig2_type_rows),
+        eps_pair_rows=f(eps_pair_rows), sig2_pair_rows=f(sig2_pair_rows),
         type_A=jnp.asarray(np.asarray(A_list), dtype=jnp.int32),
         type_cap=jnp.asarray(np.asarray(cap_list), dtype=jnp.int32),
         type_site_base=jnp.asarray(type_site_base),
@@ -357,6 +375,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         type_active=jnp.asarray(np.asarray(active)),
         type_activity=f(activity), type_self_energy=f(self_e),
         type_template_off=f(template_off),
+        type_q_rows=f(type_q_rows),
+        type_cls_rows=jnp.asarray(type_cls_rows),
         active_type_ids=jnp.asarray(active_ids),
         p_cum=f(p_cum), image_shifts=f(image_shifts),
         res_type_site_base=jnp.asarray(res_site_base),
@@ -369,13 +389,13 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         box_kind=box.kind, is_triclinic=box.is_triclinic,
         dtype_name=fdt.name, has_reservoir=has_res,
         res_cap_list=res_cap_list,
-        kmax_xyz=tuple(int(k) for k in ewald.kmax), A_pad=A_pad)
+        kmax_xyz=tuple(int(k) for k in ewald.kmax), F_pack=F_pack)
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol
     seed = deck.seed if deck.seed else 0
     state = SimState(
-        com=f(com0), pos=f(offset0.T), n_mol=jnp.asarray(n_mol0),
+        com=f(com0.T), pos=f(offset0.T), n_mol=jnp.asarray(n_mol0),
         amp_re=jnp.zeros(K, dtype=fdt), amp_im=jnp.zeros(K, dtype=fdt),
         energy=jnp.zeros(6, dtype=fdt),
         counters=jnp.zeros((2, N_MOVE_TYPES), dtype=jnp.int32),

@@ -51,7 +51,7 @@ def main():
                            f"{tmp}/parameters.inc", dtype=dtype, capacity=512)
     spec, state = sysm.spec, sysm.state
     states = replicate(spec, state, B)
-    S, K, A_act, A_pad = spec.S, spec.K, spec.A_act, spec.A_pad
+    S, K, A_act, A_pad = spec.S, spec.K, spec.A_act, spec.F_pack
     print(f"# B={B} S={S} K={K} A_pad={A_pad} dev={jax.devices()[0]}")
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
@@ -62,17 +62,22 @@ def main():
     tr = jax.jit(lambda p: jnp.swapaxes(p, -1, -2))
     print(f"pos_transpose    {timeit(tr, states.pos)*1e3:8.3f} ms")
 
-    # pallas pair (posT precomputed)
-    post = tr(states.pos)
-    pt = jnp.zeros((B, 2, 3, A_pad), dtype)
-    qw = jnp.zeros((B, 2, A_pad), dtype)
-    ljw = jnp.ones((B, 2, A_pad), dtype)
+    # pallas pair (packed layout; state.pos already (3, S))
+    F = spec.F_pack
+    pt = jnp.zeros((B, 3, F), dtype)
+    qw = jnp.zeros((B, F), dtype)
+    ljw = jnp.ones((B, F), dtype)
     t0 = jnp.ones((B,), jnp.int32)
     exa = jnp.full((B,), 3, jnp.int32)
     pairk = jax.jit(jax.vmap(
         lambda po, p, q, l, ta, ea, nm: pair_footprint_pallas(
             spec, po, p, q, l, ta, ta, nm, ea, ea)))
-    print(f"pallas_pair      {timeit(pairk, post, pt, qw, ljw, t0, exa, states.n_mol)*1e3:8.3f} ms")
+    print(f"pallas_pair      {timeit(pairk, states.pos, pt, qw, ljw, t0, exa, states.n_mol)*1e3:8.3f} ms")
+
+    # amp state update alone
+    d0 = jnp.zeros((B, K), dtype)
+    ampupd = jax.jit(lambda st, dr, di: (st.amp_re + 0.5*dr, st.amp_im + 0.5*di))
+    print(f"amp_update       {timeit(ampupd, states, d0, d0)*1e3:8.3f} ms")
 
     # amp_delta
     P = jnp.zeros((B, 2, A_act, 3), dtype)
@@ -95,15 +100,15 @@ def main():
     print(f"kspace_chain     {timeit(kc, states, d, d)*1e3:8.3f} ms")
 
     # state position update
-    from maniac_tpu.mc.moves import _place_rows
-
+    
+    from maniac_tpu.mc.moves import _place_cols
     def upd(st):
         s_idx = jnp.arange(spec.S, dtype=jnp.int32)
         rel = s_idx - 17
         in_new = (rel >= 0) & (rel < A_act)
-        rows = jnp.ones((A_act, 3), dtype)
-        pos = _place_rows(rel, in_new, rows, st.pos)
-        pos2 = _place_rows(rel + 5, in_new, rows, pos)
+        cols = jnp.ones((3, A_act), dtype)
+        pos = _place_cols(rel, in_new, cols, st.pos)
+        pos2 = _place_cols(rel + 5, in_new, cols, pos)
         return pos2
     print(f"pos_update(x2)   {timeit(jax.jit(jax.vmap(upd)), states)*1e3:8.3f} ms")
 
