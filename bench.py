@@ -4,10 +4,14 @@ ZIF-8-scale water-adsorption system (BASELINE.json flagship config), with
 vmapped replica chains.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Per-phase timings and a bandwidth/compute utilization estimate go to stderr
+(SURVEY.md section 5 tracing gap).
 
 The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
 is measured against the driver-supplied north-star target of 1e6
 accepted-move-equivalent GCMC steps/sec/chip.
+
+Env knobs: MANIAC_BENCH_REPLICAS / STEPS / BLOCKS / DTYPE / CAPACITY.
 """
 
 import json
@@ -29,6 +33,7 @@ def main() -> None:
     replicas = int(os.environ.get("MANIAC_BENCH_REPLICAS", "1024"))
     steps_per_block = int(os.environ.get("MANIAC_BENCH_STEPS", "200"))
     n_blocks = int(os.environ.get("MANIAC_BENCH_BLOCKS", "5"))
+    capacity = int(os.environ.get("MANIAC_BENCH_CAPACITY", "192"))
     dtype_name = os.environ.get("MANIAC_BENCH_DTYPE", "f32")
     if dtype_name == "f64":
         jax.config.update("jax_enable_x64", True)
@@ -39,18 +44,24 @@ def main() -> None:
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.systems import make_zif_like
 
+    t_setup = time.perf_counter()
     with tempfile.TemporaryDirectory() as tmp:
         make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
         sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                            f"{tmp}/parameters.inc", dtype=dtype,
-                           capacity=512)
+                           capacity=capacity)
     spec, state = sysm.spec, sysm.state
     states = replicate(spec, state, replicas)
+    t_setup = time.perf_counter() - t_setup
+
+    reduce_ = jax.jit(lambda l: jnp.sum(l.reshape(-1)[:8]))
 
     def sync(st):
-        # a host transfer is the only reliable barrier on remote backends
-        # (block_until_ready can return early through the axon relay)
-        return float(np.asarray(st.energy).reshape(-1)[-1])
+        # an on-device reduction + scalar transfer is the only reliable
+        # barrier on remote backends (block_until_ready returns early
+        # through the axon relay; transferring a full array would drag
+        # megabytes through a ~400 MB/s tunnel into the timing)
+        return float(reduce_(st.energy))
 
     resync = dtype_name != "f64"  # f32 runs bound amplitude drift per block
 
@@ -61,8 +72,23 @@ def main() -> None:
         return st
 
     # compile + warmup (excluded from timing)
+    t_compile = time.perf_counter()
     states = one_block(states)
     sync(states)
+    t_compile = time.perf_counter() - t_compile
+
+    # measure the MC scan and the resync separately (per-phase timings)
+    t0 = time.perf_counter()
+    st2 = run_block_replicated(spec, states, steps_per_block, False)
+    sync(st2)
+    t_scan = time.perf_counter() - t0
+    if resync:
+        t0 = time.perf_counter()
+        st3 = resync_amplitudes_replicated(spec, st2)
+        sync(st3)
+        t_resync = time.perf_counter() - t0
+    else:
+        t_resync = 0.0
 
     t0 = time.perf_counter()
     for _ in range(n_blocks):
@@ -73,9 +99,23 @@ def main() -> None:
     total_steps = replicas * steps_per_block * n_blocks
     rate = total_steps / elapsed
 
+    # utilization estimate for the dominant kernel: the fused step program
+    # is VPU-bound on the (F, S) pair pass (~60 vector ops/element incl.
+    # erfc/exp) plus the HBM read+write of pos and amplitudes
+    step_t = elapsed / (steps_per_block * n_blocks)
+    F = spec.F_pack
+    vpu_ops = replicas * F * spec.S * 60
+    hbm_bytes = replicas * (2 * 3 * spec.S + 4 * spec.K) * 4
     sys.stderr.write(
-        f"# device={jax.devices()[0]} dtype={dtype_name} replicas={replicas} "
-        f"S={spec.S} K={spec.K} steps={total_steps:,} elapsed={elapsed:.2f}s "
+        f"# device={jax.devices()[0]} dtype={dtype_name} replicas={replicas}"
+        f" S={spec.S} K={spec.K} capacity={capacity}\n"
+        f"# phases: setup={t_setup:.2f}s compile={t_compile:.2f}s "
+        f"scan={t_scan / steps_per_block * 1e3:.3f}ms/step "
+        f"resync={t_resync * 1e3:.1f}ms/block\n"
+        f"# per-step estimates: VPU {vpu_ops / step_t / 1e12:.2f} Tops/s, "
+        f"HBM {hbm_bytes / step_t / 1e9:.0f} GB/s "
+        f"(floor ~{hbm_bytes / 800e9 * 1e3:.2f} ms vs {step_t * 1e3:.2f} ms)\n"
+        f"# steps={total_steps:,} elapsed={elapsed:.2f}s "
         f"mean_N={float(np.asarray(states.n_mol)[:, 1].mean()):.1f}\n")
     print(json.dumps({
         "metric": "gcmc_steps_per_sec_per_chip_zif8_h2o",

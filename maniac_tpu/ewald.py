@@ -33,15 +33,21 @@ class EwaldSetup:
     form_factor: np.ndarray     # (K,) 1 for kx=0, 2 otherwise
     real_space_cutoff: float    # possibly clamped
     tolerance: float            # possibly clamped
-    # dense half-space grid (jx in [0,k1], jy in [-k2,k2], jz in [-k3,k3]),
-    # C-order flattened to G = (k1+1)(2k2+1)(2k3+1) entries. Modes outside
-    # the reference's normalized ellipsoid carry weight 0, so the amplitude
-    # update is a pure separable outer product with NO gather/one-hot over a
-    # k-list - the TPU-native layout for incremental structure factors.
-    dense_shape: tuple          # (Jx, Jy, Jz)
-    dense_int: np.ndarray       # (G,3)
-    dense_cart: np.ndarray      # (G,3)
-    dense_weights: np.ndarray   # (G,) form * W(k), 0 for invalid modes
+    # Dense half-space grid (jx in [0,k1], jy in [-k2,k2], jz in [-k3,k3])
+    # laid out as a 2-D array (JzP, JxyP): rows = signed jz (sublane-padded
+    # to 8), cols = jx*Jy + jy_idx (lane-padded to 128). Modes outside the
+    # reference's normalized ellipsoid and padding entries carry weight 0,
+    # so the amplitude update is a pure separable outer product - two
+    # static expansion matmuls + one (JzP, F)@(F, JxyP) contraction, with
+    # NO gathers, one-hots over a k-list, or reshapes anywhere (the
+    # TPU-native layout for incremental structure factors).
+    grid2_shape: tuple          # (JzP, JxyP)
+    dense_int: np.ndarray       # (JzP*JxyP, 3) int triples (0 for padding)
+    dense_cart: np.ndarray      # (JzP*JxyP, 3)
+    dense_weights: np.ndarray   # (JzP, JxyP) form * W(k); 0 invalid/pad
+    dense_live: np.ndarray      # (JzP*JxyP,) 1.0 for real grid pts, 0 pad
+    ex_sel: np.ndarray          # (Jx, JxyP) static 0/1: col g -> jx(g)
+    ey_sel: np.ndarray          # (Jy, JxyP) static 0/1: col g -> jy(g)
 
     @property
     def num_kvectors(self) -> int:
@@ -66,17 +72,33 @@ def setup_ewald(box: Box, real_space_cutoff: float, tolerance: float,
     alpha = np.sqrt(abs(np.log(tol * rc * screening))) / rc
     fourier_precision = np.sqrt(-np.log(tol * rc * (2.0 * screening * alpha) ** 2))
 
-    # Step 4: kmax per axis (reference: ComputeFourierIndices)
-    kmax = np.rint(0.25 + box.lengths * alpha * fourier_precision / PI).astype(int)
+    # Step 4: kmax per axis (reference: ComputeFourierIndices). For
+    # triclinic cells the reference's box lengths overstate the
+    # perpendicular widths; use the true widths (identical for orthogonal
+    # boxes) so the k-space slab actually covers the physical cutoff.
+    recip_rows0 = box.reciprocal
+    widths = 1.0 / np.linalg.norm(recip_rows0, axis=1)  # = lengths if ortho
+    kmax = np.rint(0.25 + widths * alpha * fourier_precision / PI).astype(int)
     kmax = np.maximum(kmax, 1)
 
-    # Step 5: enumerate valid k-vectors in the normalized half-space ellipsoid
+    # Step 5: enumerate valid k-vectors in the half-space ellipsoid.
+    # Orthogonal boxes: the reference's integer-normalized check
+    # sum (n_i/kmax_i)^2 <= 1 (exact energy parity). Triclinic: that check
+    # is skewed (integer space is not |k| space when H has tilt) and
+    # truncates modes with significant weight - select by the equivalent
+    # PHYSICAL cutoff |k| <= 2*alpha*precision instead (the two rules
+    # coincide on orthogonal cells up to kmax rounding; see DIVERGENCES.md).
     kx = np.arange(0, kmax[0] + 1)
     ky = np.arange(-kmax[1], kmax[1] + 1)
     kz = np.arange(-kmax[2], kmax[2] + 1)
     grid = np.stack(np.meshgrid(kx, ky, kz, indexing="ij"), axis=-1).reshape(-1, 3)
-    norm_ksq = ((grid[:, 0] / kmax[0]) ** 2 + (grid[:, 1] / kmax[1]) ** 2
-                + (grid[:, 2] / kmax[2]) ** 2)
+    if box.is_triclinic:
+        kc = TWOPI * (grid @ recip_rows0)
+        k_cut = 2.0 * alpha * fourier_precision
+        norm_ksq = np.sum(kc * kc, axis=1) / (k_cut * k_cut)
+    else:
+        norm_ksq = ((grid[:, 0] / kmax[0]) ** 2 + (grid[:, 1] / kmax[1]) ** 2
+                    + (grid[:, 2] / kmax[2]) ** 2)
     valid = (norm_ksq >= SMALL) & (norm_ksq <= 1.0)
     k_int = grid[valid]
 
@@ -89,24 +111,57 @@ def setup_ewald(box: Box, real_space_cutoff: float, tolerance: float,
     weights = np.exp(-ksq / (4.0 * alpha ** 2)) / ksq
     form = np.where(k_int[:, 0] == 0, 1.0, 2.0)
 
-    # dense half-space grid: the full meshgrid (pre-validity-filter) with
-    # invalid modes carried at weight 0
-    dense_shape = (int(kmax[0]) + 1, 2 * int(kmax[1]) + 1, 2 * int(kmax[2]) + 1)
-    dense_int = grid
+    # dense half-space grid in the 2-D (JzP, JxyP) layout
+    def _round_up(x, m):
+        return ((x + m - 1) // m) * m
+
+    Jx, Jy, Jz = int(kmax[0]) + 1, 2 * int(kmax[1]) + 1, 2 * int(kmax[2]) + 1
+    Jxy = Jx * Jy
+    JzP, JxyP = _round_up(Jz, 8), _round_up(Jxy, 128)
+    G = JzP * JxyP
+
+    dense_int = np.zeros((G, 3), dtype=np.int64)
+    live = np.zeros(G)
+    g_jz, g_jxy = np.meshgrid(np.arange(JzP), np.arange(JxyP), indexing="ij")
+    g_jz, g_jxy = g_jz.ravel(), g_jxy.ravel()
+    real = (g_jz < Jz) & (g_jxy < Jxy)
+    live[real] = 1.0
+    dense_int[real, 0] = g_jxy[real] // Jy
+    dense_int[real, 1] = (g_jxy[real] % Jy) - int(kmax[1])
+    dense_int[real, 2] = g_jz[real] - int(kmax[2])
+
     dense_cart = TWOPI * (dense_int @ recip_rows)
     dksq = np.sum(dense_cart * dense_cart, axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
         dense_w = np.exp(-dksq / (4.0 * alpha ** 2)) / np.where(dksq > 0,
                                                                 dksq, 1.0)
     dense_form = np.where(dense_int[:, 0] == 0, 1.0, 2.0)
-    dense_weights = np.where(valid, dense_form * dense_w, 0.0)
+    if box.is_triclinic:  # same validity rule as the k_int list above
+        k_cut = 2.0 * alpha * fourier_precision
+        norm2 = dksq / (k_cut * k_cut)
+    else:
+        norm2 = ((dense_int[:, 0] / kmax[0]) ** 2
+                 + (dense_int[:, 1] / kmax[1]) ** 2
+                 + (dense_int[:, 2] / kmax[2]) ** 2)
+    dvalid = (norm2 >= SMALL) & (norm2 <= 1.0) & (live > 0)
+    dense_weights = np.where(dvalid, dense_form * dense_w,
+                             0.0).reshape(JzP, JxyP)
+
+    # static per-axis expansion selectors over the jxy lane axis
+    ex_sel = np.zeros((Jx, JxyP))
+    ey_sel = np.zeros((Jy, JxyP))
+    gx = np.arange(Jxy) // Jy
+    gy = np.arange(Jxy) % Jy
+    ex_sel[gx, np.arange(Jxy)] = 1.0
+    ey_sel[gy, np.arange(Jxy)] = 1.0
 
     return EwaldSetup(alpha=float(alpha), screening_factor=float(screening),
                       fourier_precision=float(fourier_precision), kmax=kmax,
                       k_int=k_int, k_cart=k_cart, weights=weights,
                       form_factor=form, real_space_cutoff=rc, tolerance=tol,
-                      dense_shape=dense_shape, dense_int=dense_int,
-                      dense_cart=dense_cart, dense_weights=dense_weights)
+                      grid2_shape=(JzP, JxyP), dense_int=dense_int,
+                      dense_cart=dense_cart, dense_weights=dense_weights,
+                      dense_live=live, ex_sel=ex_sel, ey_sel=ey_sel)
 
 
 def log_ewald_parameters(ew: EwaldSetup, logger: Logger) -> None:

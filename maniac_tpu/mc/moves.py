@@ -252,30 +252,6 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
     ex_a = jnp.where(w_old, mol_slot_old, spec.Mtot + 1)
     ex_b = slot_new
 
-    P = jnp.stack([P_old, P_new])
-    q2 = jnp.stack([q_old, q_new])
-    m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
-    from ..kernels import use_pair_kernel
-    use_kernels = use_pair_kernel(spec)
-    if use_kernels:
-        from ..kernels.pair import pair_footprint_pallas
-        pad = spec.F_pack - 2 * A_act
-        # pack both footprint sides into one (F_pack,) row axis: old | new
-        pt_pack = jnp.pad(jnp.concatenate([P_old.T, P_new.T], axis=1),
-                          ((0, 0), (0, pad)))
-        m2f = m2.astype(fdt)
-        qw_pack = jnp.pad(jnp.concatenate([q_old * m2f[0], q_new * m2f[1]]),
-                          (0, pad))
-        ljw_pack = jnp.pad(jnp.concatenate([m2f[0], m2f[1]]), (0, pad))
-        e_lj, e_coul = pair_footprint_pallas(
-            spec, state.pos, pt_pack, qw_pack, ljw_pack, t_old, t_new,
-            state.n_mol, ex_a, ex_b)
-    else:
-        cls2 = jnp.stack([cls_old, cls_new])
-        e_lj, e_coul = pair_energy_footprint(
-            spec, site_positions(spec, state),
-            active_site_mask(spec, state.n_mol), P, q2, cls2, m2, ex_a, ex_b)
-
     i_old = jnp.where(remove_like & valid,
                       intra_energy(spec, P_old, q_old, mask_old), 0.0)
     i_new = jnp.where(insert_like,
@@ -283,8 +259,6 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
     s_old = jnp.where(remove_like, spec.type_self_energy[t_old], 0.0)
     s_new = jnp.where(insert_like, spec.type_self_energy[t_new], 0.0)
 
-    signs = jnp.stack([-w_old.astype(fdt), w_new.astype(fdt)])
-    d_re, d_im = amp_delta(spec, P, q2, m2, signs)
     # the running E_RECIP component IS recip_energy(amp) by the bookkeeping
     # invariant; the delta form needs one O(K) pass instead of re-summing
     # |A|^2 for old AND new
@@ -300,19 +274,43 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
                             no / (spec.type_activity[t_old] * V), 1.0)
     gate = valid & (~cap_blocked)
 
-    # ---- commit: recip cross-energy + Metropolis + amp/pos writes ---------
-    e_other_old = e_lj[0] + e_coul[0] + s_old + i_old
-    e_other_new = e_lj[1] + e_coul[1] + s_new + i_new
-
+    m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
+    from ..kernels import use_pair_kernel
+    use_kernels = use_pair_kernel(spec)
     if use_kernels:
-        from ..kernels.commit import commit_pallas
-        (amp_re, amp_im, pos, accf, e_recip_new, delta_e) = commit_pallas(
-            spec, state.amp_re, state.amp_im, state.pos, d_re, d_im,
-            e_other_old, e_other_new, e_recip_old, pref, u_acc, gate,
-            site_start_new, site_start_old, start_last, A_new, A_old,
-            w_new, remove_like, P_new.T, last_cols)
+        # fused Pallas core: pair energies + dA(k) + Metropolis + amp/pos
+        # commits in one program per replica (kernels/step.py)
+        from ..kernels.step import mc_step_core_pallas
+        pad = spec.F_pack - 2 * A_act
+        # pack both footprint sides into one (F_pack,) row axis: old | new
+        pt_pack = jnp.pad(jnp.concatenate([P_old.T, P_new.T], axis=1),
+                          ((0, 0), (0, pad)))
+        m2f = m2.astype(fdt)
+        qw_pack = jnp.pad(jnp.concatenate([q_old * m2f[0], q_new * m2f[1]]),
+                          (0, pad))
+        ljw_pack = jnp.pad(jnp.concatenate([m2f[0], m2f[1]]), (0, pad))
+        sgn = jnp.concatenate([jnp.full(A_act, -1.0, fdt),
+                               jnp.ones(spec.F_pack - A_act, fdt)])
+        (amp_re, amp_im, pos, accf, e_recip_new, delta_e, e_lj,
+         e_coul) = mc_step_core_pallas(
+            spec, state.pos, state.amp_re, state.amp_im, state.n_mol,
+            pt_pack, qw_pack, ljw_pack, qw_pack * sgn, last_cols,
+            t_old, t_new, ex_a, ex_b, site_start_new, site_start_old,
+            A_new, A_old, w_new, remove_like,
+            s_old + i_old, s_new + i_new, e_recip_old, pref, u_acc, gate)
         acc = accf > 0.5
     else:
+        P = jnp.stack([P_old, P_new])
+        q2 = jnp.stack([q_old, q_new])
+        cls2 = jnp.stack([cls_old, cls_new])
+        e_lj, e_coul = pair_energy_footprint(
+            spec, site_positions(spec, state),
+            active_site_mask(spec, state.n_mol), P, q2, cls2, m2, ex_a, ex_b)
+
+        signs = jnp.stack([-w_old.astype(fdt), w_new.astype(fdt)])
+        d_re, d_im = amp_delta(spec, P, q2, m2, signs)
+        e_other_old = e_lj[0] + e_coul[0] + s_old + i_old
+        e_other_new = e_lj[1] + e_coul[1] + s_new + i_new
         e_recip_new = e_recip_old + recip_energy_delta(
             spec, state.amp_re, state.amp_im, d_re, d_im)
         delta_e = (e_other_new + e_recip_new) - (e_other_old + e_recip_old)

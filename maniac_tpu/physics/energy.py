@@ -113,12 +113,14 @@ def footprint_phases(spec: SystemSpec, pos):
 
 def amp_delta_direct(spec: SystemSpec, pos, q, mask, signs):
     """Reference-style direct structure-factor update: cos/sin over the full
-    (A, K) phase matrix. Kept as the precision oracle for amp_delta."""
+    (A, K) phase matrix. Kept as the precision oracle for amp_delta.
+    Padding entries of the dense grid (k_live == 0) are zeroed to match
+    the separable path; returns (JzP, JxyP) arrays."""
     theta = footprint_phases(spec, pos)                  # (B,A,K)
     w = (q * mask) [..., None] * signs[:, None, None]    # (B,A,1)
-    d_re = jnp.sum(w * jnp.cos(theta), axis=(0, 1))
-    d_im = jnp.sum(w * jnp.sin(theta), axis=(0, 1))
-    return d_re, d_im
+    d_re = jnp.sum(w * jnp.cos(theta), axis=(0, 1)) * spec.k_live
+    d_im = jnp.sum(w * jnp.sin(theta), axis=(0, 1)) * spec.k_live
+    return d_re.reshape(spec.amp_shape), d_im.reshape(spec.amp_shape)
 
 
 def _axis_phase_tables(spec: SystemSpec, theta):
@@ -157,33 +159,37 @@ def _axis_phase_tables(spec: SystemSpec, theta):
 
 
 def _separable_amp(spec: SystemSpec, theta, w):
-    """A[jx,jy,jz] = sum_n w_n e^{i(jx tx + jy ty + jz tz)} on the dense
-    grid, flattened to (K,). theta: (N,3), w: (N,). Two small MXU
-    contractions; no gathers, no one-hot selectors, no (N, K)
-    transcendentals."""
+    """A[jz, jxy] = sum_n w_n e^{i(jx tx + jy ty + jz tz)} on the 2-D dense
+    grid (JzP, JxyP). theta: (N,3), w: (N,). Two static expansion matmuls
+    plus one (JzP, N)@(N, JxyP) contraction on the MXU - no gathers,
+    no one-hot k-selectors, no (N, K) transcendentals, and (critically for
+    the Pallas step kernel, which inlines the same computation) no
+    reshapes or transposed layouts anywhere."""
     (px_re, px_im), (py_re, py_im), (pz_re, pz_im) = \
         _axis_phase_tables(spec, theta)
+    JzP, _ = spec.amp_shape
     px_re = px_re * w[:, None]
     px_im = px_im * w[:, None]
-    # t[n, jx, jy] = w * px * py  -> (N, Jx*Jy)
-    t_re = (px_re[:, :, None] * py_re[:, None, :]
-            - px_im[:, :, None] * py_im[:, None, :])
-    t_im = (px_re[:, :, None] * py_im[:, None, :]
-            + px_im[:, :, None] * py_re[:, None, :])
-    N = theta.shape[0]
-    t_re = t_re.reshape(N, -1)
-    t_im = t_im.reshape(N, -1)
-    # contract atoms on the MXU: (Jx*Jy, N) @ (N, Jz)
-    d_re = t_re.T @ pz_re - t_im.T @ pz_im                # (Jx*Jy, Jz)
-    d_im = t_re.T @ pz_im + t_im.T @ pz_re
-    return d_re.reshape(-1), d_im.reshape(-1)
+    xe_re = px_re @ spec.ex_sel                            # (N, JxyP)
+    xe_im = px_im @ spec.ex_sel
+    ye_re = py_re @ spec.ey_sel
+    ye_im = py_im @ spec.ey_sel
+    t_re = xe_re * ye_re - xe_im * ye_im
+    t_im = xe_re * ye_im + xe_im * ye_re
+    pad = JzP - pz_re.shape[1]
+    pzT_re = jnp.pad(pz_re, ((0, 0), (0, pad))).T          # (JzP, N)
+    pzT_im = jnp.pad(pz_im, ((0, 0), (0, pad))).T
+    d_re = pzT_re @ t_re - pzT_im @ t_im                   # (JzP, JxyP)
+    d_im = pzT_re @ t_im + pzT_im @ t_re
+    return d_re, d_im
 
 
 def amp_delta(spec: SystemSpec, pos, q, mask, signs):
     """Structure-factor update dA(k) = sum_b s_b sum_a q e^{i k.r_ba}.
 
     pos: (B,A,3), q/mask: (B,A), signs: (B,) in {-1,0,+1}. Returns
-    (d_re[K], d_im[K]) on the dense grid. Same update as the reference's
+    (d_re, d_im) shaped (JzP, JxyP) on the dense grid. Same update as the
+    reference's
     incremental A(k) (ComputeRecipEnergySingleMol,
     src/ewald_energy.f90:240-256) with its deletion branch fixed (the
     reference passes is_creation for deletions,
@@ -221,7 +227,16 @@ def recip_energy_delta(spec: SystemSpec, amp_re, amp_im, d_re, d_im):
 # full-system recompute (startup + drift audits)
 # ---------------------------------------------------------------------------
 
-_CHUNK = 128
+def _chunk_for(S: int) -> int:
+    """Site-axis chunk for full recomputes: the largest divisor of S up to
+    1024 that keeps sublane alignment (multiple of 8). Bigger chunks =
+    fewer, larger MXU contractions in full_amplitudes; the chunk is a
+    contraction dimension so any 8-multiple works."""
+    best = 8
+    for c in range(8, 1025, 8):
+        if S % c == 0:
+            best = c
+    return best
 
 
 def full_amplitudes(spec: SystemSpec, pos, active):
@@ -231,8 +246,9 @@ def full_amplitudes(spec: SystemSpec, pos, active):
     S = spec.S
     qm = jnp.where(active, spec.site_q, 0.0)
     theta = pos @ spec.two_pi_Hinv.T                    # (S, 3)
-    theta_c = theta.reshape(S // _CHUNK, _CHUNK, 3)
-    q_c = qm.reshape(S // _CHUNK, _CHUNK)
+    chunk = _chunk_for(S)
+    theta_c = theta.reshape(S // chunk, chunk, 3)
+    q_c = qm.reshape(S // chunk, chunk)
 
     def body(carry, xs):
         re, im = carry
@@ -240,8 +256,8 @@ def full_amplitudes(spec: SystemSpec, pos, active):
         d_re, d_im = _separable_amp(spec, t, q)
         return (re + d_re, im + d_im), None
 
-    init = (jnp.zeros(spec.K, dtype=pos.dtype),
-            jnp.zeros(spec.K, dtype=pos.dtype))
+    init = (jnp.zeros(spec.amp_shape, dtype=pos.dtype),
+            jnp.zeros(spec.amp_shape, dtype=pos.dtype))
     (re, im), _ = jax.lax.scan(body, init, (theta_c, q_c))
     return re, im
 
@@ -251,9 +267,10 @@ def full_pair_energy(spec: SystemSpec, pos, active):
     chunked over rows (reference: ComputePairwiseEnergy,
     src/energy_utils.f90:83-187)."""
     S = spec.S
-    pos_c = pos.reshape(S // _CHUNK, _CHUNK, 3)
+    chunk = _chunk_for(S)
+    pos_c = pos.reshape(S // chunk, chunk, 3)
 
-    idx = jnp.arange(spec.S).reshape(S // _CHUNK, _CHUNK)
+    idx = jnp.arange(spec.S).reshape(S // chunk, chunk)
 
     def body(carry, xs):
         e_lj, e_c = carry

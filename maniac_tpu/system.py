@@ -46,7 +46,8 @@ def _round_up(x: int, m: int) -> int:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["H", "Hinv", "bounds", "box_diag", "volume",
-                      "k_cart", "k_weights", "two_pi_Hinv",
+                      "k_cart", "k_weights", "k_live", "ex_sel", "ey_sel",
+                      "two_pi_Hinv",
                       "alpha", "cutoff", "temp_K",
                       "site_q", "site_cls", "site_type", "site_mol",
                       "site_midx",
@@ -63,7 +64,7 @@ def _round_up(x: int, m: int) -> int:
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
-                      "kmax_xyz", "F_pack"])
+                      "kmax_xyz", "amp_shape", "F_pack"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -72,15 +73,19 @@ class SystemSpec:
     bounds: jnp.ndarray       # (3,2)
     box_diag: jnp.ndarray     # (3,) diagonal lengths (ortho path)
     volume: jnp.ndarray       # scalar
-    # ewald: DENSE half-space k-grid, C-order flattened over
-    # (jx in [0,kx], jy in [-ky,ky], jz in [-kz,kz]), K = Jx*Jy*Jz entries.
-    # Invalid modes (outside the reference's normalized ellipsoid, and the
-    # origin) carry weight 0, so amplitudes are a pure separable outer
-    # product of per-axis phase tables - no gathers/one-hots anywhere in the
-    # k-space path (replaces the reference's explicit k-vector list,
-    # src/ewald_kvectors.f90:44-87, with a TPU-native layout).
-    k_cart: jnp.ndarray       # (K,3) cartesian k (invalid modes included)
-    k_weights: jnp.ndarray    # (K,) form_factor * W(k); 0 for invalid modes
+    # ewald: DENSE half-space k-grid in a 2-D (JzP, JxyP) layout - rows are
+    # signed jz (sublane-padded), cols are jx*Jy + jy (lane-padded).
+    # Invalid modes (outside the reference's normalized ellipsoid, the
+    # origin, padding) carry weight 0, so amplitudes are a pure separable
+    # outer product of per-axis phase tables: two static expansion matmuls
+    # (ex_sel/ey_sel) + one (JzP, N)@(N, JxyP) contraction, with no
+    # gathers, one-hots over a k-list, or reshapes anywhere (replaces the
+    # reference's explicit k-vector list, src/ewald_kvectors.f90:44-87).
+    k_cart: jnp.ndarray       # (K,3) cartesian k, flattened (0 rows = pad)
+    k_weights: jnp.ndarray    # (JzP, JxyP) form * W(k); 0 invalid/pad
+    k_live: jnp.ndarray       # (K,) 1.0 for real grid points, 0 for padding
+    ex_sel: jnp.ndarray       # (Jx, JxyP) static 0/1 jx-expansion
+    ey_sel: jnp.ndarray       # (Jy, JxyP) static 0/1 jy-expansion
     two_pi_Hinv: jnp.ndarray  # (3,3): theta = two_pi_Hinv @ r
     alpha: jnp.ndarray        # scalar
     cutoff: jnp.ndarray       # scalar
@@ -153,7 +158,8 @@ class SystemSpec:
     dtype_name: str
     has_reservoir: bool
     res_cap_list: tuple
-    kmax_xyz: tuple           # (kx, ky, kz): dense grid is (kx+1, 2ky+1, 2kz+1)
+    kmax_xyz: tuple           # (kx, ky, kz)
+    amp_shape: tuple          # (JzP, JxyP): 2-D dense-grid layout
     F_pack: int               # packed footprint rows (2*A_act, sublane-padded)
 
     @property
@@ -225,7 +231,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     Mtot = sum(cap_list)
     S_used = sum(cap_list[r] * A_list[r] for r in range(R))
     S = _round_up(S_used + A_act, 128)
-    K = int(np.prod(ewald.dense_shape))  # dense grid size (valid modes: see
+    K = int(np.prod(ewald.grid2_shape))  # dense grid size (valid modes: see
     # ewald.num_kvectors, logged for parity with the reference)
     fdt = np.dtype(dtype)
 
@@ -357,6 +363,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         H=f(box.matrix), Hinv=f(box.reciprocal), bounds=f(box.bounds),
         box_diag=f(np.diag(box.matrix)), volume=f(box.volume),
         k_cart=f(ewald.dense_cart), k_weights=f(ewald.dense_weights),
+        k_live=f(ewald.dense_live),
+        ex_sel=f(ewald.ex_sel), ey_sel=f(ewald.ey_sel),
         two_pi_Hinv=f(2.0 * np.pi * box.reciprocal),
         alpha=f(ewald.alpha),
         cutoff=f(ewald.real_space_cutoff), temp_K=f(temp_K),
@@ -389,14 +397,16 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         box_kind=box.kind, is_triclinic=box.is_triclinic,
         dtype_name=fdt.name, has_reservoir=has_res,
         res_cap_list=res_cap_list,
-        kmax_xyz=tuple(int(k) for k in ewald.kmax), F_pack=F_pack)
+        kmax_xyz=tuple(int(k) for k in ewald.kmax),
+        amp_shape=tuple(ewald.grid2_shape), F_pack=F_pack)
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol
     seed = deck.seed if deck.seed else 0
     state = SimState(
         com=f(com0.T), pos=f(offset0.T), n_mol=jnp.asarray(n_mol0),
-        amp_re=jnp.zeros(K, dtype=fdt), amp_im=jnp.zeros(K, dtype=fdt),
+        amp_re=jnp.zeros(ewald.grid2_shape, dtype=fdt),
+        amp_im=jnp.zeros(ewald.grid2_shape, dtype=fdt),
         energy=jnp.zeros(6, dtype=fdt),
         counters=jnp.zeros((2, N_MOVE_TYPES), dtype=jnp.int32),
         extras=jnp.zeros(4, dtype=jnp.int32),

@@ -228,6 +228,47 @@ def make_lj_gas(outdir, n=32, L=18.0, seed=3, two_species=False, **deck_kw):
     return outdir
 
 
+def make_triclinic_water(outdir, n_water=8, L=14.0, tilt=(2.0, 1.2, 0.8),
+                         seed=7, **deck_kw):
+    """N rigid waters in a TRICLINIC box (LAMMPS convention: a=(lx,0,0),
+    b=(xy,ly,0), c=(xz,yz,lz)). Exercises the 27-image minimum-image path
+    (reference: src/geometry_utils.f90:359-415) and the triclinic
+    reciprocal lattice. tilt=(xy, xz, yz)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    sites, q, names = water_sites()
+    xy, xz, yz = tilt
+    H = np.array([[L, xy, xz], [0.0, L, yz], [0.0, 0.0, L]])  # cols = a,b,c
+    per_axis = max(2, int(math.ceil(n_water ** (1 / 3))))
+    atoms = []
+    type_of = {"O": 1, "H": 2, "M": 3}
+    m = 0
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                if m >= n_water:
+                    break
+                m += 1
+                frac = (np.array([i, j, k]) + 0.5) / per_axis \
+                    + rng.uniform(-0.02, 0.02, 3)
+                c = H @ frac + np.array([-L / 2, -L / 2, -L / 2])
+                R = _random_rotation(rng)
+                pos = c + sites @ R.T
+                for a in range(4):
+                    atoms.append((m, type_of[names[a]], q[a], *pos[a]))
+    masses = {1: MASS["O"], 2: MASS["H"], 3: MASS["M"]}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 3,
+                tilt=(xy, xz, yz))
+    residues = [dict(name="wat", active=True,
+                     fugacity=deck_kw.pop("fugacity", 50.0),
+                     types=[1, 2, 3], names=["OW", "HW", "MW"], nb_atoms=4)]
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc", [(1, 1, EPS_O, SIG_O),
+                                            (2, 2, 0.0, 0.0),
+                                            (3, 3, 0.0, 0.0)])
+    return outdir
+
+
 def make_framework_water(outdir, n_cells=3, a=8.0, n_water=12, seed=11,
                          **deck_kw):
     """Synthetic nanoporous framework (simple-cubic LJ lattice, one inactive

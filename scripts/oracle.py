@@ -32,14 +32,22 @@ COULOMB_K_ORACLE = (sc.elementary_charge ** 2
                     / sc.Boltzmann / sc.angstrom)
 
 
-def periodic_coulomb(pos: np.ndarray, q: np.ndarray, L: float,
+def _as_cell(L):
+    """Accept a box length (cubic) or a full (3,3) cell matrix (columns =
+    lattice vectors a, b, c)."""
+    L = np.asarray(L, dtype=float)
+    return np.diag([float(L)] * 3) if L.ndim == 0 else L
+
+
+def periodic_coulomb(pos: np.ndarray, q: np.ndarray, L,
                      alpha: float = 0.45, n_images: int = 3,
                      kmax: int = 24,
                      coulomb_k: float = COULOMB_K_ORACLE) -> float:
-    """Exact periodic Coulomb energy (Kelvin) of point charges in a cubic
-    box of side L, tinfoil (conducting) boundary - classic Ewald evaluated
-    to convergence with explicit image sums. O(N^2 * images); for oracle
-    use only."""
+    """Exact periodic Coulomb energy (Kelvin) of point charges under
+    tinfoil (conducting) boundary conditions - classic Ewald evaluated to
+    convergence with explicit image sums. L: cubic box side or a full
+    (3,3) triclinic cell matrix. O(N^2 * images); for oracle use only."""
+    H = _as_cell(L)
     N = len(q)
     rij = pos[:, None, :] - pos[None, :, :]                 # (N,N,3)
 
@@ -49,7 +57,7 @@ def periodic_coulomb(pos: np.ndarray, q: np.ndarray, L: float,
     for nx in rng:
         for ny in rng:
             for nz in rng:
-                shift = np.array([nx, ny, nz], dtype=float) * L
+                shift = H @ np.array([nx, ny, nz], dtype=float)
                 d = np.linalg.norm(rij + shift, axis=-1)    # (N,N)
                 if nx == ny == nz == 0:
                     np.fill_diagonal(d, np.inf)
@@ -60,15 +68,15 @@ def periodic_coulomb(pos: np.ndarray, q: np.ndarray, L: float,
     # reciprocal space: full dense grid, exclude k = 0
     m = np.arange(-kmax, kmax + 1)
     mx, my, mz = np.meshgrid(m, m, m, indexing="ij")
-    kvecs = (2.0 * np.pi / L) * np.stack(
-        [mx.ravel(), my.ravel(), mz.ravel()], axis=1)
+    ms = np.stack([mx.ravel(), my.ravel(), mz.ravel()], axis=1)
+    kvecs = 2.0 * np.pi * (ms @ np.linalg.inv(H))
     ksq = np.sum(kvecs * kvecs, axis=1)
     sel = ksq > 1e-12
     kvecs, ksq = kvecs[sel], ksq[sel]
     theta = pos @ kvecs.T                                   # (N, K)
     s_re = q @ np.cos(theta)
     s_im = q @ np.sin(theta)
-    V = L ** 3
+    V = abs(np.linalg.det(H))
     e_recip = (2.0 * np.pi / V) * np.sum(
         np.exp(-ksq / (4.0 * alpha ** 2)) / ksq * (s_re ** 2 + s_im ** 2))
 
@@ -88,7 +96,9 @@ def intramolecular_coulomb(pos: np.ndarray, q: np.ndarray,
         for a in range(len(idx)):
             for b in range(a + 1, len(idx)):
                 d = pos[idx[a]] - pos[idx[b]]
-                d -= L * np.round(d / L)
+                H = _as_cell(L)
+                frac = np.linalg.inv(H) @ d
+                d = d - H @ np.round(frac)
                 r = np.linalg.norm(d)
                 if r > 1e-10:
                     e += q[idx[a]] * q[idx[b]] / r

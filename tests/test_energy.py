@@ -120,12 +120,15 @@ def test_recip_brute_force(tmp_path):
     act = np.asarray(active_site_mask(spec, state.n_mol))
     q = np.asarray(spec.site_q) * act
     k = np.asarray(spec.k_cart)
+    live = np.asarray(spec.k_live)  # dense-grid padding entries carry 0
     theta = pos @ k.T
-    re = q @ np.cos(theta)
-    im = q @ np.sin(theta)
-    np.testing.assert_allclose(np.asarray(state.amp_re), re, atol=1e-9)
-    np.testing.assert_allclose(np.asarray(state.amp_im), im, atol=1e-9)
-    w = np.asarray(spec.k_weights)  # form factor folded in; 0 off-ellipsoid
+    re = (q @ np.cos(theta)) * live
+    im = (q @ np.sin(theta)) * live
+    np.testing.assert_allclose(np.asarray(state.amp_re).ravel(), re,
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.amp_im).ravel(), im,
+                               atol=1e-9)
+    w = np.asarray(spec.k_weights).ravel()  # form folded; 0 off-ellipsoid
     e_recip = (w * (re ** 2 + im ** 2)).sum() * COULOMB_K \
         * 2 * math.pi / float(spec.volume)
     np.testing.assert_allclose(float(state.energy[E_RECIP]), e_recip,

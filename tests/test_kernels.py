@@ -64,7 +64,7 @@ def test_kernel_erfc_accuracy():
     """The kernel's f32 erfc must sit inside XLA's own f32 erfc error
     envelope (abs ~1e-7, rel ~5e-6 for x < 6)."""
     from scipy.special import erfc as erfc64
-    from maniac_tpu.kernels.pair import _erfc
+    from maniac_tpu.kernels.step import _erfc
     x = np.linspace(0.0, 8.0, 20001)
     ours = np.asarray(_erfc(jnp.asarray(x, dtype=jnp.float32)),
                       dtype=np.float64)
