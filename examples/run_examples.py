@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Named example launcher - the rebuild's analog of the reference's run.sh
+(reference: /root/reference/run.sh:4-96 enumerates SLIT/ZIF8/MFI/LJ-gas/
+H2O-gas cases bound to the mc-topology submodule, which is not available
+here). Each case generates its own topology/deck/coefficients and runs the
+full CLI end to end.
+
+    python examples/run_examples.py            # list cases
+    python examples/run_examples.py H2O-gas    # run one case
+    python examples/run_examples.py all        # run everything (CPU ok)
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from maniac_tpu import systems  # noqa: E402
+
+CASES = {
+    # name: (builder, builder kwargs, CLI extras)
+    "H2O-gas": (systems.make_water_box,
+                dict(n_water=8, L=14.0, cutoff=6.0, tol=1e-6, nb_block=5,
+                     nb_step=500, probs=(0.5, 0.5, 0.0, 0.0)), []),
+    "H2O-gcmc": (systems.make_water_box,
+                 dict(n_water=8, L=14.0, cutoff=5.5, tol=1e-5, nb_block=5,
+                      nb_step=500, probs=(0.3, 0.3, 0.4, 0.0),
+                      fugacity=2000.0, recal=True), []),
+    "LJ-gas": (systems.make_lj_gas,
+               dict(n=32, L=18.0, cutoff=6.0, tol=1e-4, nb_block=5,
+                    nb_step=500, probs=(0.4, 0.0, 0.6, 0.0), fugacity=5.0),
+               []),
+    "LJ-swap": (systems.make_lj_gas,
+                dict(n=24, L=16.0, two_species=True, cutoff=6.0, tol=1e-4,
+                     nb_block=5, nb_step=400, probs=(0.2, 0.0, 0.3, 0.5),
+                     fug_a=3.0, fug_b=3.0), []),
+    "NaCl": (systems.make_nacl,
+             dict(n_cells=2, cutoff=5.6, tol=1e-6, nb_block=2, nb_step=100,
+                  probs=(1.0, 0.0, 0.0, 0.0)), []),
+    "ZIF8-H2O": (systems.make_zif_like,
+                 dict(n_cells=4, a=5.66, n_water=16, fugacity=30.0,
+                      nb_block=3, nb_step=300), ["--capacity", "64"]),
+    "DIPOLE-triclinic": (systems.make_triclinic_water,
+                         dict(n_water=6, L=14.0, tilt=(2.0, 1.2, 0.8),
+                              cutoff=5.5, tol=1e-5, nb_block=3, nb_step=300,
+                              probs=(0.4, 0.3, 0.3, 0.0), fugacity=1000.0),
+                         []),
+}
+
+
+def run_case(name: str) -> int:
+    builder, kw, extra = CASES[name]
+    tmp = tempfile.mkdtemp(prefix=f"maniac-{name}-")
+    builder(tmp, **kw)
+    out = os.path.join(tmp, "outputs/")
+    cmd = [sys.executable, "-m", "maniac_tpu.cli",
+           "-i", f"{tmp}/input.maniac", "-d", f"{tmp}/topology.data",
+           "-p", f"{tmp}/parameters.inc", "-o", out] + extra
+    print(f"== {name}: {' '.join(cmd)}")
+    rc = subprocess.call(cmd, cwd=REPO)
+    log = os.path.join(out, "log.maniac")
+    ok = rc == 0 and os.path.exists(log) \
+        and "Simulation Completed" in open(log).read()
+    print(f"== {name}: {'OK' if ok else 'FAILED'} (outputs in {out})")
+    return 0 if ok else 1
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print("cases:", " ".join(CASES))
+        return 0
+    names = list(CASES) if sys.argv[1] == "all" else sys.argv[1:]
+    return max(run_case(n) for n in names)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
