@@ -13,7 +13,7 @@ import os
 
 
 def use_pair_kernel(spec) -> bool:
-    """Trace-time dispatch for the Pallas pair-energy kernel."""
+    """Trace-time dispatch for the fused Pallas step-core kernel."""
     mode = os.environ.get("MANIAC_PALLAS", "auto")
     if mode == "0":
         return False
@@ -23,3 +23,17 @@ def use_pair_kernel(spec) -> bool:
         return True
     import jax
     return jax.devices()[0].platform != "cpu"
+
+
+def use_block_kernel(spec) -> bool:
+    """Trace-time dispatch for the whole-block Pallas kernel (state stays
+    resident in VMEM across all steps of a block; no reservoir). Measured
+    SLOWER than the per-step fused kernel on v5e (3.5 vs 2.9 ms/step at
+    B=1024 - the in-kernel footprint/bookkeeping ops cost more than the
+    per-step HBM traffic they eliminate), so it is opt-in:
+    MANIAC_PALLAS=block. Kept compiled + parity-tested as the starting
+    point for a future in-kernel neighbor-list pass."""
+    if os.environ.get("MANIAC_PALLAS", "auto") != "block":
+        return False
+    return (not spec.is_triclinic and spec.dtype_name == "float32"
+            and not spec.has_reservoir)
