@@ -1,0 +1,136 @@
+"""Pallas TPU kernel for full structure-factor resynthesis (the per-block
+f32 drift bound, DIVERGENCES.md #13).
+
+The XLA path (physics/energy.py full_amplitudes) materializes
+(chunk, JxyP) expansion temporaries per site chunk; under vmap at bench
+scale that is ~45 GB of HBM traffic per resync (~100 ms/block). Here the
+whole synthesis accumulates in VMEM: HBM traffic is one read of positions
+and one write of the amplitudes (~130 MB at B=1024).
+
+Math identical to physics/energy.py::_separable_amp summed over all active
+sites; E_RECIP is recomputed from the fresh amplitudes in the same pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import COULOMB_K, TWOPI
+from .step import _powers, _signed_table
+
+
+def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
+                   eng_ref,        # VMEM (1, 8) f32 running energy components
+                   pos_ref,        # VMEM (3, S)
+                   h2pi_ref,       # VMEM (3, 3) shared
+                   ex_ref,         # VMEM (Jx, JxyP) shared
+                   ey_ref,         # VMEM (Jy, JxyP) shared
+                   kw_ref,         # VMEM (JzP, JxyP) shared
+                   site_q_ref,     # VMEM (1, S) shared
+                   site_type_ref,  # VMEM (1, S) int32 shared
+                   site_midx_ref,  # VMEM (1, S) int32 shared
+                   amp_re_out, amp_im_out,
+                   eng_out,        # (1, 8): energy with E_RECIP/E_TOT fixed
+                   *, R: int, S: int, CH: int, kx: int, ky: int, kz: int,
+                   JzP: int):
+    f32 = jnp.float32
+    amp_re_out[:, :] = jnp.zeros_like(amp_re_out)
+    amp_im_out[:, :] = jnp.zeros_like(amp_im_out)
+
+    def chunk_body(ci, _):
+        sl = pl.ds(ci * CH, CH)                             # ref slices only
+        pos_c = pos_ref[:, sl]                              # (3, CH)
+        midx = site_midx_ref[0:1, sl][0, :]
+        stype = site_type_ref[0:1, sl][0, :]
+        nsel = jnp.full((CH,), nmol_ref[0, 0], jnp.int32) * (stype == 0)
+        for r in range(1, R):
+            nsel = jnp.where(stype == r, nmol_ref[0, r], nsel)
+        w = jnp.where(midx < nsel, site_q_ref[0:1, sl][0, :], 0.0)[None, :]
+        th = jnp.dot(h2pi_ref[:, :], pos_c,
+                     preferred_element_type=f32)            # (3, CH)
+        rex, imx = _powers(jnp.cos(th[0:1, :]), jnp.sin(th[0:1, :]), kx)
+        rey, imy = _powers(jnp.cos(th[1:2, :]), jnp.sin(th[1:2, :]), ky)
+        rez, imz = _powers(jnp.cos(th[2:3, :]), jnp.sin(th[2:3, :]), kz)
+        pxT = jnp.concatenate([jnp.concatenate(rex, axis=0),
+                               jnp.concatenate(imx, axis=0)], axis=1)
+        pyT_re, pyT_im = _signed_table(rey, imy, ky)
+        pyT = jnp.concatenate([pyT_re, pyT_im], axis=1)
+        pzT_re, pzT_im = _signed_table(rez, imz, kz, pad_to=JzP)
+        pzT = jnp.concatenate([pzT_re, pzT_im], axis=1)     # (JzP, 2CH)
+
+        def dotT(a, b):
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+
+        xe = dotT(pxT, ex_ref[:, :])                        # (2CH, JxyP)
+        ye = dotT(pyT, ey_ref[:, :])
+        xe_re, xe_im = xe[:CH, :], xe[CH:, :]
+        ye_re, ye_im = ye[:CH, :], ye[CH:, :]
+        wc = w[0, :][:, None]
+        t_re = (xe_re * ye_re - xe_im * ye_im) * wc
+        t_im = (xe_re * ye_im + xe_im * ye_re) * wc
+        t_both = jnp.concatenate(
+            [jnp.concatenate([t_re, t_im], axis=1),
+             jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
+        d_both = jnp.dot(pzT, t_both, preferred_element_type=f32)
+        JXY = t_re.shape[1]
+        amp_re_out[:, :] = amp_re_out[:, :] + d_both[:, :JXY]
+        amp_im_out[:, :] = amp_im_out[:, :] + d_both[:, JXY:]
+        return 0
+
+    jax.lax.fori_loop(0, S // CH, chunk_body, 0)
+
+    # eng slot 7 carries C * 2pi / V (a traced spec constant)
+    e_recip = jnp.sum(kw_ref[:, :] * (amp_re_out[:, :] ** 2
+                                      + amp_im_out[:, :] ** 2)) \
+        * eng_ref[0, 7]
+    # energy row layout: [E_RECIP, lj, coul, self, intra, E_TOT, 0, 0]
+    e_tot_new = eng_ref[0, 5] + e_recip - eng_ref[0, 0]
+    tot_sel = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)[0, :]
+    row = eng_ref[0, :]
+    row = jnp.where(tot_sel == 0, e_recip, row)
+    row = jnp.where(tot_sel == 5, e_tot_new, row)
+    eng_out[0, :] = row
+
+
+def resync_pallas(spec, state, *, interpret=False):
+    """Single-replica amplitude resynthesis (vmap batches it). Returns
+    (amp_re, amp_im, energy)."""
+    f = spec.dtype
+    if not interpret:
+        interpret = jax.devices()[0].platform == "cpu"
+    JzP, JxyP = spec.amp_shape
+    S = spec.S
+    kx, ky, kz = spec.kmax_xyz
+    # chunk must divide S AND be a multiple of 128 (lane-aligned dynamic
+    # ref slices; S is always padded to a multiple of 128)
+    CH = 128
+    for c in (512, 384, 256):
+        if S % c == 0:
+            CH = c
+            break
+
+    nmol = jnp.zeros((1, 8), jnp.int32).at[0, :spec.R + 1].set(state.n_mol)
+    eng = jnp.zeros((1, 8), f).at[0, :6].set(state.energy)
+    eng = eng.at[0, 7].set(COULOMB_K * TWOPI / spec.volume)
+
+    kernel = functools.partial(
+        _resync_kernel, R=spec.R, S=S, CH=CH, kx=kx, ky=ky, kz=kz, JzP=JzP)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    amp_re, amp_im, eng2 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((JzP, JxyP), f),
+                   jax.ShapeDtypeStruct((JzP, JxyP), f),
+                   jax.ShapeDtypeStruct((1, 8), f)),
+        in_specs=[vmem] * 10,
+        out_specs=(vmem, vmem, vmem),
+        interpret=interpret,
+    )(nmol, eng, state.pos, spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel,
+      spec.k_weights, spec.site_q.reshape(1, S),
+      spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S))
+    return amp_re, amp_im, eng2[0, :6]

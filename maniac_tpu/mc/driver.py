@@ -127,7 +127,16 @@ def resync_amplitudes_body(spec: SystemSpec, state: SimState) -> SimState:
     the other energy components running. This is the per-block float32 drift
     bound: the incremental A(k) updates accumulate rounding forever
     (reference mutates them unbounded, src/ewald_energy.f90:241-256), so f32
-    runs resynthesize at block granularity (DIVERGENCES.md #13)."""
+    runs resynthesize at block granularity (DIVERGENCES.md #13).
+
+    On TPU this runs as a Pallas kernel accumulating in VMEM (the XLA
+    expansion materializes ~45 GB of chunk temporaries per resync at bench
+    scale); elsewhere it is the XLA separable synthesis."""
+    from ..kernels import use_pair_kernel
+    if use_pair_kernel(spec):
+        from ..kernels.resync import resync_pallas
+        amp_re, amp_im, energy = resync_pallas(spec, state)
+        return state.replace(amp_re=amp_re, amp_im=amp_im, energy=energy)
     pos = site_positions(spec, state)
     active = active_site_mask(spec, state.n_mol)
     amp_re, amp_im = full_amplitudes(spec, pos, active)

@@ -108,6 +108,28 @@ def test_block_kernel_bookkeeping_consistency(tmp_path, monkeypatch):
     assert float(jnp.max(jnp.abs(st.amp_re - amp_re))) < 1e-3
 
 
+def test_resync_kernel_parity(tmp_path, monkeypatch):
+    """The Pallas amplitude-resynthesis kernel must match the XLA
+    full_amplitudes path on the same state."""
+    from maniac_tpu.mc.driver import resync_amplitudes_body, run_block
+
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    spec = sysm.spec
+    monkeypatch.setenv("MANIAC_PALLAS", "0")
+    st = run_block.__wrapped__(spec, sysm.state, 30, False)
+    r_x = resync_amplitudes_body(spec, st)
+    monkeypatch.setenv("MANIAC_PALLAS", "1")
+    r_p = resync_amplitudes_body(spec, st)
+    np.testing.assert_allclose(np.asarray(r_x.amp_re),
+                               np.asarray(r_p.amp_re), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_x.amp_im),
+                               np.asarray(r_p.amp_im), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(r_x.energy),
+                               np.asarray(r_p.energy), atol=0.05)
+
+
 def test_kernel_erfc_accuracy():
     """The kernel's f32 erfc must sit inside XLA's own f32 erfc error
     envelope (abs ~1e-7, rel ~5e-6 for x < 6)."""
