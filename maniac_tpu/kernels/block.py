@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
-from .step import _ERFCX_COEFFS, _erfc, _powers, _signed_table
+from .step import _erfc, _powers, _signed_table
 
 _R2_FLOOR = 1e-18
 
@@ -60,8 +60,6 @@ def _step_body(t, refs, consts, statics):
 
     u = uniforms_ref[pl.ds(t, 1), :]                        # (1, NU)
     u_move, u_cd, u_acc = u[0, 0], u[0, 1], u[0, 2]
-    u_disp = jnp.stack([u[0, 3], u[0, 4], u[0, 5]]) - 0.5   # (3,)... keep 2-D
-    u_frac = jnp.stack([u[0, 6], u[0, 7], u[0, 8]])
     u_angle = u[0, 9]
 
     def uint(uv, n):

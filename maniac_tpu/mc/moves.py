@@ -34,8 +34,7 @@ import jax.numpy as jnp
 from ..constants import (PROB_CREATE_DELETE, TWOPI, TYPE_CREATION,
                          TYPE_DELETION, TYPE_ROTATION, TYPE_SWAP,
                          TYPE_TRANSLATION)
-from ..system import (E_COUL, E_INTRA, E_LJ, E_RECIP, E_SELF, E_TOT,
-                      N_MOVE_TYPES, SimState, SystemSpec)
+from ..system import E_RECIP, N_MOVE_TYPES, SimState, SystemSpec
 from ..physics.energy import (active_site_mask, amp_delta, intra_energy,
                               pair_energy_footprint, recip_energy_delta,
                               site_positions)
