@@ -51,6 +51,37 @@ CASES = {
 }
 
 
+def run_isotherm() -> int:
+    """One compiled program = a full adsorption isotherm: vmapped replicas
+    with per-replica chemical potentials (maniac_tpu.parallel.replicas).
+    Prints fugacity -> <N> for the ZIF-like flagship chemistry."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from maniac_tpu import load_system
+    from maniac_tpu.parallel.replicas import (perturb_activity, replicate,
+                                              run_block_sweep)
+
+    tmp = tempfile.mkdtemp(prefix="maniac-isotherm-")
+    systems.make_zif_like(tmp, n_cells=3, a=5.66, n_water=4, fugacity=10.0)
+    sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
+                       f"{tmp}/parameters.inc", capacity=64)
+    spec, state = sysm.spec, sysm.state
+    scale = np.array([0.25, 1.0, 4.0, 16.0])
+    base = np.asarray(spec.type_activity)[None, :] * scale[:, None]
+    spec_sweep = perturb_activity(spec, jnp.asarray(base))
+    states = replicate(spec, state, len(scale))
+    states = run_block_sweep(spec_sweep, states, 2000, False)  # burn-in
+    counts = np.zeros(len(scale))
+    for _ in range(10):
+        states = run_block_sweep(spec_sweep, states, 200, False)
+        counts += np.asarray(states.n_mol)[:, 1]
+    print("== isotherm (fugacity scale -> <N waters>):")
+    for s, n in zip(scale, counts / 10):
+        print(f"   {s:6.2f}x -> {n:7.2f}")
+    return 0
+
+
 def run_case(name: str) -> int:
     builder, kw, extra = CASES[name]
     tmp = tempfile.mkdtemp(prefix=f"maniac-{name}-")
@@ -70,10 +101,13 @@ def run_case(name: str) -> int:
 
 def main() -> int:
     if len(sys.argv) < 2:
-        print("cases:", " ".join(CASES))
+        print("cases:", " ".join(CASES), "isotherm")
         return 0
     names = list(CASES) if sys.argv[1] == "all" else sys.argv[1:]
-    return max(run_case(n) for n in names)
+    rc = 0
+    for n in names:
+        rc = max(rc, run_isotherm() if n == "isotherm" else run_case(n))
+    return rc
 
 
 if __name__ == "__main__":

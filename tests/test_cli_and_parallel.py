@@ -112,3 +112,43 @@ def test_mesh_sharded_replicas(lj_system):
     # sharding preserved through the block
     shardings = {str(x.sharding) for x in jax.tree_util.tree_leaves(states)}
     assert any("dp" in s for s in shardings)
+
+
+def test_isotherm_sweep(tmp_path):
+    """Per-replica chemical potentials: one compiled program produces a full
+    adsorption isotherm. On an ideal gas <N> = activity * V per replica, so
+    the sweep's population means must scale with the activities."""
+    import jax.numpy as jnp
+
+    from maniac_tpu.parallel.replicas import (perturb_activity,
+                                              run_block_sweep)
+
+    d = make_lj_gas(str(tmp_path), n=8, L=16.0, probs=(0.0, 0.0, 1.0, 0.0),
+                    fugacity=100.0, cutoff=6.0, tol=1e-3)
+    # ideal gas: zero out the LJ
+    open(f"{d}/parameters.inc", "w").write("pair_coeff 1 1 0.0 0.0\n")
+    sysm = load_system(f"{d}/input.maniac", f"{d}/topology.data",
+                       f"{d}/parameters.inc")
+    spec, state = sysm.spec, sysm.state
+
+    B = 4
+    base = float(spec.type_activity[0])
+    scale = np.array([0.5, 1.0, 2.0, 4.0])
+    acts = jnp.asarray((base * scale)[:, None])            # (B, R)
+    spec_sweep = perturb_activity(spec, acts)
+    states = replicate(spec, state, B)
+
+    states = run_block_sweep(spec_sweep, states, 2000, False)  # burn-in
+    counts = np.zeros(B)
+    n_samp = 30
+    for _ in range(n_samp):
+        states = run_block_sweep(spec_sweep, states, 150, False)
+        counts += np.asarray(states.n_mol)[:, 0]
+    mean_n = counts / n_samp
+    expected = base * scale * float(spec.volume)
+    # Poisson statistics with ~n_samp correlated samples: generous bars
+    for b in range(B):
+        tol = max(5 * np.sqrt(expected[b] / 8), 0.35 * expected[b])
+        assert abs(mean_n[b] - expected[b]) < tol, (b, mean_n, expected)
+    # monotone in activity
+    assert mean_n[0] < mean_n[1] < mean_n[2] < mean_n[3]
