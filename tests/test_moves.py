@@ -185,3 +185,47 @@ def test_run_block_jit_and_drift(tmp_path):
     rep = drift_report(sysm.spec, state)
     assert rep["drift_K"] < 1e-6, rep
     assert rep["amp_drift"] < 1e-8, rep
+
+
+def test_recalibration_rule(tmp_path):
+    """Adaptive step tuning: the intended symmetric band (DIVERGENCES.md #2;
+    the reference's shrink condition and rotation clamp are buggy,
+    src/monte_carlo_utils.f90:108-127)."""
+    from maniac_tpu.constants import (MAX_TRANSLATION_STEP,
+                                      MIN_ROTATION_ANGLE,
+                                      MIN_TRIALS_FOR_RECALIBRATION,
+                                      TYPE_ROTATION, TYPE_TRANSLATION)
+    from maniac_tpu.mc.driver import _recalibrate
+
+    make_water_box(str(tmp_path), n_water=2, L=14.0, cutoff=5.0, tol=1e-3)
+    sysm = _load(str(tmp_path))
+    st = sysm.state
+    T = MIN_TRIALS_FOR_RECALIBRATION + 100
+
+    def with_counters(acc_frac_trans, acc_frac_rot):
+        c = np.zeros((2, 5), dtype=np.int32)
+        c[0, TYPE_TRANSLATION] = T
+        c[1, TYPE_TRANSLATION] = int(T * acc_frac_trans)
+        c[0, TYPE_ROTATION] = T
+        c[1, TYPE_ROTATION] = int(T * acc_frac_rot)
+        return st.replace(counters=jnp.asarray(c))
+
+    t0, r0 = float(st.trans_step), float(st.rot_step)
+    # high acceptance grows, low shrinks, inside the band holds
+    grown = _recalibrate(with_counters(0.9, 0.9), True, sysm.spec.dtype)
+    assert float(grown.trans_step) > t0 and float(grown.rot_step) > r0
+    shrunk = _recalibrate(with_counters(0.1, 0.1), True, sysm.spec.dtype)
+    assert float(shrunk.trans_step) < t0 and float(shrunk.rot_step) < r0
+    held = _recalibrate(with_counters(0.40, 0.40), True, sysm.spec.dtype)
+    assert float(held.trans_step) == t0 and float(held.rot_step) == r0
+    # clamps: repeated growth saturates at the max; rotation shrink cannot
+    # pin to the minimum in one block (the reference's bug did)
+    stx = with_counters(0.9, 0.1)
+    for _ in range(60):
+        stx = _recalibrate(stx, True, sysm.spec.dtype)
+    assert float(stx.trans_step) <= MAX_TRANSLATION_STEP + 1e-9
+    assert float(stx.rot_step) >= MIN_ROTATION_ANGLE - 1e-9
+    # too few trials: untouched
+    few = st.replace(counters=jnp.zeros((2, 5), dtype=jnp.int32))
+    out = _recalibrate(few, True, sysm.spec.dtype)
+    assert float(out.trans_step) == t0
