@@ -55,7 +55,8 @@ def load_system(input_file: str, data_file: str, params_file: str,
     eps, sig = parse_pair_coeffs(params_file, parsed, logger)
 
     ewald = setup_ewald(parsed.box, deck.real_space_cutoff,
-                        deck.ewald_tolerance, logger)
+                        deck.ewald_tolerance, logger,
+                        alpha_override=deck.ewald_alpha)
     log_ewald_parameters(ewald, logger)
 
     spec, state = build_spec_and_state(deck, parsed, eps, sig, ewald,

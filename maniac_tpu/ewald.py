@@ -55,7 +55,8 @@ class EwaldSetup:
 
 
 def setup_ewald(box: Box, real_space_cutoff: float, tolerance: float,
-                logger: Logger | None = None) -> EwaldSetup:
+                logger: Logger | None = None,
+                alpha_override: float = 0.0) -> EwaldSetup:
     logger = logger or default_logger()
 
     # Step 1: clamp cutoff to the box (reference: AdjustRealSpaceCutoff)
@@ -70,6 +71,11 @@ def setup_ewald(box: Box, real_space_cutoff: float, tolerance: float,
     # Step 3: alpha & Fourier precision (reference: ComputeEwaldParameters)
     screening = np.sqrt(abs(np.log(tol * rc)))
     alpha = np.sqrt(abs(np.log(tol * rc * screening))) / rc
+    if alpha_override:
+        # user-chosen split (deck keyword ewald_alpha): same tolerance
+        # machinery, different real/reciprocal balance. The converged total
+        # is invariant (tests/test_energy.py::test_alpha_override_invariance)
+        alpha = float(alpha_override)
     fourier_precision = np.sqrt(-np.log(tol * rc * (2.0 * screening * alpha) ** 2))
 
     # Step 4: kmax per axis (reference: ComputeFourierIndices). For

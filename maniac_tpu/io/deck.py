@@ -61,6 +61,10 @@ class InputDeck:
     temp_K: float = 0.0
     seed: int | None = None
     ewald_tolerance: float = 0.0
+    # TPU-native extension: override the DL_POLY-derived alpha
+    # (re-balances the real/reciprocal Ewald split; the converged
+    # total is split-invariant). 0 = use the reference formula.
+    ewald_alpha: float = 0.0
     real_space_cutoff: float = 0.0
     translation_step: float = 0.0
     rotation_step_angle: float = 0.0
@@ -97,6 +101,7 @@ _SCALAR_KEYS = {
     "temperature": ("temp_K", float),
     "seed": ("seed", int),
     "ewald_tolerance": ("ewald_tolerance", float),
+    "ewald_alpha": ("ewald_alpha", float),
     "real_space_cutoff": ("real_space_cutoff", float),
     "translation_step": ("translation_step", float),
     "rotation_step_angle": ("rotation_step_angle", float),

@@ -172,3 +172,23 @@ def test_amp_delta_separable_matches_direct(tmp_path):
     d2 = amp_delta_direct(spec, pos, q, mask, signs)
     np.testing.assert_allclose(d1[0], d2[0], atol=5e-12)
     np.testing.assert_allclose(d1[1], d2[1], atol=5e-12)
+
+
+def test_alpha_override_invariance(tmp_path):
+    """ewald_alpha (TPU-native deck extension) re-balances the Ewald split;
+    the converged Coulomb total must be invariant."""
+    totals = []
+    for i, alpha in enumerate((0.0, 0.45, 0.6)):   # 0 = reference formula
+        d = tmp_path / str(i)
+        make_water_box(str(d), n_water=8, L=14.0, cutoff=6.5, tol=1e-7)
+        if alpha:
+            with open(d / "input.maniac", "a") as f:
+                f.write(f"ewald_alpha {alpha}\n")
+        sysm = _load(str(d))
+        if alpha:
+            assert abs(float(sysm.spec.alpha) - alpha) < 1e-12
+        e = np.asarray(sysm.state.energy)
+        totals.append((e[E_RECIP] + e[E_COUL] + e[E_SELF] + e[E_INTRA])
+                      * KB_KCALMOL)
+    assert abs(totals[1] - totals[0]) < 0.01, totals
+    assert abs(totals[2] - totals[0]) < 0.01, totals
