@@ -31,8 +31,8 @@ def main() -> None:
     import numpy as np
 
     replicas = int(os.environ.get("MANIAC_BENCH_REPLICAS", "1024"))
-    steps_per_block = int(os.environ.get("MANIAC_BENCH_STEPS", "200"))
-    n_blocks = int(os.environ.get("MANIAC_BENCH_BLOCKS", "5"))
+    steps_per_block = int(os.environ.get("MANIAC_BENCH_STEPS", "400"))
+    n_blocks = int(os.environ.get("MANIAC_BENCH_BLOCKS", "3"))
     capacity = int(os.environ.get("MANIAC_BENCH_CAPACITY", "192"))
     dtype_name = os.environ.get("MANIAC_BENCH_DTYPE", "f32")
     if dtype_name == "f64":
