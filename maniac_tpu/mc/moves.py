@@ -14,10 +14,12 @@ computation with 0/1 weights:
   deletion     molecule (t, m)          (none, weight 0)
   swap         molecule (t_a, m)        template of t_b at the same COM
 
-This keeps the per-step work identical across move types - a single masked
-pair-energy kernel of shape (2, A_act, S) plus one (2*A_act, K) phase matmul -
-so vmapped replicas never diverge. Rejection needs no rollback: the old state
-is simply selected.
+This keeps the per-step work identical across move types - one packed
+(old|new footprint, S) pair pass plus one separable structure-factor
+contraction, fused into a single Pallas program on TPU
+(kernels/step.py) - so vmapped replicas never diverge. Rejection needs no
+rollback: the old state is simply selected. The XLA implementation in this
+module is the CPU / float64 / triclinic oracle for those kernels.
 
 The swap move is actually implemented here (the reference declares it,
 parses its probability and has its acceptance formula
