@@ -378,3 +378,52 @@ def make_zif_like(outdir, n_cells=6, a=5.66, atoms_per_cell=10, n_water=32,
                [(1, 1, 0.25, 3.0), (2, 2, EPS_O, SIG_O),
                 (3, 3, 0.0, 0.0), (4, 4, 0.0, 0.0)])
     return outdir
+
+
+def make_mixed_sizes(outdir, n_water=6, n_dimer=6, L=16.0, seed=13,
+                     **deck_kw):
+    """Two active species with DIFFERENT molecule sizes (4-site water +
+    2-site charged dimer) - stresses swap moves between unequal footprints
+    and per-type padding throughout the engine."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    sites_w, q_w, names_w = water_sites()
+    sites_d = np.array([[0.0, 0.0, -0.6], [0.0, 0.0, 0.6]])
+    q_d = np.array([0.25, -0.25])
+    atoms = []
+    type_of_w = {"O": 1, "H": 2, "M": 3}
+    n_total = n_water + n_dimer
+    per_axis = max(2, int(math.ceil(n_total ** (1 / 3))))
+    spacing = L / per_axis
+    centers = []
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                centers.append(-L / 2 + (np.array([i, j, k]) + 0.5) * spacing)
+    m = 0
+    for c in centers[:n_water]:
+        m += 1
+        R = _random_rotation(rng)
+        pos = c + sites_w @ R.T
+        for a in range(4):
+            atoms.append((m, type_of_w[names_w[a]], q_w[a], *pos[a]))
+    for c in centers[n_water:n_total]:
+        m += 1
+        R = _random_rotation(rng)
+        pos = c + sites_d @ R.T
+        for a in range(2):
+            atoms.append((m, 4 + a, q_d[a], *pos[a]))
+    masses = {1: MASS["O"], 2: MASS["H"], 3: MASS["M"],
+              4: MASS["F"], 5: MASS["F"]}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 5)
+    residues = [
+        dict(name="wat", active=True, fugacity=deck_kw.pop("fug_w", 200.0),
+             types=[1, 2, 3], names=["OW", "HW", "MW"], nb_atoms=4),
+        dict(name="dim", active=True, fugacity=deck_kw.pop("fug_d", 200.0),
+             types=[4, 5], names=["DA", "DB"], nb_atoms=2),
+    ]
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc",
+               [(1, 1, EPS_O, SIG_O), (2, 2, 0.0, 0.0), (3, 3, 0.0, 0.0),
+                (4, 4, 0.15, 3.2), (5, 5, 0.1, 3.0)])
+    return outdir

@@ -60,6 +60,30 @@ def test_pair_kernel_parity_two_species_swap(tmp_path, monkeypatch):
                                np.asarray(st_p.energy), atol=0.05)
 
 
+def test_pair_kernel_parity_with_reservoir(tmp_path, monkeypatch):
+    """Kernel path + reservoir bookkeeping (the reservoir pop/push runs in
+    XLA around the fused kernel; insertions use reservoir geometry)."""
+    from maniac_tpu.systems import make_water_reservoir
+
+    make_water_box(str(tmp_path), n_water=4, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.2, 0.2, 0.6, 0.0), fugacity=20000.0)
+    res = make_water_reservoir(str(tmp_path), n_water=10)
+    sysm = load_system(f"{tmp_path}/input.maniac",
+                       f"{tmp_path}/topology.data",
+                       f"{tmp_path}/parameters.inc", reservoir_file=res,
+                       dtype=jnp.float32)
+    st_x, st_p = _run_both(sysm, 40, 9, monkeypatch)
+    np.testing.assert_array_equal(np.asarray(st_x.n_mol),
+                                  np.asarray(st_p.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_x.res_n),
+                                  np.asarray(st_p.res_n))
+    np.testing.assert_array_equal(np.asarray(st_x.pos), np.asarray(st_p.pos))
+    np.testing.assert_array_equal(np.asarray(st_x.res_offset),
+                                  np.asarray(st_p.res_offset))
+    np.testing.assert_allclose(np.asarray(st_x.energy),
+                               np.asarray(st_p.energy), atol=0.05)
+
+
 def test_block_kernel_parity_water_gcmc(tmp_path, monkeypatch):
     """The whole-block Pallas kernel (kernels/block.py) must reproduce the
     XLA scan path: same uniforms -> same populations/positions, energies to
@@ -143,3 +167,19 @@ def test_kernel_erfc_accuracy():
     assert abs_err.max() < 5e-7, abs_err.max()
     rel = abs_err[x < 6] / np.maximum(ref[x < 6], 1e-300)
     assert rel.max() < 1e-5, rel.max()
+
+
+def test_pair_kernel_parity_mixed_sizes(tmp_path, monkeypatch):
+    """Kernel path with unequal footprint sizes (A_old != A_new swaps)."""
+    from maniac_tpu.systems import make_mixed_sizes
+
+    make_mixed_sizes(str(tmp_path), n_water=6, n_dimer=6, L=16.0,
+                     cutoff=6.0, tol=1e-4, probs=(0.2, 0.1, 0.3, 0.4),
+                     fug_w=500.0, fug_d=500.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    st_x, st_p = _run_both(sysm, 60, 17, monkeypatch)
+    np.testing.assert_array_equal(np.asarray(st_x.n_mol),
+                                  np.asarray(st_p.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_x.pos), np.asarray(st_p.pos))
+    np.testing.assert_allclose(np.asarray(st_x.energy),
+                               np.asarray(st_p.energy), atol=0.05)

@@ -229,3 +229,19 @@ def test_recalibration_rule(tmp_path):
     few = st.replace(counters=jnp.zeros((2, 5), dtype=jnp.int32))
     out = _recalibrate(few, True, sysm.spec.dtype)
     assert float(out.trans_step) == t0
+
+
+def test_mixed_size_swap_consistency(tmp_path):
+    """Swap between species with DIFFERENT molecule sizes (4-site water vs
+    2-site dimer): footprint padding, compaction and acceptance bookkeeping
+    must hold through the full move mix."""
+    from maniac_tpu.systems import make_mixed_sizes
+
+    make_mixed_sizes(str(tmp_path), n_water=6, n_dimer=6, L=16.0,
+                     cutoff=6.0, tol=1e-4, probs=(0.2, 0.1, 0.3, 0.4),
+                     fug_w=500.0, fug_d=500.0)
+    sysm = _load(str(tmp_path))
+    state, _ = _consistency_run(sysm, 120, seed=21)
+    c = np.asarray(state.counters)
+    assert c[0, 4] > 0, "no swap trials"
+    assert c[1].sum() > 0
