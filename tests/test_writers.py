@@ -1,0 +1,83 @@
+"""Output-file format contracts (reference: src/write_utils.f90).
+
+The reference's CI greps these files (tests/integration/energy/*/run-test.sh
+awks TotEng out of log.maniac); these tests pin the column/format contracts
+including the divergences we chose (full 11-column moves.dat, actual block
+numbers as trajectory timesteps - DIVERGENCES.md #3/#15)."""
+
+import os
+
+import numpy as np
+
+from maniac_tpu.cli import main as cli_main
+
+from fixtures import make_water_box
+
+
+def _run(tmp_path, **kw):
+    d = make_water_box(str(tmp_path / "sys"), n_water=8, L=14.0, cutoff=5.0,
+                       tol=1e-4, probs=(0.3, 0.3, 0.4, 0.0), fugacity=800.0,
+                       nb_block=3, nb_step=40, **kw)
+    out = str(tmp_path / "outputs")
+    assert cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                     "-p", f"{d}/parameters.inc", "-o", out,
+                     "--platform", "cpu", "--dtype", "f64"]) == 0
+    return out
+
+
+def test_energy_dat_columns(tmp_path):
+    out = _run(tmp_path)
+    rows = [l.split() for l in open(f"{out}/energy.dat")
+            if not l.startswith("#")]
+    assert len(rows) == 4                      # block 0 + 3 blocks
+    for r in rows:
+        assert len(r) == 7                     # block + 6 components
+        vals = list(map(float, r))
+        # total == recip + lj + coul + self + intra (kcal/mol; the file
+        # prints 6 decimals, so the identity holds to print precision)
+        assert abs(vals[1] - sum(vals[2:7])) < 5e-6, r
+
+
+def test_moves_dat_full_eleven_columns(tmp_path):
+    out = _run(tmp_path)
+    lines = open(f"{out}/moves.dat").read().splitlines()
+    header = lines[0]
+    for col in ("Trial_Trans", "Trans_Moves", "Trial_Create", "Create_Moves",
+                "Trial_Delete", "Delete_Moves", "Trial_Rotate",
+                "Rotate_Moves", "Trial_Swap", "Swap_Moves"):
+        assert col in header
+    rows = [l.split() for l in lines[1:] if l.strip()]
+    assert all(len(r) == 11 for r in rows)
+    last = list(map(int, rows[-1]))
+    # counters are cumulative and monotone; accepted <= trials per type
+    for t_col, a_col in ((1, 2), (3, 4), (5, 6), (7, 8), (9, 10)):
+        assert last[a_col] <= last[t_col]
+    assert last[1] + last[3] + last[5] + last[7] + last[9] > 0
+
+
+def test_trajectory_timesteps_and_counts(tmp_path):
+    out = _run(tmp_path)
+    text = open(f"{out}/trajectory.lammpstrj").read().splitlines()
+    steps = [int(text[i + 1]) for i, l in enumerate(text)
+             if l.startswith("ITEM: TIMESTEP")]
+    assert steps == [0, 1, 2, 3]   # actual block ids (DIVERGENCES.md #15)
+    counts = [int(text[i + 1]) for i, l in enumerate(text)
+              if l.startswith("ITEM: NUMBER OF ATOMS")]
+    n_rows = [l for l in text if l.startswith("ITEM: ATOMS")]
+    assert len(counts) == 4 and len(n_rows) == 4
+    # atom counts match the number_<RES>.dat series (4 sites per water)
+    series = [int(l.split()[1]) for l in open(f"{out}/number_wat.dat")
+              if not l.startswith("#")]
+    assert counts == [4 * n for n in series]
+
+
+def test_log_status_rows_parse(tmp_path):
+    out = _run(tmp_path)
+    log = open(f"{out}/log.maniac").read().splitlines()
+    idx = [i for i, l in enumerate(log) if "TotEng" in l]
+    assert len(idx) >= 3
+    for i in idx[:3]:
+        fields = log[i + 1].split()
+        int(fields[0])                      # Step
+        for f in fields[1:5]:
+            float(f)                        # TotEng E_vdwl E_coul E_long
