@@ -342,6 +342,73 @@ def _core_kernel(spec: SystemSpec, state: SimState, pre: dict) -> dict:
                 e_lj=e_lj, e_coul=e_coul)
 
 
+def mc_step_group(spec: SystemSpec, states_g: SimState, u_g) -> SimState:
+    """One MC trial for G replicas with the grouped row-compacted kernel
+    (kernels/stepg.py): proposal and bookkeeping stay per-replica (vmapped);
+    the device-heavy core batches G replicas per Pallas program so the LJ
+    pass touches only eps-active footprint rows and the Coulomb pass only
+    charged rows."""
+    pre = jax.vmap(lambda st, uu: _propose(spec, st, uu))(states_g, u_g)
+    core = _core_kernel_grouped(spec, states_g, pre)
+    return jax.vmap(lambda st, uu, p, c: _bookkeep(spec, st, uu, p, c))(
+        states_g, u_g, pre, core)
+
+
+def _core_kernel_grouped(spec: SystemSpec, states_g: SimState,
+                         pre: dict) -> dict:
+    from ..kernels.stepg import mc_step_core_grouped
+    fdt = spec.dtype
+    G = pre["t_old"].shape[0]
+    A_act = spec.A_act
+    Lmax, Qmax = spec.Lmax, spec.Qmax
+    m2f = pre["m2"].astype(fdt)                        # (G, 2, A_act)
+
+    sel_lj_o = spec.lj_sel[pre["t_old"]]               # (G, Lmax, A_act)
+    sel_lj_n = spec.lj_sel[pre["t_new"]]
+    sel_q_o = spec.q_sel[pre["t_old"]]                 # (G, Qmax, A_act)
+    sel_q_n = spec.q_sel[pre["t_new"]]
+
+    P_lj = jnp.concatenate(
+        [jnp.einsum("gla,gad->gld", sel_lj_o, pre["P_old"]),
+         jnp.einsum("gla,gad->gld", sel_lj_n, pre["P_new"])], axis=1)
+    P_q = jnp.concatenate(
+        [jnp.einsum("gqa,gad->gqd", sel_q_o, pre["P_old"]),
+         jnp.einsum("gqa,gad->gqd", sel_q_n, pre["P_new"])], axis=1)
+    ljw = jnp.concatenate(
+        [jnp.einsum("gla,ga->gl", sel_lj_o, m2f[:, 0]),
+         jnp.einsum("gla,ga->gl", sel_lj_n, m2f[:, 1])], axis=1)  # (G, FL)
+    q_o = jnp.einsum("gqa,ga->gq", sel_q_o, pre["q_old"] * m2f[:, 0])
+    q_n = jnp.einsum("gqa,ga->gq", sel_q_n, pre["q_new"] * m2f[:, 1])
+    qw = jnp.concatenate([q_o, q_n], axis=1)           # (G, FQ)
+    wk = jnp.concatenate([-q_o, q_n], axis=1)
+
+    newcols = pre["P_new"].transpose(2, 0, 1).reshape(3, G * A_act)
+    lastcols = pre["last_cols"].transpose(1, 0, 2).reshape(3, G * A_act)
+
+    iscal = jnp.concatenate([
+        jnp.stack([pre["ex_a"], pre["ex_b"],
+                   pre["t_old"] * spec.R + pre["t_new"],
+                   pre["site_start_new"], pre["site_start_old"],
+                   pre["A_new"], pre["A_old"],
+                   pre["w_new"].astype(jnp.int32),
+                   pre["remove_like"].astype(jnp.int32)], axis=1),
+        states_g.n_mol.astype(jnp.int32)], axis=1).astype(jnp.int32)
+    fscal = jnp.stack([
+        pre["s_old"] + pre["i_old"], pre["s_new"] + pre["i_new"],
+        pre["e_recip_old"], pre["pref"], pre["u_acc"],
+        jnp.where(pre["gate"], 1.0, 0.0),
+        jnp.zeros((G,), fdt), jnp.zeros((G,), fdt)], axis=1).astype(fdt)
+
+    amp_re, amp_im, pos, flags = mc_step_core_grouped(
+        spec, states_g.pos, states_g.amp_re, states_g.amp_im,
+        iscal, fscal, P_lj, ljw, P_q, qw, wk, newcols, lastcols)
+    return dict(pos=pos, amp_re=amp_re, amp_im=amp_im,
+                acc=flags[:, 0] > 0.5, accf=flags[:, 0],
+                e_recip_new=flags[:, 1], delta_e=flags[:, 2],
+                e_lj=jnp.stack([flags[:, 3], flags[:, 4]], axis=1),
+                e_coul=jnp.stack([flags[:, 5], flags[:, 6]], axis=1))
+
+
 def _core_xla(spec: SystemSpec, state: SimState, pre: dict) -> dict:
     """Pure-XLA core: the CPU / float64 / triclinic oracle path."""
     fdt = spec.dtype
