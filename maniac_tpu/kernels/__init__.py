@@ -25,6 +25,19 @@ def use_pair_kernel(spec) -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
+def group_size(spec) -> int:
+    """Replicas per program for the grouped row-compacted kernel
+    (kernels/stepg.py): default 16 in the Pallas regime (measured best on
+    v5e; G>=32 hits a Mosaic reshape limit), MANIAC_GROUP=N overrides
+    (0/1 disables). Requires the regular kernel regime, the 8-row LJ slab
+    layout (<=4 LJ-active atoms per molecule), and the replica count to be
+    divisible by G (callers fall back per batch otherwise)."""
+    g = int(os.environ.get("MANIAC_GROUP", "16"))
+    if g <= 1 or not use_pair_kernel(spec) or 2 * spec.Lmax > 8:
+        return 1
+    return g
+
+
 def use_block_kernel(spec) -> bool:
     """Trace-time dispatch for the whole-block Pallas kernel (state stays
     resident in VMEM across all steps of a block; no reservoir). Measured

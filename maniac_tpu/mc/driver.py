@@ -116,6 +116,24 @@ def run_block(spec: SystemSpec, state: SimState, n_steps: int,
     return block_body(spec, state, n_steps, recalibrate)
 
 
+def block_body_group(spec: SystemSpec, states_g: SimState, n_steps: int,
+                     recalibrate: bool) -> SimState:
+    """One block for a GROUP of G replicas sharing each Pallas program
+    (kernels/stepg.py). Per-replica PRNG streams are identical to the
+    ungrouped path, so trajectories match it exactly."""
+    from .moves import N_UNIFORMS, mc_step_group
+    split = jax.vmap(jax.random.split)(states_g.key)      # (G, 2, 2)
+    uniforms = jax.vmap(lambda k: jax.random.uniform(
+        k, (n_steps, N_UNIFORMS), dtype=spec.dtype))(split[:, 1])
+    st = states_g.replace(key=split[:, 0])
+
+    def body(s, u_t):
+        return mc_step_group(spec, s, u_t), None
+
+    st, _ = jax.lax.scan(body, st, jnp.swapaxes(uniforms, 0, 1))
+    return jax.vmap(lambda s: _recalibrate(s, recalibrate, spec.dtype))(st)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def resync(spec: SystemSpec, state: SimState, full: bool = True) -> SimState:
     """Recompute structure factors (and the full energy) from positions."""

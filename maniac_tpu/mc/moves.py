@@ -112,6 +112,22 @@ def mc_step(spec: SystemSpec, state: SimState, key) -> SimState:
 
 
 def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
+    """One MC trial from a row of uniforms: proposal glue, the device-heavy
+    core (Pallas on TPU, XLA elsewhere), then bookkeeping."""
+    pre = _propose(spec, state, u)
+    from ..kernels import use_pair_kernel
+    if use_pair_kernel(spec):
+        core = _core_kernel(spec, state, pre)
+    else:
+        core = _core_xla(spec, state, pre)
+    return _bookkeep(spec, state, u, pre, core)
+
+
+def _propose(spec: SystemSpec, state: SimState, u) -> dict:
+    """Everything up to the energy core: move/type/molecule draws, footprint
+    extraction (one-hot matmuls), proposal geometry, intra/self terms and
+    the acceptance prefactor. Returns the dict consumed by the cores and by
+    _bookkeep."""
     fdt = spec.dtype
     u_move = u[0]
     u_cd = u[1]
@@ -276,77 +292,191 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
     gate = valid & (~cap_blocked)
 
     m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
-    from ..kernels import use_pair_kernel
-    use_kernels = use_pair_kernel(spec)
-    if use_kernels:
-        # fused Pallas core: pair energies + dA(k) + Metropolis + amp/pos
-        # commits in one program per replica (kernels/step.py)
-        from ..kernels.step import mc_step_core_pallas
-        pad = spec.F_pack - 2 * A_act
-        # pack both footprint sides into one (F_pack,) row axis: old | new
-        pt_pack = jnp.pad(jnp.concatenate([P_old.T, P_new.T], axis=1),
-                          ((0, 0), (0, pad)))
-        m2f = m2.astype(fdt)
-        qw_pack = jnp.pad(jnp.concatenate([q_old * m2f[0], q_new * m2f[1]]),
-                          (0, pad))
-        ljw_pack = jnp.pad(jnp.concatenate([m2f[0], m2f[1]]), (0, pad))
-        sgn = jnp.concatenate([jnp.full(A_act, -1.0, fdt),
-                               jnp.ones(spec.F_pack - A_act, fdt)])
-        (amp_re, amp_im, pos, accf, e_recip_new, delta_e, e_lj,
-         e_coul) = mc_step_core_pallas(
-            spec, state.pos, state.amp_re, state.amp_im, state.n_mol,
-            pt_pack, qw_pack, ljw_pack, qw_pack * sgn, last_cols,
-            t_old, t_new, ex_a, ex_b, site_start_new, site_start_old,
-            A_new, A_old, w_new, remove_like,
-            s_old + i_old, s_new + i_new, e_recip_old, pref, u_acc, gate)
-        acc = accf > 0.5
-    else:
-        P = jnp.stack([P_old, P_new])
-        q2 = jnp.stack([q_old, q_new])
-        cls2 = jnp.stack([cls_old, cls_new])
-        e_lj, e_coul = pair_energy_footprint(
-            spec, site_positions(spec, state),
-            active_site_mask(spec, state.n_mol), P, q2, cls2, m2, ex_a, ex_b)
+    return dict(
+        u_acc=u_acc, insert_like=insert_like, remove_like=remove_like,
+        w_old=w_old, w_new=w_new, valid=valid, cap_blocked=cap_blocked,
+        gate=gate, move=move, t_old=t_old, t_new=t_new,
+        A_old=A_old, A_new=A_new, mol_slot_old=mol_slot_old,
+        slot_new=slot_new, m_iota=m_iota,
+        site_start_old=site_start_old, site_start_new=site_start_new,
+        ex_a=ex_a, ex_b=ex_b, P_old=P_old, P_new=P_new, q_old=q_old,
+        q_new=q_new, cls_old=cls_old, cls_new=cls_new, mask_old=mask_old,
+        mask_new=mask_new, m2=m2, last_cols=last_cols, com_new=com_new,
+        com_last=com_last, off_old=off_old, res_pick=res_pick,
+        i_old=i_old, i_new=i_new, s_old=s_old, s_new=s_new,
+        e_recip_old=e_recip_old, pref=pref)
 
-        signs = jnp.stack([-w_old.astype(fdt), w_new.astype(fdt)])
-        d_re, d_im = amp_delta(spec, P, q2, m2, signs)
-        e_other_old = e_lj[0] + e_coul[0] + s_old + i_old
-        e_other_new = e_lj[1] + e_coul[1] + s_new + i_new
-        e_recip_new = e_recip_old + recip_energy_delta(
-            spec, state.amp_re, state.amp_im, d_re, d_im)
-        delta_e = (e_other_new + e_recip_new) - (e_other_old + e_recip_old)
-        p_acc = jnp.minimum(1.0, pref * jnp.exp(-delta_e / spec.temp_K))
-        acc = gate & (u_acc <= p_acc)
-        accf = acc.astype(fdt)
 
-        # ---- state update (functional; reject = keep old) ----------------
-        # All writes are pure arithmetic selects: batched
-        # dynamic_update_slice / .at[] scatters lower to TPU scatters that
-        # measured ~30x slower than the whole energy kernel, and (S, A_act)
-        # one-hot matmuls materialize (B, S, A_act) temporaries - unrolled
-        # per-row selects fuse into one elementwise pass.
-        s_idx = jnp.arange(spec.S, dtype=jnp.int32)
-        rel_new = s_idx - site_start_new
-        rel_old = s_idx - site_start_old
-        do_write = acc & w_new
-        do_compact = acc & remove_like
-        in_new = do_write & (rel_new >= 0) & (rel_new < A_new)    # (S,)
-        in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
-        # compaction first, then the written molecule (new rows win, same
-        # precedence as the previous nested-where; regions only coexist in
-        # swap moves, where they are disjoint since t_old != t_new)
-        pos = _place_cols(rel_old, in_old, last_cols, state.pos)
-        pos = _place_cols(rel_new, in_new, P_new.T, pos)
+def _pack_footprint(spec: SystemSpec, pre: dict):
+    """Pack both footprint sides into one (F_pack,) row axis: old | new."""
+    fdt = spec.dtype
+    A_act = spec.A_act
+    pad = spec.F_pack - 2 * A_act
+    pt_pack = jnp.pad(jnp.concatenate([pre["P_old"].T, pre["P_new"].T],
+                                      axis=1), ((0, 0), (0, pad)))
+    m2f = pre["m2"].astype(fdt)
+    qw_pack = jnp.pad(jnp.concatenate([pre["q_old"] * m2f[0],
+                                       pre["q_new"] * m2f[1]]), (0, pad))
+    ljw_pack = jnp.pad(jnp.concatenate([m2f[0], m2f[1]]), (0, pad))
+    sgn = jnp.concatenate([jnp.full(A_act, -1.0, fdt),
+                           jnp.ones(spec.F_pack - A_act, fdt)])
+    return pt_pack, qw_pack, ljw_pack, qw_pack * sgn
 
-        amp_re = state.amp_re + accf * d_re
-        amp_im = state.amp_im + accf * d_im
 
-    do_write = acc & w_new
+def _core_kernel(spec: SystemSpec, state: SimState, pre: dict) -> dict:
+    """Fused Pallas core: pair energies + dA(k) + Metropolis + amp/pos
+    commits in one program per replica (kernels/step.py)."""
+    from ..kernels.step import mc_step_core_pallas
+    pt_pack, qw_pack, ljw_pack, wk_pack = _pack_footprint(spec, pre)
+    (amp_re, amp_im, pos, accf, e_recip_new, delta_e, e_lj,
+     e_coul) = mc_step_core_pallas(
+        spec, state.pos, state.amp_re, state.amp_im, state.n_mol,
+        pt_pack, qw_pack, ljw_pack, wk_pack, pre["last_cols"],
+        pre["t_old"], pre["t_new"], pre["ex_a"], pre["ex_b"],
+        pre["site_start_new"], pre["site_start_old"],
+        pre["A_new"], pre["A_old"], pre["w_new"], pre["remove_like"],
+        pre["s_old"] + pre["i_old"], pre["s_new"] + pre["i_new"],
+        pre["e_recip_old"], pre["pref"], pre["u_acc"], pre["gate"])
+    return dict(pos=pos, amp_re=amp_re, amp_im=amp_im, acc=accf > 0.5,
+                accf=accf, e_recip_new=e_recip_new, delta_e=delta_e,
+                e_lj=e_lj, e_coul=e_coul)
+
+
+def mc_step_group(spec: SystemSpec, states_g: SimState, u_g) -> SimState:
+    """One MC trial for G replicas with the grouped row-compacted kernel
+    (kernels/stepg.py): proposal and bookkeeping stay per-replica (vmapped);
+    the device-heavy core batches G replicas per Pallas program so the LJ
+    pass touches only eps-active footprint rows and the Coulomb pass only
+    charged rows."""
+    pre = jax.vmap(lambda st, uu: _propose(spec, st, uu))(states_g, u_g)
+    core = _core_kernel_grouped(spec, states_g, pre)
+    return jax.vmap(lambda st, uu, p, c: _bookkeep(spec, st, uu, p, c))(
+        states_g, u_g, pre, core)
+
+
+def _core_kernel_grouped(spec: SystemSpec, states_g: SimState,
+                         pre: dict) -> dict:
+    from ..kernels.stepg import mc_step_core_grouped
+    fdt = spec.dtype
+    G = pre["t_old"].shape[0]
+    A_act = spec.A_act
+    Lmax, Qmax = spec.Lmax, spec.Qmax
+    m2f = pre["m2"].astype(fdt)                        # (G, 2, A_act)
+
+    sel_lj_o = spec.lj_sel[pre["t_old"]]               # (G, Lmax, A_act)
+    sel_lj_n = spec.lj_sel[pre["t_new"]]
+    sel_q_o = spec.q_sel[pre["t_old"]]                 # (G, Qmax, A_act)
+    sel_q_n = spec.q_sel[pre["t_new"]]
+
+    P_lj = jnp.concatenate(
+        [jnp.einsum("gla,gad->gld", sel_lj_o, pre["P_old"]),
+         jnp.einsum("gla,gad->gld", sel_lj_n, pre["P_new"])], axis=1)
+    P_q = jnp.concatenate(
+        [jnp.einsum("gqa,gad->gqd", sel_q_o, pre["P_old"]),
+         jnp.einsum("gqa,gad->gqd", sel_q_n, pre["P_new"])], axis=1)
+    ljw = jnp.concatenate(
+        [jnp.einsum("gla,ga->gl", sel_lj_o, m2f[:, 0]),
+         jnp.einsum("gla,ga->gl", sel_lj_n, m2f[:, 1])], axis=1)  # (G, FL)
+    q_o = jnp.einsum("gqa,ga->gq", sel_q_o, pre["q_old"] * m2f[:, 0])
+    q_n = jnp.einsum("gqa,ga->gq", sel_q_n, pre["q_new"] * m2f[:, 1])
+    qw = jnp.concatenate([q_o, q_n], axis=1)           # (G, FQ)
+    wk = jnp.concatenate([-q_o, q_n], axis=1)
+
+    newcols = pre["P_new"].transpose(2, 0, 1).reshape(3, G * A_act)
+    lastcols = pre["last_cols"].transpose(1, 0, 2).reshape(3, G * A_act)
+
+    iscal = jnp.concatenate([
+        jnp.stack([pre["ex_a"], pre["ex_b"],
+                   pre["t_old"] * spec.R + pre["t_new"],
+                   pre["site_start_new"], pre["site_start_old"],
+                   pre["A_new"], pre["A_old"],
+                   pre["w_new"].astype(jnp.int32),
+                   pre["remove_like"].astype(jnp.int32)], axis=1),
+        states_g.n_mol.astype(jnp.int32)], axis=1).astype(jnp.int32)
+    fscal = jnp.stack([
+        pre["s_old"] + pre["i_old"], pre["s_new"] + pre["i_new"],
+        pre["e_recip_old"], pre["pref"], pre["u_acc"],
+        jnp.where(pre["gate"], 1.0, 0.0),
+        jnp.zeros((G,), fdt), jnp.zeros((G,), fdt)], axis=1).astype(fdt)
+
+    amp_re, amp_im, pos, flags = mc_step_core_grouped(
+        spec, states_g.pos, states_g.amp_re, states_g.amp_im,
+        iscal, fscal, P_lj, ljw, P_q, qw, wk, newcols, lastcols)
+    return dict(pos=pos, amp_re=amp_re, amp_im=amp_im,
+                acc=flags[:, 0] > 0.5, accf=flags[:, 0],
+                e_recip_new=flags[:, 1], delta_e=flags[:, 2],
+                e_lj=jnp.stack([flags[:, 3], flags[:, 4]], axis=1),
+                e_coul=jnp.stack([flags[:, 5], flags[:, 6]], axis=1))
+
+
+def _core_xla(spec: SystemSpec, state: SimState, pre: dict) -> dict:
+    """Pure-XLA core: the CPU / float64 / triclinic oracle path."""
+    fdt = spec.dtype
+    P = jnp.stack([pre["P_old"], pre["P_new"]])
+    q2 = jnp.stack([pre["q_old"], pre["q_new"]])
+    cls2 = jnp.stack([pre["cls_old"], pre["cls_new"]])
+    m2 = pre["m2"]
+    e_lj, e_coul = pair_energy_footprint(
+        spec, site_positions(spec, state),
+        active_site_mask(spec, state.n_mol), P, q2, cls2, m2,
+        pre["ex_a"], pre["ex_b"])
+
+    signs = jnp.stack([-pre["w_old"].astype(fdt), pre["w_new"].astype(fdt)])
+    d_re, d_im = amp_delta(spec, P, q2, m2, signs)
+    e_recip_old = pre["e_recip_old"]
+    e_other_old = e_lj[0] + e_coul[0] + pre["s_old"] + pre["i_old"]
+    e_other_new = e_lj[1] + e_coul[1] + pre["s_new"] + pre["i_new"]
+    e_recip_new = e_recip_old + recip_energy_delta(
+        spec, state.amp_re, state.amp_im, d_re, d_im)
+    delta_e = (e_other_new + e_recip_new) - (e_other_old + e_recip_old)
+    p_acc = jnp.minimum(1.0, pre["pref"] * jnp.exp(-delta_e / spec.temp_K))
+    acc = pre["gate"] & (pre["u_acc"] <= p_acc)
+    accf = acc.astype(fdt)
+
+    # ---- state update (functional; reject = keep old) --------------------
+    # All writes are pure arithmetic selects: batched dynamic_update_slice /
+    # .at[] scatters lower to TPU scatters that measured ~30x slower than
+    # the whole energy kernel, and (S, A_act) one-hot matmuls materialize
+    # (B, S, A_act) temporaries - unrolled per-row selects fuse into one
+    # elementwise pass.
+    s_idx = jnp.arange(spec.S, dtype=jnp.int32)
+    rel_new = s_idx - pre["site_start_new"]
+    rel_old = s_idx - pre["site_start_old"]
+    do_write = acc & pre["w_new"]
+    do_compact = acc & pre["remove_like"]
+    in_new = do_write & (rel_new >= 0) & (rel_new < pre["A_new"])     # (S,)
+    in_old = do_compact & (rel_old >= 0) & (rel_old < pre["A_old"])
+    # compaction first, then the written molecule (new rows win, same
+    # precedence as the previous nested-where; regions only coexist in
+    # swap moves, where they are disjoint since t_old != t_new)
+    pos = _place_cols(rel_old, in_old, pre["last_cols"], state.pos)
+    pos = _place_cols(rel_new, in_new, pre["P_new"].T, pos)
+
+    amp_re = state.amp_re + accf * d_re
+    amp_im = state.amp_im + accf * d_im
+    return dict(pos=pos, amp_re=amp_re, amp_im=amp_im, acc=acc, accf=accf,
+                e_recip_new=e_recip_new, delta_e=delta_e, e_lj=e_lj,
+                e_coul=e_coul)
+
+
+def _bookkeep(spec: SystemSpec, state: SimState, u, pre: dict,
+              core: dict) -> SimState:
+    """COM/population/energy/counter updates + reservoir bookkeeping."""
+    acc = core["acc"]
+    accf = core["accf"]
+    e_lj, e_coul = core["e_lj"], core["e_coul"]
+    insert_like, remove_like = pre["insert_like"], pre["remove_like"]
+    t_old, t_new = pre["t_old"], pre["t_new"]
+    m_iota = pre["m_iota"]
+
+    do_write = acc & pre["w_new"]
     do_compact = acc & remove_like
-    com = jnp.where((do_write & (m_iota == slot_new))[None, :],
-                    com_new[:, None],
-                    jnp.where((do_compact & (m_iota == mol_slot_old))[None, :],
-                              com_last[:, None], state.com))
+    com = jnp.where((do_write & (m_iota == pre["slot_new"]))[None, :],
+                    pre["com_new"][:, None],
+                    jnp.where(
+                        (do_compact
+                         & (m_iota == pre["mol_slot_old"]))[None, :],
+                        pre["com_last"][:, None], state.com))
 
     r_idx = jnp.arange(spec.R + 1, dtype=jnp.int32)
     n_mol = (state.n_mol
@@ -354,32 +484,33 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
              - jnp.where(acc & remove_like & (r_idx == t_old), 1, 0))
 
     comp_delta = jnp.stack([
-        jnp.where(acc, e_recip_new - state.energy[E_RECIP], 0.0),
+        jnp.where(acc, core["e_recip_new"] - state.energy[E_RECIP], 0.0),
         accf * (e_lj[1] - e_lj[0]),
         accf * (e_coul[1] - e_coul[0]),
-        accf * (s_new - s_old),
-        accf * (i_new - i_old),
-        accf * delta_e,
+        accf * (pre["s_new"] - pre["s_old"]),
+        accf * (pre["i_new"] - pre["i_old"]),
+        accf * core["delta_e"],
     ])
     e = state.energy + comp_delta
 
     mv_idx = jnp.arange(N_MOVE_TYPES, dtype=jnp.int32)
-    oh_move = (mv_idx == move)
+    oh_move = (mv_idx == pre["move"])
     counters = state.counters + jnp.stack([
-        jnp.where(oh_move & valid, 1, 0),
+        jnp.where(oh_move & pre["valid"], 1, 0),
         jnp.where(oh_move & acc, 1, 0)]).astype(jnp.int32)
     x_idx = jnp.arange(4, dtype=jnp.int32)
     extras = state.extras + jnp.where(
-        (x_idx == 0) & valid & cap_blocked, 1, 0).astype(jnp.int32)
+        (x_idx == 0) & pre["valid"] & pre["cap_blocked"], 1,
+        0).astype(jnp.int32)
 
-    new_state = state.replace(com=com, pos=pos, n_mol=n_mol,
-                              amp_re=amp_re, amp_im=amp_im, energy=e,
-                              counters=counters, extras=extras)
+    new_state = state.replace(com=com, pos=core["pos"], n_mol=n_mol,
+                              amp_re=core["amp_re"], amp_im=core["amp_im"],
+                              energy=e, counters=counters, extras=extras)
     if spec.has_reservoir:
         new_state = _update_reservoir(
             spec, state, new_state, acc, insert_like, remove_like,
-            t_old, t_new, A_old, A_new, A_act, res_pick, off_old, mask_old,
-            u[18:21])
+            t_old, t_new, pre["A_old"], pre["A_new"], spec.A_act,
+            pre["res_pick"], pre["off_old"], pre["mask_old"], u[18:21])
     return new_state
 
 

@@ -45,7 +45,20 @@ def run_block_replicated(spec: SystemSpec, states: SimState, n_steps: int,
                          recalibrate: bool) -> SimState:
     """One block over all replicas. All replicas advance in lockstep in one
     fused program; with sharded inputs XLA partitions the batch across the
-    mesh with zero collectives (chains are independent)."""
+    mesh with zero collectives (chains are independent). With MANIAC_GROUP
+    set, G replicas share each Pallas program (row-compacted grouped
+    kernel); PRNG streams are identical either way."""
+    from ..kernels import group_size
+    from ..mc.driver import block_body_group
+    B = states.n_mol.shape[0]
+    G = group_size(spec)
+    if G > 1 and B % G == 0:
+        states_g = jax.tree_util.tree_map(
+            lambda x: x.reshape(B // G, G, *x.shape[1:]), states)
+        out = jax.vmap(lambda st: block_body_group(
+            spec, st, n_steps, recalibrate))(states_g)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(B, *x.shape[2:]), out)
     return jax.vmap(lambda st: block_body(spec, st, n_steps, recalibrate))(states)
 
 

@@ -54,6 +54,7 @@ def _round_up(x: int, m: int) -> int:
                       "mol_type", "mol_midx", "mol_site_start",
                       "eps_cls", "sig_cls", "eps_site", "sig2_site",
                       "eps_pair_rows", "sig2_pair_rows",
+                      "lj_sel", "q_sel", "eps_pair_lj", "sig2_pair_lj",
                       "type_A", "type_cap", "type_site_base", "type_mol_base",
                       "type_active", "type_activity", "type_self_energy",
                       "type_template_off", "type_q_rows", "type_cls_rows",
@@ -64,7 +65,7 @@ def _round_up(x: int, m: int) -> int:
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
-                      "kmax_xyz", "amp_shape", "F_pack"])
+                      "kmax_xyz", "amp_shape", "F_pack", "Lmax", "Qmax"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -116,6 +117,16 @@ class SystemSpec:
     # and both footprint sides ride one full-sublane (F_pack, S) VPU pass.
     eps_pair_rows: jnp.ndarray
     sig2_pair_rows: jnp.ndarray
+    # Row-compaction machinery for the grouped kernel: most footprint atoms
+    # carry only LJ or only charge, so the grouped pair pass runs LJ on the
+    # eps-active rows and Coulomb on the charged rows separately.
+    # lj_sel/q_sel: (R, Lmax/Qmax, A_act) 0/1 row selectors per type;
+    # eps_pair_lj/sig2_pair_lj: (R*R*8, S) per-type-pair tables whose
+    # 8-row blocks hold [Lmax rows of t_old | Lmax rows of t_new | pad].
+    lj_sel: jnp.ndarray
+    q_sel: jnp.ndarray
+    eps_pair_lj: jnp.ndarray
+    sig2_pair_lj: jnp.ndarray
     # per-residue-type tables (length R, padded with 0 where needed)
     type_A: jnp.ndarray       # (R,) int32 atoms per molecule
     type_cap: jnp.ndarray     # (R,) int32 capacity
@@ -161,6 +172,8 @@ class SystemSpec:
     kmax_xyz: tuple           # (kx, ky, kz)
     amp_shape: tuple          # (JzP, JxyP): 2-D dense-grid layout
     F_pack: int               # packed footprint rows (2*A_act, sublane-padded)
+    Lmax: int                 # max LJ-active atoms over active types
+    Qmax: int                 # max charged atoms over active types
 
     @property
     def dtype(self):
@@ -358,6 +371,42 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
                 eps_pair_rows[dst] = eps_site[rows]
                 sig2_pair_rows[dst] = sig2_site[rows]
 
+    # row-compaction selectors + compacted LJ tables (grouped kernel)
+    lj_idx = []
+    q_idx = []
+    for r in range(R):
+        A = min(A_list[r], A_act)
+        base_r = class_base[r]
+        lj_idx.append([a for a in range(A)
+                       if np.any(eps_cls[base_r + a] != 0.0)])
+        q_idx.append([a for a in range(A)
+                      if abs(parsed.atom_charges[r][a]) > 1e-10])
+    Lmax = max([len(lj_idx[r]) for r in range(R) if active[r]] + [1])
+    Qmax = max([len(q_idx[r]) for r in range(R) if active[r]] + [1])
+    lj_sel = np.zeros((R, Lmax, A_act))
+    q_sel = np.zeros((R, Qmax, A_act))
+    for r in range(R):
+        for j, a in enumerate(lj_idx[r][:Lmax]):
+            lj_sel[r, j, a] = 1.0
+        for j, a in enumerate(q_idx[r][:Qmax]):
+            q_sel[r, j, a] = 1.0
+    # 8-row (old|new) LJ slabs fit only when each side has <=4 LJ rows;
+    # bigger molecules fall back to the ungrouped kernel (kernels.group_size
+    # gates on Lmax) but the spec must still build.
+    eps_pair_lj = np.zeros((R * R * 8, S))
+    sig2_pair_lj = np.zeros((R * R * 8, S))
+    if 2 * Lmax <= 8:
+        for to in range(R):
+            for tn in range(R):
+                base = (to * R + tn) * 8
+                for side, t in ((0, to), (1, tn)):
+                    for j, a in enumerate(lj_idx[t][:Lmax]):
+                        row = class_base[t] + a
+                        dst = base + side * Lmax + j
+                        eps_pair_lj[dst] = eps_site[row]
+                        sig2_pair_lj[dst] = sig2_site[row]
+
+
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
         H=f(box.matrix), Hinv=f(box.reciprocal), bounds=f(box.bounds),
@@ -376,6 +425,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         eps_cls=f(eps_cls), sig_cls=f(sig_cls),
         eps_site=f(eps_site), sig2_site=f(sig2_site),
         eps_pair_rows=f(eps_pair_rows), sig2_pair_rows=f(sig2_pair_rows),
+        lj_sel=f(lj_sel), q_sel=f(q_sel),
+        eps_pair_lj=f(eps_pair_lj), sig2_pair_lj=f(sig2_pair_lj),
         type_A=jnp.asarray(np.asarray(A_list), dtype=jnp.int32),
         type_cap=jnp.asarray(np.asarray(cap_list), dtype=jnp.int32),
         type_site_base=jnp.asarray(type_site_base),
@@ -398,7 +449,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         dtype_name=fdt.name, has_reservoir=has_res,
         res_cap_list=res_cap_list,
         kmax_xyz=tuple(int(k) for k in ewald.kmax),
-        amp_shape=tuple(ewald.grid2_shape), F_pack=F_pack)
+        amp_shape=tuple(ewald.grid2_shape), F_pack=F_pack,
+        Lmax=Lmax, Qmax=Qmax)
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol

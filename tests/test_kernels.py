@@ -183,3 +183,56 @@ def test_pair_kernel_parity_mixed_sizes(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(st_x.pos), np.asarray(st_p.pos))
     np.testing.assert_allclose(np.asarray(st_x.energy),
                                np.asarray(st_p.energy), atol=0.05)
+
+
+def test_grouped_kernel_parity(tmp_path, monkeypatch):
+    """The grouped row-compacted kernel (kernels/stepg.py, G replicas per
+    program, LJ rows and charged rows in separate compacted passes) must
+    reproduce the per-replica XLA path exactly: same PRNG streams -> same
+    decisions, bit-identical positions."""
+    from maniac_tpu.parallel.replicas import (replicate,
+                                              run_block_replicated)
+
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    spec = sysm.spec
+    states0 = replicate(spec, sysm.state, 8)
+
+    monkeypatch.setenv("MANIAC_PALLAS", "0")
+    monkeypatch.setenv("MANIAC_GROUP", "0")
+    sx = run_block_replicated.__wrapped__(spec, states0, 30, False)
+    monkeypatch.setenv("MANIAC_PALLAS", "1")
+    monkeypatch.setenv("MANIAC_GROUP", "4")
+    sg = run_block_replicated.__wrapped__(spec, states0, 30, False)
+    np.testing.assert_array_equal(np.asarray(sx.n_mol), np.asarray(sg.n_mol))
+    np.testing.assert_array_equal(np.asarray(sx.counters),
+                                  np.asarray(sg.counters))
+    np.testing.assert_array_equal(np.asarray(sx.pos), np.asarray(sg.pos))
+    np.testing.assert_allclose(np.asarray(sx.energy), np.asarray(sg.energy),
+                               atol=0.05)
+
+
+def test_grouped_kernel_parity_mixed_sizes(tmp_path, monkeypatch):
+    """Grouped kernel with unequal footprints + swaps (per-type LJ/charged
+    row sets differ between species)."""
+    from maniac_tpu.systems import make_mixed_sizes
+    from maniac_tpu.parallel.replicas import (replicate,
+                                              run_block_replicated)
+
+    make_mixed_sizes(str(tmp_path), n_water=6, n_dimer=6, L=16.0,
+                     cutoff=6.0, tol=1e-4, probs=(0.2, 0.1, 0.3, 0.4),
+                     fug_w=500.0, fug_d=500.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32)
+    spec = sysm.spec
+    states0 = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_PALLAS", "0")
+    monkeypatch.setenv("MANIAC_GROUP", "0")
+    sx = run_block_replicated.__wrapped__(spec, states0, 40, False)
+    monkeypatch.setenv("MANIAC_PALLAS", "1")
+    monkeypatch.setenv("MANIAC_GROUP", "2")
+    sg = run_block_replicated.__wrapped__(spec, states0, 40, False)
+    np.testing.assert_array_equal(np.asarray(sx.n_mol), np.asarray(sg.n_mol))
+    np.testing.assert_array_equal(np.asarray(sx.pos), np.asarray(sg.pos))
+    np.testing.assert_allclose(np.asarray(sx.energy), np.asarray(sg.energy),
+                               atol=0.05)
