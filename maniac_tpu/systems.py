@@ -228,6 +228,38 @@ def make_lj_gas(outdir, n=32, L=18.0, seed=3, two_species=False, **deck_kw):
     return outdir
 
 
+def make_lj_chain(outdir, n_atoms=6, n_mol=4, L=18.0, bond=1.2, seed=5,
+                  **deck_kw):
+    """Rigid linear chains of n_atoms uncharged LJ sites (one type). With
+    n_atoms > 4 this exceeds the grouped kernel's 8-row LJ slab layout
+    (2*Lmax > 8), exercising the ungrouped fallback."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    atoms = []
+    per_axis = max(2, int(math.ceil(n_mol ** (1 / 3))))
+    spacing = L / per_axis
+    m = 0
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                if m >= n_mol:
+                    break
+                m += 1
+                c = -L / 2 + (np.array([i, j, k]) + 0.5) * spacing
+                R = _random_rotation(rng)
+                axis = R @ np.array([1.0, 0.0, 0.0])
+                for a in range(n_atoms):
+                    p = c + (a - (n_atoms - 1) / 2) * bond * axis
+                    atoms.append((m, 1, 0.0, *p))
+    _write_data(f"{outdir}/topology.data", L, atoms, {1: MASS["LJ"]}, 1)
+    residues = [dict(name="chn", active=True,
+                     fugacity=deck_kw.pop("fugacity", 2.0),
+                     types=[1], names=["A"], nb_atoms=n_atoms)]
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc", [(1, 1, 0.2, 3.0)])
+    return outdir
+
+
 def make_triclinic_water(outdir, n_water=8, L=14.0, tilt=(2.0, 1.2, 0.8),
                          seed=7, **deck_kw):
     """N rigid waters in a TRICLINIC box (LAMMPS convention: a=(lx,0,0),

@@ -236,3 +236,52 @@ def test_grouped_kernel_parity_mixed_sizes(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(sx.pos), np.asarray(sg.pos))
     np.testing.assert_allclose(np.asarray(sx.energy), np.asarray(sg.energy),
                                atol=0.05)
+
+
+def test_group_size_gating(tmp_path, monkeypatch):
+    """group_size fallbacks: explicit 0/1 disables; CPU (no Pallas regime)
+    disables; molecules with >4 LJ-active atoms must both fall back to the
+    ungrouped kernel AND still build a spec (the 8-row LJ slab layout
+    cannot hold them - system.py gates slab construction instead of
+    asserting)."""
+    import dataclasses
+    from maniac_tpu.kernels import group_size
+
+    make_water_box(str(tmp_path), n_water=4, L=14.0, cutoff=5.0, tol=1e-4)
+    spec = _load(str(tmp_path), dtype=jnp.float32).spec
+
+    monkeypatch.setenv("MANIAC_PALLAS", "1")  # pretend-TPU regime
+    monkeypatch.setenv("MANIAC_GROUP", "16")
+    assert group_size(spec) == 16
+    monkeypatch.setenv("MANIAC_GROUP", "0")
+    assert group_size(spec) == 1
+    monkeypatch.setenv("MANIAC_GROUP", "1")
+    assert group_size(spec) == 1
+
+    monkeypatch.setenv("MANIAC_GROUP", "16")
+    monkeypatch.setenv("MANIAC_PALLAS", "0")  # XLA-only regime
+    assert group_size(spec) == 1
+
+    monkeypatch.setenv("MANIAC_PALLAS", "1")
+    big = dataclasses.replace(spec, Lmax=5)   # >4 LJ rows per side
+    assert group_size(big) == 1
+
+
+def test_spec_builds_with_many_lj_sites(tmp_path):
+    """A molecule with >4 LJ-active atoms (grouped kernel's slab limit)
+    must still load and run the full move set through the ungrouped
+    fallback with exact f64 bookkeeping==recompute."""
+    from maniac_tpu.systems import make_lj_chain
+    from maniac_tpu.mc.driver import (drift_report, initialize_state,
+                                      run_block)
+
+    make_lj_chain(str(tmp_path), n_atoms=6, n_mol=4, L=18.0, cutoff=6.0,
+                  fugacity=50.0, probs=(0.3, 0.2, 0.5, 0.0))
+    sysm = _load(str(tmp_path), dtype=jnp.float64)
+    assert sysm.spec.Lmax == 6
+    from maniac_tpu.kernels import group_size
+    assert group_size(sysm.spec) == 1
+
+    state = initialize_state(sysm.spec, sysm.state)
+    state = run_block(sysm.spec, state, 120, True)
+    assert drift_report(sysm.spec, state)["drift_K"] < 1e-6
