@@ -65,6 +65,13 @@ class InputDeck:
     # (re-balances the real/reciprocal Ewald split; the converged
     # total is split-invariant). 0 = use the reference formula.
     ewald_alpha: float = 0.0
+    # TPU-native extension: static-framework split of the guest<->framework
+    # real-space Coulomb term (physics/fwsplit.py). "auto" enables it when
+    # the system is eligible; "on"/"off" force it. fw_alpha2/fw_rcut2
+    # override the automatic short-range split parameters (0 = auto).
+    framework_split: str = "auto"
+    fw_alpha2: float = 0.0
+    fw_rcut2: float = 0.0
     real_space_cutoff: float = 0.0
     translation_step: float = 0.0
     rotation_step_angle: float = 0.0
@@ -102,6 +109,9 @@ _SCALAR_KEYS = {
     "seed": ("seed", int),
     "ewald_tolerance": ("ewald_tolerance", float),
     "ewald_alpha": ("ewald_alpha", float),
+    "framework_split": ("framework_split", str.lower),
+    "fw_alpha2": ("fw_alpha2", float),
+    "fw_rcut2": ("fw_rcut2", float),
     "real_space_cutoff": ("real_space_cutoff", float),
     "translation_step": ("translation_step", float),
     "rotation_step_angle": ("rotation_step_angle", float),
@@ -204,6 +214,8 @@ def parse_deck(path: str, logger: Logger | None = None) -> InputDeck:
 
 
 def _validate(deck: InputDeck, seen: set[str], logger: Logger) -> None:
+    if deck.framework_split not in ("auto", "on", "off"):
+        logger.abort("Invalid framework_split: must be auto, on or off")
     for res in deck.residues:
         if res.active and res.fugacity < 0.0:
             logger.abort(

@@ -72,6 +72,9 @@ def snapshot(spec, state, replica: int | None = None,
     for r in range(spec.R):
         cap, A = caps[r], spec.A_list[r]
         n = int(n_mol[r])
+        if absolute:
+            # primary layout: per-type site bases are 128-aligned
+            site_base = spec.site_base_list[r]
         coms.append(com_flat[mol_base:mol_base + n])
         rows = off_flat[site_base:site_base + n * A].reshape(n, A, 3)
         if absolute:

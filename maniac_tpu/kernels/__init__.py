@@ -19,6 +19,11 @@ def use_pair_kernel(spec) -> bool:
         return False
     if spec.is_triclinic or spec.dtype_name != "float32":
         return False  # XLA path: 27-image search / f64 precision oracle
+    if spec.fw_split and (int(os.environ.get("MANIAC_GROUP", "16")) <= 1
+                          or 2 * spec.Lmax > 8):
+        # only the grouped kernel implements the static-framework split;
+        # without it the XLA path (which does) must be used
+        return False
     if mode == "1":
         return True
     import jax
@@ -49,4 +54,4 @@ def use_block_kernel(spec) -> bool:
     if os.environ.get("MANIAC_PALLAS", "auto") != "block":
         return False
     return (not spec.is_triclinic and spec.dtype_name == "float32"
-            and not spec.has_reservoir)
+            and not spec.has_reservoir and not spec.fw_split)

@@ -1,5 +1,5 @@
 """Grouped Pallas step core: G replicas per program + LJ/Coulomb row
-compaction.
+compaction + static-framework spatial windows + far-field grid.
 
 The per-replica kernel (kernels/step.py) computes LJ AND Coulomb formulas
 on every footprint row of an (F_pack, S) tile, but most atoms carry only
@@ -7,17 +7,28 @@ one of the two (TIP4P water: 1 LJ site, 3 charged sites), and shrinking
 rows below 8 buys nothing at the VPU's (8, 128) tile granularity. Batching
 G replicas per program makes compaction pay: this kernel runs
 
-  * one LJ pass over (G * 2*Lmax, S) rows (eps-active atoms only),
-  * one Coulomb pass over (G * 2*Qmax, S) rows (charged atoms only),
+  * one LJ pass over (G * 2*Lmax, cols) rows (eps-active atoms only),
+  * one Coulomb pass over (G * 2*Qmax, cols) rows (charged atoms only),
   * per-replica k-space delta + Metropolis + in-place commits.
 
-All pair work is plain 2-D (rows, S) vector code - the replica-expanded
+With the static-framework split (spec.fw_split, physics/fwsplit.py) the
+column space shrinks dramatically: the framework never moves, so its sites
+live in a sort-axis-ordered ghost-padded SPEC table and each (replica,
+side) touches only a spatial window of it - a dynamic lane slice whose
+start is precomputed in the XLA glue from the side's COM. The guest
+columns (the only mutable ones) are the [guest_base, S) suffix of the
+site array. The framework's long-range Coulomb response beyond the short
+window is the precomputed far-field coefficient grid, contracted against
+all G replicas' footprint phase tables in one MXU pass (the same separable
+machinery as the main dense k-grid).
+
+All pair work is plain 2-D (rows, cols) vector code - the replica-expanded
 site rows are materialized with sublane broadcasts (rank-3 broadcast forms
 compile to slower Mosaic code and hit relayout failures on lane
 reductions).
 
-Same physics as kernels/step.py / mc/moves.py (the XLA path remains the
-oracle; parity is pinned in tests/test_kernels.py)."""
+Same physics as the XLA path in mc/moves.py + physics/energy.py (which
+remains the oracle; parity is pinned in tests/test_kernels.py)."""
 
 from __future__ import annotations
 
@@ -36,7 +47,9 @@ _R2_FLOOR = 1e-18
 
 def _stepg_kernel(
         iscal_ref,       # VMEM (G, W) int32: ex_a, ex_b, pid, start_new,
-                         #   start_old, A_new, A_old, w_new, remove, n_mol..
+                         #   start_old, A_new, A_old, w_new, remove,
+                         #   n_mol[R+1], wstartL0, wstartL1, wstartC0,
+                         #   wstartC1 (fw window block starts)
         fscal_ref,       # VMEM (G, 8) f32: e_rest_old, e_rest_new,
                          #   e_recip_old, pref, u_acc, gate, 0, 0
         ptlj_ref,        # VMEM (3, G*FL) LJ-row positions, g-major
@@ -46,69 +59,99 @@ def _stepg_kernel(
         wk_ref,          # VMEM (1, G*FQ) k-delta weights (signed)
         newcols_ref,     # VMEM (3, G*A_act) P_new columns per replica
         lastcols_ref,    # VMEM (3, G*A_act) compaction columns per replica
-        const_ref,       # VMEM (1, 16) f32 shared: invL L alpha rc2 ck invT c2piv
+        const_ref,       # VMEM (1, 16) f32 shared: invL L alpha rc2 ck invT
+                         #   c2piv alpha2 rc2sq2 fw_d0
         h2pi_ref,        # VMEM (3, 3) shared
         ex_ref, ey_ref,  # VMEM expansions, shared
         kw_ref,          # VMEM (JzP, JxyP) shared
         epslj_ref,       # VMEM (R*R*8, S) shared compacted LJ rows
         sig2lj_ref,      # VMEM (R*R*8, S) shared
         site_q_ref, site_mol_ref, site_type_ref, site_midx_ref,  # (1, S)
+        fwpq_ref,        # VMEM (4, SG) ghosted sorted framework x/y/z/q
+        fweps_ref,       # VMEM (R*R*8, SG)
+        fwsig2_ref,      # VMEM (R*R*8, SG)
+        c2cat_ref,       # VMEM (2*Jz2P, 2*Jxy2P) far-field coefficients
+        ex2_ref, ey2_ref,  # VMEM grid2 expansions
         amp_re_ref, amp_im_ref, pos_ref,   # (G,JzP,JxyP) x2, (G,3,S) aliased
         amp_re_out, amp_im_out, pos_out,
         flags_out,       # VMEM (G, 8)
         *, G: int, R: int, S: int, FL: int, FQ: int, A_act: int, Lmax: int,
-        Qmax: int, kx: int, ky: int, kz: int, JzP: int):
+        Qmax: int, kx: int, ky: int, kz: int, JzP: int,
+        fw_on: bool, gbase: int, SG: int, WL: int, WC: int,
+        kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int):
     f32 = amp_re_ref.dtype
     inv_l = (const_ref[0, 0], const_ref[0, 1], const_ref[0, 2])
     ll = (const_ref[0, 3], const_ref[0, 4], const_ref[0, 5])
     alpha, rc2 = const_ref[0, 6], const_ref[0, 7]
     coulomb_k, inv_t, c2piv = (const_ref[0, 8], const_ref[0, 9],
                                const_ref[0, 10])
+    alpha2, rc2sq2, fw_d0 = (const_ref[0, 11], const_ref[0, 12],
+                             const_ref[0, 13])
+    cols0 = gbase if fw_on else 0          # first mutable (guest) column
+    GS = S - cols0
+    i_nm = 9                               # iscal col of n_mol[0]
+    i_w = 9 + R + 1                        # iscal col of the window starts
 
-    # ---- shared per-replica keep masks (1 = live site, not excluded) -----
-    midx = site_midx_ref[0, :]
-    stype = site_type_ref[0, :]
-    smol = site_mol_ref[0, :]
+    # ---- shared per-replica keep masks on guest cols (1 = live site) ----
+    midx = site_midx_ref[0, cols0:]
+    stype = site_type_ref[0, cols0:]
+    smol = site_mol_ref[0, cols0:]
     keeps = []
     for g in range(G):
-        nsel = jnp.full((S,), iscal_ref[g, 9], jnp.int32) * (stype == 0)
+        nsel = jnp.full((GS,), iscal_ref[g, i_nm], jnp.int32) * (stype == 0)
         for r in range(1, R):
-            nsel = jnp.where(stype == r, iscal_ref[g, 9 + r], nsel)
+            nsel = jnp.where(stype == r, iscal_ref[g, i_nm + r], nsel)
         kg = ((midx < nsel) & (smol != iscal_ref[g, 0])
               & (smol != iscal_ref[g, 1]))
         keeps.append(kg.astype(jnp.int32)[None, :])  # int rows: bool
         # concatenation lowers to an invalid i1 vreg bitcast in Mosaic
 
-    # replica-expanded 2-D operands: each replica's (1, S) row broadcast to
-    # its F footprint sublanes, all replicas stacked g-major
+    # replica-expanded 2-D guest operands: each replica's (1, GS) row
+    # broadcast to its F footprint sublanes, all replicas stacked g-major.
+    # Rows come off a MULTI-row ref slice (pg) - Mosaic cannot broadcast a
+    # single-row slice whose lane offset is not vreg-aligned; keep masks go
+    # through a multiply (implicit broadcasts are supported)
     def expand(F):
+        ones = None
         xs, ys, zs, ks = [], [], [], []
         for g in range(G):
-            xs.append(jnp.broadcast_to(pos_ref[g][0:1, :], (F, S)))
-            ys.append(jnp.broadcast_to(pos_ref[g][1:2, :], (F, S)))
-            zs.append(jnp.broadcast_to(pos_ref[g][2:3, :], (F, S)))
-            ks.append(jnp.broadcast_to(keeps[g], (F, S)))
+            pg = pos_ref[g][:, cols0:]                      # (3, GS)
+            xs.append(jnp.broadcast_to(pg[0:1, :], (F, GS)))
+            ys.append(jnp.broadcast_to(pg[1:2, :], (F, GS)))
+            zs.append(jnp.broadcast_to(pg[2:3, :], (F, GS)))
+            if ones is None:
+                ones = jnp.ones((F, 1), keeps[g].dtype)
+            ks.append(keeps[g] * ones)
         return (jnp.concatenate(xs, 0), jnp.concatenate(ys, 0),
                 jnp.concatenate(zs, 0), jnp.concatenate(ks, 0))
 
-    def pair_r2(pt_ref, x1, y1, z1):
+    def pair_r2(pt_ref, x1, y1, z1, image_axis_mask=(True, True, True)):
         px = pt_ref[0, :][:, None]                          # (G*F, 1)
         py = pt_ref[1, :][:, None]
         pz = pt_ref[2, :][:, None]
         dx = x1 - px
         dy = y1 - py
         dz = z1 - pz
-        dx = dx - ll[0] * jnp.round(dx * inv_l[0])
-        dy = dy - ll[1] * jnp.round(dy * inv_l[1])
-        dz = dz - ll[2] * jnp.round(dz * inv_l[2])
+        if image_axis_mask[0]:
+            dx = dx - ll[0] * jnp.round(dx * inv_l[0])
+        if image_axis_mask[1]:
+            dy = dy - ll[1] * jnp.round(dy * inv_l[1])
+        if image_axis_mask[2]:
+            dz = dz - ll[2] * jnp.round(dz * inv_l[2])
         return jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
 
-    # ---- LJ pass on (G*FL, S) --------------------------------------------
+    # the framework ghost table handles its own periodic images along the
+    # sort axis; min-imaging dz there would remap far ghosts ONTO sites
+    # already in the window (double counting)
+    fw_imask = tuple(ax != fw_axis for ax in range(3))
+
+    # ---- LJ pass: guest cols + framework window ---------------------------
     epsl, sig2l = [], []
     for g in range(G):
-        epsl.append(epslj_ref[pl.ds(iscal_ref[g, 2] * 8, 8), :][:FL, :])
-        sig2l.append(sig2lj_ref[pl.ds(iscal_ref[g, 2] * 8, 8), :][:FL, :])
-    eps = jnp.concatenate(epsl, axis=0)                     # (G*FL, S)
+        pid8 = iscal_ref[g, 2] * 8
+        epsl.append(epslj_ref[pl.ds(pid8, 8), cols0:][:FL, :])
+        sig2l.append(sig2lj_ref[pl.ds(pid8, 8), cols0:][:FL, :])
+    eps = jnp.concatenate(epsl, axis=0)                     # (G*FL, GS)
     sig2 = jnp.concatenate(sig2l, axis=0)
     xL, yL, zL, keepL = expand(FL)
     r2 = pair_r2(ptlj_ref, xL, yL, zL)
@@ -120,15 +163,101 @@ def _stepg_kernel(
     lj_rows = jnp.sum(jnp.where(ljsel, lj, 0.0), axis=1,
                       keepdims=True)                        # (G*FL, 1)
 
-    # ---- Coulomb pass on (G*FQ, S) ---------------------------------------
+    if fw_on:
+        fx, fy, fz, feps, fsig2 = [], [], [], [], []
+        for g in range(G):
+            pid8 = iscal_ref[g, 2] * 8
+            for side in range(2):
+                c0 = iscal_ref[g, i_w + side] * 128
+                blk = fwpq_ref[:, pl.ds(c0, WL)]            # (4, WL)
+                fx.append(jnp.broadcast_to(blk[0:1, :], (Lmax, WL)))
+                fy.append(jnp.broadcast_to(blk[1:2, :], (Lmax, WL)))
+                fz.append(jnp.broadcast_to(blk[2:3, :], (Lmax, WL)))
+                feps.append(fweps_ref[pl.ds(pid8 + side * Lmax, Lmax),
+                                      pl.ds(c0, WL)])
+                fsig2.append(fwsig2_ref[pl.ds(pid8 + side * Lmax, Lmax),
+                                        pl.ds(c0, WL)])
+        fxc = jnp.concatenate(fx, 0)                        # (G*FL, WL)
+        fyc = jnp.concatenate(fy, 0)
+        fzc = jnp.concatenate(fz, 0)
+        fepsc = jnp.concatenate(feps, 0)
+        fsig2c = jnp.concatenate(fsig2, 0)
+        r2f = pair_r2(ptlj_ref, fxc, fyc, fzc, fw_imask)
+        sr2f = fsig2c / r2f
+        sr6f = sr2f * sr2f * sr2f
+        ljf = 4.0 * fepsc * (sr6f * sr6f - sr6f)
+        self_f = (r2f < rc2) & (ljw_ref[0, :][:, None] > 0.0)
+        lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0), axis=1,
+                                    keepdims=True)
+
+    # ---- Coulomb pass: guest cols + framework window ----------------------
     xQ, yQ, zQ, keepQ = expand(FQ)
     r2q = pair_r2(ptq_ref, xQ, yQ, zQ)
     inv_r = jax.lax.rsqrt(r2q)
-    sq = site_q_ref[0, :][None, :]
+    sq = site_q_ref[0, cols0:][None, :]
     coul = (qw_ref[0, :][:, None] * sq
             * _erfc(alpha * (r2q * inv_r)) * inv_r)
     c_rows = jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
                      keepdims=True)                         # (G*FQ, 1)
+
+    if fw_on:
+        cx, cy, cz, cq = [], [], [], []
+        for g in range(G):
+            for side in range(2):
+                c0 = iscal_ref[g, i_w + 2 + side] * 128
+                blk = fwpq_ref[:, pl.ds(c0, WC)]            # (4, WC)
+                cx.append(jnp.broadcast_to(blk[0:1, :], (Qmax, WC)))
+                cy.append(jnp.broadcast_to(blk[1:2, :], (Qmax, WC)))
+                cz.append(jnp.broadcast_to(blk[2:3, :], (Qmax, WC)))
+                cq.append(jnp.broadcast_to(blk[3:4, :], (Qmax, WC)))
+        cxc = jnp.concatenate(cx, 0)                        # (G*FQ, WC)
+        cyc = jnp.concatenate(cy, 0)
+        czc = jnp.concatenate(cz, 0)
+        cqc = jnp.concatenate(cq, 0)
+        r2c = pair_r2(ptq_ref, cxc, cyc, czc, fw_imask)
+        inv_rc = jax.lax.rsqrt(r2c)
+        coulf = (qw_ref[0, :][:, None] * cqc
+                 * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
+        c_rows = c_rows + jnp.sum(jnp.where(r2c < rc2sq2, coulf, 0.0),
+                                  axis=1, keepdims=True)
+
+    # ---- far-field grid term (all G replicas in one MXU contraction) ------
+    if fw_on:
+        th_all = jnp.dot(h2pi_ref[:, :], ptq_ref[:, :],
+                         preferred_element_type=f32)        # (3, G*FQ)
+        cA, sA = jnp.cos(th_all), jnp.sin(th_all)
+        qwrow = qw_ref[0:1, :]                              # (1, G*FQ)
+        rex2, imx2 = _powers(cA[0:1, :], sA[0:1, :], kx2)
+        rey2, imy2 = _powers(cA[1:2, :], sA[1:2, :], ky2)
+        rez2, imz2 = _powers(cA[2:3, :], sA[2:3, :], kz2)
+        px2 = jnp.concatenate(
+            [jnp.concatenate([r * qwrow for r in rex2], axis=0),
+             jnp.concatenate([r * qwrow for r in imx2], axis=0)],
+            axis=1)                                         # (Jx2, 2*GFQ)
+        py2T_re, py2T_im = _signed_table(rey2, imy2, ky2)
+        py2 = jnp.concatenate([py2T_re, py2T_im], axis=1)   # (Jy2, 2*GFQ)
+        pz2T_re, pz2T_im = _signed_table(rez2, imz2, kz2, pad_to=Jz2P)
+
+        def dotT(a, b):
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+
+        GFQ = G * FQ
+        xe2 = dotT(px2, ex2_ref[:, :])                      # (2*GFQ, Jxy2P)
+        ye2 = dotT(py2, ey2_ref[:, :])
+        t2_re = xe2[:GFQ] * ye2[:GFQ] - xe2[GFQ:] * ye2[GFQ:]
+        t2_im = xe2[:GFQ] * ye2[GFQ:] + xe2[GFQ:] * ye2[:GFQ]
+        t2_cat = jnp.concatenate([t2_re, t2_im], axis=1)    # (GFQ, 2*Jxy2P)
+        # M1 = c_re @ t_re^T + c_im @ t_im^T ; M2 = c_im @ t_re^T - c_re @
+        # t_im^T (c2cat rows pack both) - contraction over the lane axis
+        M = jax.lax.dot_general(c2cat_ref[:, :], t2_cat,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)  # (2*Jz2P, GFQ)
+        efar = jnp.sum(pz2T_re * M[:Jz2P] + pz2T_im * M[Jz2P:],
+                       axis=0, keepdims=True)               # (1, GFQ)
+        efar = efar + fw_d0 * qwrow
+    else:
+        efar = None
 
     # ---- per-replica: k-space delta + Metropolis + commits -----------------
     def dotT(a, b):
@@ -141,6 +270,9 @@ def _stepg_kernel(
         e_lj1 = jnp.sum(lj_rows[g * FL + Lmax:(g + 1) * FL, :])
         e_c0 = jnp.sum(c_rows[g * FQ:g * FQ + Qmax, :]) * coulomb_k
         e_c1 = jnp.sum(c_rows[g * FQ + Qmax:(g + 1) * FQ, :]) * coulomb_k
+        if fw_on:
+            e_c0 = e_c0 + jnp.sum(efar[0:1, g * FQ:g * FQ + Qmax])
+            e_c1 = e_c1 + jnp.sum(efar[0:1, g * FQ + Qmax:(g + 1) * FQ])
 
         th = jnp.dot(h2pi_ref[:, :], ptq_ref[:, g * FQ:(g + 1) * FQ],
                      preferred_element_type=f32)            # (3, FQ)
@@ -185,7 +317,9 @@ def _stepg_kernel(
         amp_re_out[g] = ar + accf * d_re
         amp_im_out[g] = ai + accf * d_im
 
-        s_idx = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)[0, :]
+        # commits touch only guest columns; frozen columns copy through
+        s_idx = (jax.lax.broadcasted_iota(jnp.int32, (1, GS), 1)[0, :]
+                 + cols0)
         start_new = iscal_ref[g, 3]
         start_old = iscal_ref[g, 4]
         A_new = iscal_ref[g, 5]
@@ -196,7 +330,7 @@ def _stepg_kernel(
         rel_old = s_idx - start_old
         in_new = do_write & (rel_new >= 0) & (rel_new < A_new)
         in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
-        out = pos_ref[g]
+        out = pos_ref[g][:, cols0:]
         for a in range(A_act):
             sel_o = ((rel_old == a) & in_old)[None, :]
             out = jnp.where(sel_o,
@@ -205,7 +339,11 @@ def _stepg_kernel(
             sel_n = ((rel_new == a) & in_new)[None, :]
             out = jnp.where(sel_n,
                             newcols_ref[:, g * A_act + a][:, None], out)
-        pos_out[g] = out
+        if cols0:
+            pos_out[g, :, :cols0] = pos_ref[g][:, :cols0]
+            pos_out[g, :, cols0:] = out
+        else:
+            pos_out[g] = out
 
         flag_rows.append(jnp.stack([accf, e_recip_new, delta_e,
                                     e_lj0, e_lj1, e_c0, e_c1, p_acc]))
@@ -218,13 +356,17 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
                          newcols, lastcols, *, interpret=False):
     """Grouped core for G replicas (the caller vmaps over B // G groups).
     pos_g (G,3,S), amp_* (G,JzP,JxyP); ptlj/ptq are (G, F, 3), ljw/qw
-    (G, F), wk (G, FQ). Returns (amp_re', amp_im', pos', flags (G, 8))."""
+    (G, F), wk (G, FQ). iscal (G, W) carries the fw window block starts in
+    its last 4 columns when spec.fw_split. Returns
+    (amp_re', amp_im', pos', flags (G, 8))."""
     G = pos_g.shape[0]
     JzP, JxyP = spec.amp_shape
     S = spec.S
     FL = 2 * spec.Lmax
     FQ = 2 * spec.Qmax
     kx, ky, kz = spec.kmax_xyz
+    kx2, ky2, kz2 = spec.kmax2_xyz
+    Jz2P, _ = spec.amp2_shape
     f = spec.dtype
     if not interpret:
         interpret = jax.devices()[0].platform == "cpu"
@@ -233,12 +375,16 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
         1.0 / spec.box_diag, spec.box_diag,
         jnp.stack([spec.alpha, spec.cutoff * spec.cutoff,
                    jnp.asarray(COULOMB_K, f), 1.0 / spec.temp_K,
-                   COULOMB_K * TWOPI / spec.volume]),
-        jnp.zeros(5, f)]).astype(f).reshape(1, 16)
+                   COULOMB_K * TWOPI / spec.volume,
+                   spec.alpha2, spec.rcut2 * spec.rcut2, spec.fw_d0]),
+        jnp.zeros(2, f)]).astype(f).reshape(1, 16)
 
     kernel = functools.partial(
         _stepg_kernel, G=G, R=spec.R, S=S, FL=FL, FQ=FQ, A_act=spec.A_act,
-        Lmax=spec.Lmax, Qmax=spec.Qmax, kx=kx, ky=ky, kz=kz, JzP=JzP)
+        Lmax=spec.Lmax, Qmax=spec.Qmax, kx=kx, ky=ky, kz=kz, JzP=JzP,
+        fw_on=spec.fw_split, gbase=spec.guest_base, SG=spec.fw_SG,
+        WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
+        Jz2P=Jz2P, fw_axis=spec.fw_axis)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re2, amp_im2, pos2, flags = pl.pallas_call(
         kernel,
@@ -246,9 +392,9 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
                    jax.ShapeDtypeStruct((G, JzP, JxyP), f),
                    jax.ShapeDtypeStruct((G, 3, S), f),
                    jax.ShapeDtypeStruct((G, 8), f)),
-        in_specs=[vmem] * 23,
+        in_specs=[vmem] * 29,
         out_specs=(vmem,) * 4,
-        input_output_aliases={20: 0, 21: 1, 22: 2},
+        input_output_aliases={26: 0, 27: 1, 28: 2},
         interpret=interpret,
     )(iscal, fscal,
       ptlj.transpose(2, 0, 1).reshape(3, G * FL), ljw.reshape(1, G * FL),
@@ -258,5 +404,7 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
       spec.eps_pair_lj, spec.sig2_pair_lj,
       spec.site_q.reshape(1, S), spec.site_mol.reshape(1, S),
       spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S),
+      spec.fw_pq_g, spec.fw_eps_g, spec.fw_sig2_g,
+      spec.c2_cat, spec.ex2_sel, spec.ey2_sel,
       amp_re_g, amp_im_g, pos_g)
     return amp_re2, amp_im2, pos2, flags

@@ -117,7 +117,14 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
     pre = _propose(spec, state, u)
     from ..kernels import use_pair_kernel
     if use_pair_kernel(spec):
-        core = _core_kernel(spec, state, pre)
+        if spec.fw_split:
+            # only the grouped core implements the framework split; run it
+            # with a single-replica group
+            lead = jax.tree_util.tree_map(lambda x: x[None], (state, pre))
+            core = _core_kernel_grouped(spec, lead[0], lead[1])
+            core = jax.tree_util.tree_map(lambda x: x[0], core)
+        else:
+            core = _core_kernel(spec, state, pre)
     else:
         core = _core_xla(spec, state, pre)
     return _bookkeep(spec, state, u, pre, core)
@@ -291,8 +298,30 @@ def _propose(spec: SystemSpec, state: SimState, u) -> dict:
                             no / (spec.type_activity[t_old] * V), 1.0)
     gate = valid & (~cap_blocked)
 
+    # static-framework window block starts (kernels/stepg.py): the side's
+    # COM along the sort axis determines which contiguous run of the
+    # ghost-sorted framework table covers its cutoff sphere
+    if spec.fw_split:
+        nb_tot = spec.fw_SG // 128
+        bm = spec.fw_blockmax
+
+        def wstart(z0, rcw, W):
+            st = jnp.sum((bm < z0 - rcw).astype(jnp.int32))
+            return jnp.clip(st, 0, nb_tot - W // 128)
+
+        z_old = com_old[spec.fw_axis]
+        z_new = com_new[spec.fw_axis]
+        fw_starts = jnp.stack([
+            wstart(z_old, spec.fw_rcw_lj, spec.fw_WL),
+            wstart(z_new, spec.fw_rcw_lj, spec.fw_WL),
+            wstart(z_old, spec.fw_rcw_c, spec.fw_WC),
+            wstart(z_new, spec.fw_rcw_c, spec.fw_WC)])
+    else:
+        fw_starts = jnp.zeros(4, jnp.int32)
+
     m2 = jnp.stack([mask_old & w_old, mask_new & w_new])
     return dict(
+        fw_starts=fw_starts,
         u_acc=u_acc, insert_like=insert_like, remove_like=remove_like,
         w_old=w_old, w_new=w_new, valid=valid, cap_blocked=cap_blocked,
         gate=gate, move=move, t_old=t_old, t_new=t_new,
@@ -392,7 +421,8 @@ def _core_kernel_grouped(spec: SystemSpec, states_g: SimState,
                    pre["A_new"], pre["A_old"],
                    pre["w_new"].astype(jnp.int32),
                    pre["remove_like"].astype(jnp.int32)], axis=1),
-        states_g.n_mol.astype(jnp.int32)], axis=1).astype(jnp.int32)
+        states_g.n_mol.astype(jnp.int32),
+        pre["fw_starts"]], axis=1).astype(jnp.int32)
     fscal = jnp.stack([
         pre["s_old"] + pre["i_old"], pre["s_new"] + pre["i_new"],
         pre["e_recip_old"], pre["pref"], pre["u_acc"],

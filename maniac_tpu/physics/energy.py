@@ -76,11 +76,27 @@ def pair_energy_footprint(spec: SystemSpec, others_pos, others_mask,
     lj_mask = mask & (r2 < spec.cutoff * spec.cutoff)
     e_lj = jnp.sum(jnp.where(lj_mask, lj, 0.0), axis=(1, 2))
 
-    # damped Coulomb (no cutoff; reference quirk)
+    # damped Coulomb (no cutoff vs mobile sites; reference quirk). With the
+    # static-framework split (physics/fwsplit.py) frozen columns instead get
+    # the short-ranged erfc(alpha2 r)/r (cut at rcut2) and the far-field
+    # grid term D(r) per footprint atom - same total to the measured split
+    # accuracy, identical across the XLA and Pallas paths by construction.
     inv_r = jnp.sqrt(inv_r2)
+    r = r2 * inv_r
     qq = mov_q[:, :, None] * spec.site_q[None, None, :]
-    coul = qq * erfc(spec.alpha * r2 * inv_r) * inv_r
-    e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2)) * COULOMB_K
+    if spec.fw_split:
+        frozen = (jnp.arange(spec.S) < spec.S_frozen)[None, None, :]
+        coul_short = (qq * erfc(spec.alpha2 * r) * inv_r
+                      * (r2 < spec.rcut2 * spec.rcut2))
+        coul = jnp.where(frozen, coul_short, qq * erfc(spec.alpha * r) * inv_r)
+        e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2))
+        w = mov_q * mov_mask
+        e_far = jax.vmap(lambda p, wb: fw_far_energy(spec, p, wb))(
+            mov_pos, w.astype(mov_pos.dtype))
+        e_coul = e_coul * COULOMB_K + e_far
+    else:
+        coul = qq * erfc(spec.alpha * r) * inv_r
+        e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2)) * COULOMB_K
     return e_lj, e_coul
 
 
@@ -123,7 +139,7 @@ def amp_delta_direct(spec: SystemSpec, pos, q, mask, signs):
     return d_re.reshape(spec.amp_shape), d_im.reshape(spec.amp_shape)
 
 
-def _axis_phase_tables(spec: SystemSpec, theta):
+def _axis_phase_tables(spec: SystemSpec, theta, kmax_xyz=None):
     """Per-axis complex phase power tables over the dense-grid index ranges.
 
     theta: (N, 3) phase angles 2*pi*frac(r). Returns
@@ -134,7 +150,7 @@ def _axis_phase_tables(spec: SystemSpec, theta):
     One cos/sin per atom per axis; powers by repeated complex multiply
     (the reference caches equivalent tables per molecule slot and copies
     them for rollback, src/ewald_phase.f90:90-183 - we recompute)."""
-    kx, ky, kz = spec.kmax_xyz
+    kx, ky, kz = kmax_xyz if kmax_xyz is not None else spec.kmax_xyz
     kmax = max(kx, ky, kz)
     c1, s1 = jnp.cos(theta), jnp.sin(theta)               # (N, 3)
 
@@ -158,22 +174,27 @@ def _axis_phase_tables(spec: SystemSpec, theta):
     return px, signed(1, ky), signed(2, kz)
 
 
-def _separable_amp(spec: SystemSpec, theta, w):
+def _separable_amp(spec: SystemSpec, theta, w, grid=None):
     """A[jz, jxy] = sum_n w_n e^{i(jx tx + jy ty + jz tz)} on the 2-D dense
     grid (JzP, JxyP). theta: (N,3), w: (N,). Two static expansion matmuls
     plus one (JzP, N)@(N, JxyP) contraction on the MXU - no gathers,
     no one-hot k-selectors, no (N, K) transcendentals, and (critically for
     the Pallas step kernel, which inlines the same computation) no
-    reshapes or transposed layouts anywhere."""
+    reshapes or transposed layouts anywhere.
+
+    grid: optional (kmax_xyz, ex_sel, ey_sel, JzP) overriding the main
+    k-grid - used for the static-framework far-field grid (fwsplit)."""
+    if grid is None:
+        grid = (spec.kmax_xyz, spec.ex_sel, spec.ey_sel, spec.amp_shape[0])
+    kmax_xyz, ex_sel, ey_sel, JzP = grid
     (px_re, px_im), (py_re, py_im), (pz_re, pz_im) = \
-        _axis_phase_tables(spec, theta)
-    JzP, _ = spec.amp_shape
+        _axis_phase_tables(spec, theta, kmax_xyz)
     px_re = px_re * w[:, None]
     px_im = px_im * w[:, None]
-    xe_re = px_re @ spec.ex_sel                            # (N, JxyP)
-    xe_im = px_im @ spec.ex_sel
-    ye_re = py_re @ spec.ey_sel
-    ye_im = py_im @ spec.ey_sel
+    xe_re = px_re @ ex_sel                                 # (N, JxyP)
+    xe_im = px_im @ ex_sel
+    ye_re = py_re @ ey_sel
+    ye_im = py_im @ ey_sel
     t_re = xe_re * ye_re - xe_im * ye_im
     t_im = xe_re * ye_im + xe_im * ye_re
     pad = JzP - pz_re.shape[1]
@@ -182,6 +203,18 @@ def _separable_amp(spec: SystemSpec, theta, w):
     d_re = pzT_re @ t_re - pzT_im @ t_im                   # (JzP, JxyP)
     d_im = pzT_re @ t_im + pzT_im @ t_re
     return d_re, d_im
+
+
+def fw_far_energy(spec: SystemSpec, pos, w):
+    """Static-framework far-field Coulomb energy sum_i w_i D(r_i) in Kelvin
+    (physics/fwsplit.py): contract the guest phase amplitude on the alpha2
+    grid against the precomputed framework coefficient grid. pos: (N, 3),
+    w: (N,) charge * mask weights."""
+    grid2 = (spec.kmax2_xyz, spec.ex2_sel, spec.ey2_sel, spec.amp2_shape[0])
+    theta = pos @ spec.two_pi_Hinv.T
+    d_re, d_im = _separable_amp(spec, theta, w, grid=grid2)
+    return (jnp.sum(spec.c2_re * d_re + spec.c2_im * d_im)
+            + spec.fw_d0 * jnp.sum(w))
 
 
 def amp_delta(spec: SystemSpec, pos, q, mask, signs):
@@ -292,27 +325,38 @@ def full_pair_energy(spec: SystemSpec, pos, active):
         r = jnp.sqrt(r2)
         qq = spec.site_q[i_chunk][:, None] * spec.site_q[None, :]
         coul = qq * erfc(spec.alpha * r) / r
+        if spec.fw_split:
+            # frozen<->mobile cross pairs use the short-ranged split term;
+            # the far-field remainder is added once outside the scan
+            one_frozen = ((i_chunk < spec.S_frozen)[:, None]
+                          ^ (jnp.arange(S) < spec.S_frozen)[None, :])
+            coul_short = (qq * erfc(spec.alpha2 * r) / r
+                          * (r2 < spec.rcut2 * spec.rcut2))
+            coul = jnp.where(one_frozen, coul_short, coul)
         e_c = e_c + jnp.sum(jnp.where(mask, coul, 0.0))
         return (e_lj, e_c), None
 
     zero = jnp.zeros((), dtype=pos.dtype)
     (e_lj, e_c), _ = jax.lax.scan(body, (zero, zero), (pos_c, idx))
-    return 0.5 * e_lj, 0.5 * e_c * COULOMB_K
+    e_c = 0.5 * e_c * COULOMB_K
+    if spec.fw_split:
+        w = jnp.where(active & (jnp.arange(S) >= spec.S_frozen),
+                      spec.site_q, 0.0)
+        e_c = e_c + fw_far_energy(spec, pos, w)
+    return 0.5 * e_lj, e_c
 
 
 def full_intra_energy(spec: SystemSpec, state, pos):
     """Sum of intramolecular corrections over ACTIVE types only."""
     total = jnp.zeros((), dtype=pos.dtype)
-    base = 0
     for r in range(spec.R):
         cap, A = spec.cap_list[r], spec.A_list[r]
-        region = cap * A
         if not spec.active_list[r]:
-            base += region
             continue
+        base = spec.site_base_list[r]
+        region = cap * A
         p = pos[base:base + region].reshape(cap, A, 3)
         q = spec.site_q[base:base + region].reshape(cap, A)
-        base += region
         mask = jnp.ones((cap, A), bool)
         e_mol = intra_energy(spec, p, q, mask)          # (cap,)
         mol_mask = jnp.arange(cap) < state.n_mol[r]

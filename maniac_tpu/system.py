@@ -61,11 +61,18 @@ def _round_up(x: int, m: int) -> int:
                       "active_type_ids",
                       "p_cum", "image_shifts",
                       "res_type_site_base", "res_type_mol_base", "res_cap",
-                      "res_H", "res_bounds_lo"],
+                      "res_H", "res_bounds_lo",
+                      "fw_pq_g", "fw_eps_g", "fw_sig2_g",
+                      "fw_blockmax", "c2_re", "c2_im", "c2_cat",
+                      "ex2_sel", "ey2_sel", "alpha2", "rcut2", "fw_d0",
+                      "fw_rcw_lj", "fw_rcw_c"],
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
-                      "kmax_xyz", "amp_shape", "F_pack", "Lmax", "Qmax"])
+                      "kmax_xyz", "amp_shape", "F_pack", "Lmax", "Qmax",
+                      "fw_split", "S_frozen", "guest_base", "fw_SG",
+                      "fw_WL", "fw_WC", "fw_axis", "kmax2_xyz", "amp2_shape",
+                      "site_base_list"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -154,6 +161,25 @@ class SystemSpec:
     res_cap: jnp.ndarray             # (R,) int32
     res_H: jnp.ndarray               # (3,3)
     res_bounds_lo: jnp.ndarray       # (3,)
+    # static-framework split tables (physics/fwsplit.py; inert dummies when
+    # fw_split is False). The framework never moves, so its sites live in a
+    # sort-axis-ordered, ghost-padded static table the pair kernels slice
+    # spatially, and its far-field Coulomb response is a precomputed
+    # coefficient grid contracted against footprint phase tables.
+    fw_pq_g: jnp.ndarray      # (4, SG) ghosted sorted framework x/y/z/q rows
+    fw_eps_g: jnp.ndarray     # (R*R*8, SG) grouped-LJ-row layout
+    fw_sig2_g: jnp.ndarray    # (R*R*8, SG)
+    fw_blockmax: jnp.ndarray  # (SG//128,) per-128-col max sort coordinate
+    c2_re: jnp.ndarray        # (Jz2P, Jxy2P) far-field coefficients (K)
+    c2_im: jnp.ndarray
+    c2_cat: jnp.ndarray       # (2*Jz2P, 2*Jxy2P) [[re|im],[im|-re]]
+    ex2_sel: jnp.ndarray      # (Jx2, Jxy2P)
+    ey2_sel: jnp.ndarray      # (Jy2, Jxy2P)
+    alpha2: jnp.ndarray       # scalar short-range split parameter
+    rcut2: jnp.ndarray        # scalar short-range cutoff
+    fw_d0: jnp.ndarray        # k=0 far-field term per unit guest charge (K)
+    fw_rcw_lj: jnp.ndarray    # scalar LJ half-window (A)
+    fw_rcw_c: jnp.ndarray     # scalar Coulomb half-window (A)
     # --- static metadata ---
     R: int
     A_list: tuple
@@ -174,6 +200,16 @@ class SystemSpec:
     F_pack: int               # packed footprint rows (2*A_act, sublane-padded)
     Lmax: int                 # max LJ-active atoms over active types
     Qmax: int                 # max charged atoms over active types
+    fw_split: bool            # static-framework split enabled
+    S_frozen: int             # frozen-site prefix length (unaligned)
+    guest_base: int           # first mutable site column (128-aligned)
+    fw_SG: int                # ghost table width
+    fw_WL: int                # LJ window cols
+    fw_WC: int                # Coulomb window cols
+    fw_axis: int              # sort axis
+    kmax2_xyz: tuple
+    amp2_shape: tuple         # (Jz2P, Jxy2P)
+    site_base_list: tuple     # static per-type site bases (128-aligned)
 
     @property
     def dtype(self):
@@ -242,8 +278,15 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     A_act = max((A_list[r] for r in range(R) if active[r]), default=1)
 
     Mtot = sum(cap_list)
-    S_used = sum(cap_list[r] * A_list[r] for r in range(R))
-    S = _round_up(S_used + A_act, 128)
+    # per-type site regions are 128-aligned so the kernels can slice the
+    # mutable (guest) column range statically (pad columns between types
+    # carry the same inert values as the tail padding)
+    base_list = []
+    s_acc = 0
+    for r in range(R):
+        base_list.append(s_acc)
+        s_acc = _round_up(s_acc + cap_list[r] * A_list[r], 128)
+    S = _round_up(s_acc + A_act, 128)
     K = int(np.prod(ewald.grid2_shape))  # dense grid size (valid modes: see
     # ewald.num_kvectors, logged for parity with the reference)
     fdt = np.dtype(dtype)
@@ -277,9 +320,9 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     com0 = np.zeros((Mtot + 1, 3))
     offset0 = np.zeros((S, 3))
 
-    s = 0
     m = 0
     for r in range(R):
+        s = base_list[r]
         type_site_base[r] = s
         type_mol_base[r] = m
         A = A_list[r]
@@ -407,6 +450,55 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
                         sig2_pair_lj[dst] = sig2_site[row]
 
 
+    # ---- static-framework split (physics/fwsplit.py) --------------------
+    import os
+    mol_rad = 0.0
+    for r in range(R):
+        if not active[r]:
+            continue
+        A = A_list[r]
+        mol_rad = max(mol_rad, float(np.max(
+            np.linalg.norm(template_off[r, :A], axis=1), initial=0.0)))
+        for src_sys in (parsed, reservoir):
+            if src_sys is not None and src_sys.n_mol[r]:
+                offs = np.asarray(src_sys.site_offset[r])
+                mol_rad = max(mol_rad, float(
+                    np.max(np.linalg.norm(offs, axis=-1))))
+    fw_mode = getattr(deck, "framework_split", "auto")
+    env_fw = os.environ.get("MANIAC_FWSPLIT", "")
+    if env_fw == "0":
+        fw_mode = "off"
+    elif env_fw == "1" and fw_mode == "auto":
+        fw_mode = "on"
+    from .physics.fwsplit import FwSplitSetup, build_fwsplit
+    fws = build_fwsplit(
+        box, float(ewald.alpha), float(ewald.real_space_cutoff),
+        R=R, active_list=active, A_list=A_list, cap_list=cap_list,
+        n_mol_init=parsed.n_mol, type_site_base=type_site_base,
+        site_q=site_q, site_cls=site_cls, pos0=offset0,
+        eps_cls=eps_cls, sig_cls=sig_cls, class_base=class_base,
+        lj_idx=lj_idx, Lmax=Lmax, mol_radius=mol_rad,
+        enabled=fw_mode,
+        alpha2=getattr(deck, "fw_alpha2", 0.0),
+        rcut2=getattr(deck, "fw_rcut2", 0.0))
+    if fw_mode == "on" and not fws.enabled:
+        raise ValueError(f"framework_split on but ineligible: {fws.reason}")
+    if fws.enabled:
+        Jz2P, Jxy2P = fws.amp2_shape
+        c2_cat = np.block([[fws.c2_re, fws.c2_im],
+                           [fws.c2_im, -fws.c2_re]])
+    else:  # inert dummies keep the pytree shape cheap
+        fws = FwSplitSetup(
+            False, fws.reason, pq_g=np.zeros((4, 128)),
+            eps_g=np.zeros((R * R * 8, 128)),
+            sig2_g=np.zeros((R * R * 8, 128)), blockmax=np.zeros(1),
+            SG=128, WL=128, WC=128,
+            c2_re=np.zeros((8, 128)), c2_im=np.zeros((8, 128)),
+            ex2_sel=np.zeros((1, 128)), ey2_sel=np.zeros((1, 128)),
+            kmax2=(0, 0, 0), amp2_shape=(8, 128),
+            guest_base=0, S_frozen=0, axis=2)
+        c2_cat = np.zeros((16, 256))
+
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
         H=f(box.matrix), Hinv=f(box.reciprocal), bounds=f(box.bounds),
@@ -442,6 +534,12 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         res_type_mol_base=jnp.asarray(res_mol_base),
         res_cap=jnp.asarray(np.asarray(res_cap_list), dtype=jnp.int32),
         res_H=f(res_H), res_bounds_lo=f(res_lo),
+        fw_pq_g=f(fws.pq_g), fw_eps_g=f(fws.eps_g),
+        fw_sig2_g=f(fws.sig2_g), fw_blockmax=f(fws.blockmax),
+        c2_re=f(fws.c2_re), c2_im=f(fws.c2_im), c2_cat=f(c2_cat),
+        ex2_sel=f(fws.ex2_sel), ey2_sel=f(fws.ey2_sel),
+        alpha2=f(fws.alpha2), rcut2=f(fws.rcut2), fw_d0=f(fws.d0),
+        fw_rcw_lj=f(fws.rcw_lj), fw_rcw_c=f(fws.rcw_c),
         R=R, A_list=A_list, cap_list=cap_list,
         active_list=tuple(active), A_act=A_act,
         n_active=len(active_ids), S=S, Mtot=Mtot, K=K,
@@ -450,7 +548,12 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         res_cap_list=res_cap_list,
         kmax_xyz=tuple(int(k) for k in ewald.kmax),
         amp_shape=tuple(ewald.grid2_shape), F_pack=F_pack,
-        Lmax=Lmax, Qmax=Qmax)
+        Lmax=Lmax, Qmax=Qmax,
+        fw_split=bool(fws.enabled), S_frozen=int(fws.S_frozen),
+        guest_base=int(fws.guest_base), fw_SG=int(fws.SG),
+        fw_WL=int(fws.WL), fw_WC=int(fws.WC), fw_axis=int(fws.axis),
+        kmax2_xyz=tuple(fws.kmax2), amp2_shape=tuple(fws.amp2_shape),
+        site_base_list=tuple(base_list))
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol
