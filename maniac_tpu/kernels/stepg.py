@@ -9,6 +9,8 @@ G replicas per program makes compaction pay: this kernel runs
 
   * one LJ pass over (G * 2*Lmax, cols) rows (eps-active atoms only),
   * one Coulomb pass over (G * 2*Qmax, cols) rows (charged atoms only),
+  * ONE shared phase-table build for all G replicas' k-space updates
+    (the per-replica build was a storm of (1, FQ)-row ops - latency-bound),
   * per-replica k-space delta + Metropolis + in-place commits.
 
 With the static-framework split (spec.fw_split, physics/fwsplit.py) the
@@ -19,16 +21,22 @@ start is precomputed in the XLA glue from the side's COM. The guest
 columns (the only mutable ones) are the [guest_base, S) suffix of the
 site array. The framework's long-range Coulomb response beyond the short
 window is the precomputed far-field coefficient grid, contracted against
-all G replicas' footprint phase tables in one MXU pass (the same separable
-machinery as the main dense k-grid).
+all G replicas' footprint phase tables in one MXU pass, reusing the same
+shared power tables as the main dense k-grid.
+
+Footprint operands come in TWO layouts: FQ-packed (3, G*FQ) for the pair
+passes (no dead rows) and FK-padded (3, G*FK), FK = roundup(2*Qmax, 8),
+for the phase tables, so every per-replica slice of the shared tables is
+sublane/lane aligned.
 
 All pair work is plain 2-D (rows, cols) vector code - the replica-expanded
-site rows are materialized with sublane broadcasts (rank-3 broadcast forms
-compile to slower Mosaic code and hit relayout failures on lane
-reductions).
+site rows are materialized with sublane broadcasts of multi-row slices
+(Mosaic cannot broadcast single-row slices at unaligned lane offsets;
+rank-3 broadcast forms compile slower and hit relayout failures).
 
 Same physics as the XLA path in mc/moves.py + physics/energy.py (which
-remains the oracle; parity is pinned in tests/test_kernels.py)."""
+remains the oracle; parity is pinned in tests/test_kernels.py and
+tests/test_fwsplit.py)."""
 
 from __future__ import annotations
 
@@ -56,7 +64,9 @@ def _stepg_kernel(
         ljw_ref,         # VMEM (1, G*FL) LJ row mask * side-weight
         ptq_ref,         # VMEM (3, G*FQ) charged-row positions, g-major
         qw_ref,          # VMEM (1, G*FQ) charge * mask * side-weight
-        wk_ref,          # VMEM (1, G*FQ) k-delta weights (signed)
+        ptk_ref,         # VMEM (3, G*FK) charged rows, 8-padded per g
+        qwk_ref,         # VMEM (1, G*FK) charge weights, 8-padded
+        wkk_ref,         # VMEM (1, G*FK) signed k-delta weights, 8-padded
         newcols_ref,     # VMEM (3, G*A_act) P_new columns per replica
         lastcols_ref,    # VMEM (3, G*A_act) compaction columns per replica
         const_ref,       # VMEM (1, 16) f32 shared: invL L alpha rc2 ck invT
@@ -75,10 +85,11 @@ def _stepg_kernel(
         amp_re_ref, amp_im_ref, pos_ref,   # (G,JzP,JxyP) x2, (G,3,S) aliased
         amp_re_out, amp_im_out, pos_out,
         flags_out,       # VMEM (G, 8)
-        *, G: int, R: int, S: int, FL: int, FQ: int, A_act: int, Lmax: int,
-        Qmax: int, kx: int, ky: int, kz: int, JzP: int,
+        *, G: int, R: int, S: int, FL: int, FQ: int, FK: int, A_act: int,
+        Lmax: int, Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, WL: int, WC: int,
-        kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int):
+        kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
+        ablate: str = ""):
     f32 = amp_re_ref.dtype
     inv_l = (const_ref[0, 0], const_ref[0, 1], const_ref[0, 2])
     ll = (const_ref[0, 3], const_ref[0, 4], const_ref[0, 5])
@@ -87,6 +98,13 @@ def _stepg_kernel(
                                const_ref[0, 10])
     alpha2, rc2sq2, fw_d0 = (const_ref[0, 11], const_ref[0, 12],
                              const_ref[0, 13])
+    skip_guest = "guest" in ablate
+    skip_fw = "fw" in ablate
+    skip_far = "far" in ablate
+    skip_kspace = "kspace" in ablate
+    skip_kstruct = "kstruct" in ablate
+    skip_pos = "pos" in ablate
+    JxyP_ = kw_ref.shape[1]
     cols0 = gbase if fw_on else 0          # first mutable (guest) column
     GS = S - cols0
     i_nm = 9                               # iscal col of n_mol[0]
@@ -154,16 +172,19 @@ def _stepg_kernel(
     eps = jnp.concatenate(epsl, axis=0)                     # (G*FL, GS)
     sig2 = jnp.concatenate(sig2l, axis=0)
     xL, yL, zL, keepL = expand(FL)
-    r2 = pair_r2(ptlj_ref, xL, yL, zL)
-    inv_r2 = 1.0 / r2
-    sr2 = sig2 * inv_r2
-    sr6 = sr2 * sr2 * sr2
-    lj = 4.0 * eps * (sr6 * sr6 - sr6)
-    ljsel = (r2 < rc2) & (keepL > 0) & (ljw_ref[0, :][:, None] > 0.0)
-    lj_rows = jnp.sum(jnp.where(ljsel, lj, 0.0), axis=1,
-                      keepdims=True)                        # (G*FL, 1)
+    if skip_guest:
+        lj_rows = jnp.sum(xL * 0.0, axis=1, keepdims=True)
+    else:
+        r2 = pair_r2(ptlj_ref, xL, yL, zL)
+        inv_r2 = 1.0 / r2
+        sr2 = sig2 * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        lj = 4.0 * eps * (sr6 * sr6 - sr6)
+        ljsel = (r2 < rc2) & (keepL > 0) & (ljw_ref[0, :][:, None] > 0.0)
+        lj_rows = jnp.sum(jnp.where(ljsel, lj, 0.0), axis=1,
+                          keepdims=True)                    # (G*FL, 1)
 
-    if fw_on:
+    if fw_on and not skip_fw:
         fx, fy, fz, feps, fsig2 = [], [], [], [], []
         for g in range(G):
             pid8 = iscal_ref[g, 2] * 8
@@ -192,15 +213,18 @@ def _stepg_kernel(
 
     # ---- Coulomb pass: guest cols + framework window ----------------------
     xQ, yQ, zQ, keepQ = expand(FQ)
-    r2q = pair_r2(ptq_ref, xQ, yQ, zQ)
-    inv_r = jax.lax.rsqrt(r2q)
-    sq = site_q_ref[0, cols0:][None, :]
-    coul = (qw_ref[0, :][:, None] * sq
-            * _erfc(alpha * (r2q * inv_r)) * inv_r)
-    c_rows = jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
-                     keepdims=True)                         # (G*FQ, 1)
+    if skip_guest:
+        c_rows = jnp.sum(xQ * 0.0, axis=1, keepdims=True)
+    else:
+        r2q = pair_r2(ptq_ref, xQ, yQ, zQ)
+        inv_r = jax.lax.rsqrt(r2q)
+        sq = site_q_ref[0, cols0:][None, :]
+        coul = (qw_ref[0, :][:, None] * sq
+                * _erfc(alpha * (r2q * inv_r)) * inv_r)
+        c_rows = jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
+                         keepdims=True)                     # (G*FQ, 1)
 
-    if fw_on:
+    if fw_on and not skip_fw:
         cx, cy, cz, cq = [], [], [], []
         for g in range(G):
             for side in range(2):
@@ -221,49 +245,71 @@ def _stepg_kernel(
         c_rows = c_rows + jnp.sum(jnp.where(r2c < rc2sq2, coulf, 0.0),
                                   axis=1, keepdims=True)
 
-    # ---- far-field grid term (all G replicas in one MXU contraction) ------
-    if fw_on:
-        th_all = jnp.dot(h2pi_ref[:, :], ptq_ref[:, :],
-                         preferred_element_type=f32)        # (3, G*FQ)
-        cA, sA = jnp.cos(th_all), jnp.sin(th_all)
-        qwrow = qw_ref[0:1, :]                              # (1, G*FQ)
-        rex2, imx2 = _powers(cA[0:1, :], sA[0:1, :], kx2)
-        rey2, imy2 = _powers(cA[1:2, :], sA[1:2, :], ky2)
-        rez2, imz2 = _powers(cA[2:3, :], sA[2:3, :], kz2)
-        px2 = jnp.concatenate(
-            [jnp.concatenate([r * qwrow for r in rex2], axis=0),
-             jnp.concatenate([r * qwrow for r in imx2], axis=0)],
-            axis=1)                                         # (Jx2, 2*GFQ)
-        py2T_re, py2T_im = _signed_table(rey2, imy2, ky2)
-        py2 = jnp.concatenate([py2T_re, py2T_im], axis=1)   # (Jy2, 2*GFQ)
-        pz2T_re, pz2T_im = _signed_table(rez2, imz2, kz2, pad_to=Jz2P)
-
-        def dotT(a, b):
-            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
-
-        GFQ = G * FQ
-        xe2 = dotT(px2, ex2_ref[:, :])                      # (2*GFQ, Jxy2P)
-        ye2 = dotT(py2, ey2_ref[:, :])
-        t2_re = xe2[:GFQ] * ye2[:GFQ] - xe2[GFQ:] * ye2[GFQ:]
-        t2_im = xe2[:GFQ] * ye2[GFQ:] + xe2[GFQ:] * ye2[:GFQ]
-        t2_cat = jnp.concatenate([t2_re, t2_im], axis=1)    # (GFQ, 2*Jxy2P)
-        # M1 = c_re @ t_re^T + c_im @ t_im^T ; M2 = c_im @ t_re^T - c_re @
-        # t_im^T (c2cat rows pack both) - contraction over the lane axis
-        M = jax.lax.dot_general(c2cat_ref[:, :], t2_cat,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)  # (2*Jz2P, GFQ)
-        efar = jnp.sum(pz2T_re * M[:Jz2P] + pz2T_im * M[Jz2P:],
-                       axis=0, keepdims=True)               # (1, GFQ)
-        efar = efar + fw_d0 * qwrow
-    else:
-        efar = None
-
-    # ---- per-replica: k-space delta + Metropolis + commits -----------------
     def dotT(a, b):
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
 
+    # ---- shared phase power tables for ALL replicas (8-padded layout) -----
+    # One (3, G*FK) build replaces G per-replica table builds; the same
+    # power lists feed both the main k-grid and the far-field grid.
+    GFK = G * FK
+    if not skip_kstruct:
+        th_all = jnp.dot(h2pi_ref[:, :], ptk_ref[:, :],
+                         preferred_element_type=f32)        # (3, G*FK)
+        if skip_kspace:
+            th_all = th_all * 0.0
+        cA, sA = jnp.cos(th_all), jnp.sin(th_all)
+        nx = max(kx, kx2 if fw_on else 0)
+        ny = max(ky, ky2 if fw_on else 0)
+        nz = max(kz, kz2 if fw_on else 0)
+        rex, imx = _powers(cA[0:1, :], sA[0:1, :], nx)
+        rey, imy = _powers(cA[1:2, :], sA[1:2, :], ny)
+        rez, imz = _powers(cA[2:3, :], sA[2:3, :], nz)
+
+        wkrow = wkk_ref[0:1, :]
+        pxT = jnp.concatenate(
+            [jnp.concatenate([rex[j] * wkrow for j in range(kx + 1)], 0),
+             jnp.concatenate([imx[j] * wkrow for j in range(kx + 1)], 0)],
+            axis=1)                                         # (Jx, 2*GFK)
+        pyT_re, pyT_im = _signed_table(rey[:ky + 1], imy[:ky + 1], ky)
+        pyT = jnp.concatenate([pyT_re, pyT_im], axis=1)     # (Jy, 2*GFK)
+        pzT_re, pzT_im = _signed_table(rez[:kz + 1], imz[:kz + 1], kz,
+                                       pad_to=JzP)          # (JzP, GFK)
+        xe = dotT(pxT, ex_ref[:, :])                        # (2*GFK, JxyP)
+        ye = dotT(pyT, ey_ref[:, :])
+        t_re_all = xe[:GFK] * ye[:GFK] - xe[GFK:] * ye[GFK:]
+        t_im_all = xe[:GFK] * ye[GFK:] + xe[GFK:] * ye[:GFK]
+
+    # ---- far-field grid term (all G replicas in one MXU contraction) ------
+    if fw_on and not skip_far and not skip_kstruct:
+        qwrow = qwk_ref[0:1, :]
+        px2 = jnp.concatenate(
+            [jnp.concatenate([rex[j] * qwrow for j in range(kx2 + 1)], 0),
+             jnp.concatenate([imx[j] * qwrow for j in range(kx2 + 1)], 0)],
+            axis=1)                                         # (Jx2, 2*GFK)
+        py2T_re, py2T_im = _signed_table(rey[:ky2 + 1], imy[:ky2 + 1], ky2)
+        py2 = jnp.concatenate([py2T_re, py2T_im], axis=1)
+        pz2T_re, pz2T_im = _signed_table(rez[:kz2 + 1], imz[:kz2 + 1], kz2,
+                                         pad_to=Jz2P)
+        xe2 = dotT(px2, ex2_ref[:, :])                      # (2*GFK, Jxy2P)
+        ye2 = dotT(py2, ey2_ref[:, :])
+        t2_re = xe2[:GFK] * ye2[:GFK] - xe2[GFK:] * ye2[GFK:]
+        t2_im = xe2[:GFK] * ye2[GFK:] + xe2[GFK:] * ye2[:GFK]
+        t2_cat = jnp.concatenate([t2_re, t2_im], axis=1)    # (GFK, 2*Jxy2P)
+        # M1 = c_re @ t_re^T + c_im @ t_im^T ; M2 = c_im @ t_re^T - c_re @
+        # t_im^T (c2cat rows pack both) - contraction over the lane axis
+        M = jax.lax.dot_general(c2cat_ref[:, :], t2_cat,
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)  # (2*Jz2P, GFK)
+        efar = jnp.sum(pz2T_re * M[:Jz2P] + pz2T_im * M[Jz2P:],
+                       axis=0, keepdims=True)               # (1, GFK)
+        efar = efar + fw_d0 * qwrow
+    elif fw_on:
+        efar = jnp.zeros((1, GFK), f32)
+    else:
+        efar = None
+
+    # ---- per-replica: k-space delta + Metropolis + commits -----------------
     flag_rows = []
     for g in range(G):
         e_lj0 = jnp.sum(lj_rows[g * FL:g * FL + Lmax, :])
@@ -271,40 +317,28 @@ def _stepg_kernel(
         e_c0 = jnp.sum(c_rows[g * FQ:g * FQ + Qmax, :]) * coulomb_k
         e_c1 = jnp.sum(c_rows[g * FQ + Qmax:(g + 1) * FQ, :]) * coulomb_k
         if fw_on:
-            e_c0 = e_c0 + jnp.sum(efar[0:1, g * FQ:g * FQ + Qmax])
-            e_c1 = e_c1 + jnp.sum(efar[0:1, g * FQ + Qmax:(g + 1) * FQ])
-
-        th = jnp.dot(h2pi_ref[:, :], ptq_ref[:, g * FQ:(g + 1) * FQ],
-                     preferred_element_type=f32)            # (3, FQ)
-        cxs, sxs = jnp.cos(th), jnp.sin(th)
-        rex, imx = _powers(cxs[0:1, :], sxs[0:1, :], kx)
-        rey, imy = _powers(cxs[1:2, :], sxs[1:2, :], ky)
-        rez, imz = _powers(cxs[2:3, :], sxs[2:3, :], kz)
-        pxT = jnp.concatenate([jnp.concatenate(rex, axis=0),
-                               jnp.concatenate(imx, axis=0)], axis=1)
-        pyT_re, pyT_im = _signed_table(rey, imy, ky)
-        pyT = jnp.concatenate([pyT_re, pyT_im], axis=1)
-        pzT_re, pzT_im = _signed_table(rez, imz, kz, pad_to=JzP)
-        pzT = jnp.concatenate([pzT_re, pzT_im], axis=1)
-        xe = dotT(pxT, ex_ref[:, :])
-        ye = dotT(pyT, ey_ref[:, :])
-        xe_re, xe_im = xe[:FQ, :], xe[FQ:, :]
-        ye_re, ye_im = ye[:FQ, :], ye[FQ:, :]
-        wkc = wk_ref[0, g * FQ:(g + 1) * FQ][:, None]
-        t_re = (xe_re * ye_re - xe_im * ye_im) * wkc
-        t_im = (xe_re * ye_im + xe_im * ye_re) * wkc
-        t_both = jnp.concatenate(
-            [jnp.concatenate([t_re, t_im], axis=1),
-             jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
-        d_both = jnp.dot(pzT, t_both, preferred_element_type=f32)
-        JXY = t_re.shape[1]
-        d_re = d_both[:, :JXY]
-        d_im = d_both[:, JXY:]
+            e_c0 = e_c0 + jnp.sum(efar[0:1, g * FK:g * FK + Qmax])
+            e_c1 = e_c1 + jnp.sum(efar[0:1, g * FK + Qmax:g * FK + 2 * Qmax])
 
         ar = amp_re_ref[g]
         ai = amp_im_ref[g]
-        cross = jnp.sum(kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
-                                        + d_re * d_re + d_im * d_im))
+        if skip_kstruct:
+            d_re = jnp.zeros((JzP, JxyP_), f32)
+            d_im = jnp.zeros((JzP, JxyP_), f32)
+            cross = jnp.sum(kw_ref[:, :] * (ar * d_re + ai * d_im))
+        else:
+            sl = slice(g * FK, (g + 1) * FK)
+            t_re = t_re_all[sl]
+            t_im = t_im_all[sl]
+            t_both = jnp.concatenate(
+                [jnp.concatenate([t_re, t_im], axis=1),
+                 jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
+            pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]], axis=1)
+            d_both = jnp.dot(pzT_g, t_both, preferred_element_type=f32)
+            d_re = d_both[:, :JxyP_]
+            d_im = d_both[:, JxyP_:]
+            cross = jnp.sum(kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
+                                            + d_re * d_re + d_im * d_im))
         e_recip_old = fscal_ref[g, 2]
         e_recip_new = e_recip_old + cross * c2piv
         delta_e = (fscal_ref[g, 1] + e_lj1 + e_c1 + e_recip_new
@@ -330,6 +364,9 @@ def _stepg_kernel(
         rel_old = s_idx - start_old
         in_new = do_write & (rel_new >= 0) & (rel_new < A_new)
         in_old = do_compact & (rel_old >= 0) & (rel_old < A_old)
+        if skip_pos:
+            in_new = in_new & (s_idx < 0)
+            in_old = in_old & (s_idx < 0)
         out = pos_ref[g][:, cols0:]
         for a in range(A_act):
             sel_o = ((rel_old == a) & in_old)[None, :]
@@ -364,6 +401,7 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
     S = spec.S
     FL = 2 * spec.Lmax
     FQ = 2 * spec.Qmax
+    FK = ((FQ + 7) // 8) * 8
     kx, ky, kz = spec.kmax_xyz
     kx2, ky2, kz2 = spec.kmax2_xyz
     Jz2P, _ = spec.amp2_shape
@@ -379,12 +417,21 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
                    spec.alpha2, spec.rcut2 * spec.rcut2, spec.fw_d0]),
         jnp.zeros(2, f)]).astype(f).reshape(1, 16)
 
+    # 8-padded per-replica charged-row operands for the shared phase tables
+    pad = ((0, 0), (0, FK - FQ), (0, 0))
+    ptk = jnp.pad(ptq, pad).transpose(2, 0, 1).reshape(3, G * FK)
+    qwk = jnp.pad(qw, pad[:2]).reshape(1, G * FK)
+    wkk = jnp.pad(wk, pad[:2]).reshape(1, G * FK)
+
+    import os
     kernel = functools.partial(
-        _stepg_kernel, G=G, R=spec.R, S=S, FL=FL, FQ=FQ, A_act=spec.A_act,
-        Lmax=spec.Lmax, Qmax=spec.Qmax, kx=kx, ky=ky, kz=kz, JzP=JzP,
+        _stepg_kernel, G=G, R=spec.R, S=S, FL=FL, FQ=FQ, FK=FK,
+        A_act=spec.A_act, Lmax=spec.Lmax, Qmax=spec.Qmax,
+        kx=kx, ky=ky, kz=kz, JzP=JzP,
         fw_on=spec.fw_split, gbase=spec.guest_base, SG=spec.fw_SG,
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
-        Jz2P=Jz2P, fw_axis=spec.fw_axis)
+        Jz2P=Jz2P, fw_axis=spec.fw_axis,
+        ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re2, amp_im2, pos2, flags = pl.pallas_call(
         kernel,
@@ -392,14 +439,18 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
                    jax.ShapeDtypeStruct((G, JzP, JxyP), f),
                    jax.ShapeDtypeStruct((G, 3, S), f),
                    jax.ShapeDtypeStruct((G, 8), f)),
-        in_specs=[vmem] * 29,
+        in_specs=[vmem] * 31,
         out_specs=(vmem,) * 4,
-        input_output_aliases={26: 0, 27: 1, 28: 2},
+        input_output_aliases={28: 0, 29: 1, 30: 2},
+        # the shared all-G phase/far-field tables exceed the default 16 MB
+        # scoped-vmem limit; v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(iscal, fscal,
       ptlj.transpose(2, 0, 1).reshape(3, G * FL), ljw.reshape(1, G * FL),
       ptq.transpose(2, 0, 1).reshape(3, G * FQ), qw.reshape(1, G * FQ),
-      wk.reshape(1, G * FQ), newcols, lastcols,
+      ptk, qwk, wkk, newcols, lastcols,
       consts, spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel, spec.k_weights,
       spec.eps_pair_lj, spec.sig2_pair_lj,
       spec.site_q.reshape(1, S), spec.site_mol.reshape(1, S),

@@ -27,7 +27,7 @@ def main():
         make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
         sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                            f"{tmp}/parameters.inc", dtype=jnp.float32,
-                           capacity=512)
+                           capacity=int(os.environ.get("PROF_CAP", "192")))
     spec, state = sysm.spec, sysm.state
     states = replicate(spec, state, B)
 
