@@ -34,16 +34,20 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
                    site_q_ref,     # VMEM (1, S) shared
                    site_type_ref,  # VMEM (1, S) int32 shared
                    site_midx_ref,  # VMEM (1, S) int32 shared
+                   fw_re_ref,      # VMEM (JzP, JxyP) constant fw amplitudes
+                   fw_im_ref,
                    amp_re_out, amp_im_out,
                    eng_out,        # (1, 8): energy with E_RECIP/E_TOT fixed
                    *, R: int, S: int, CH: int, kx: int, ky: int, kz: int,
-                   JzP: int):
+                   JzP: int, lo: int):
     f32 = jnp.float32
-    amp_re_out[:, :] = jnp.zeros_like(amp_re_out)
-    amp_im_out[:, :] = jnp.zeros_like(amp_im_out)
+    # the frozen framework's contribution is constant - start from it and
+    # synthesize only the mutable guest columns [lo, S)
+    amp_re_out[:, :] = fw_re_ref[:, :]
+    amp_im_out[:, :] = fw_im_ref[:, :]
 
     def chunk_body(ci, _):
-        sl = pl.ds(ci * CH, CH)                             # ref slices only
+        sl = pl.ds(lo + ci * CH, CH)                        # ref slices only
         pos_c = pos_ref[:, sl]                              # (3, CH)
         midx = site_midx_ref[0:1, sl][0, :]
         stype = site_type_ref[0:1, sl][0, :]
@@ -83,7 +87,7 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
         amp_im_out[:, :] = amp_im_out[:, :] + d_both[:, JXY:]
         return 0
 
-    jax.lax.fori_loop(0, S // CH, chunk_body, 0)
+    jax.lax.fori_loop(0, (S - lo) // CH, chunk_body, 0)
 
     # eng slot 7 carries C * 2pi / V (a traced spec constant)
     e_recip = jnp.sum(kw_ref[:, :] * (amp_re_out[:, :] ** 2
@@ -107,11 +111,12 @@ def resync_pallas(spec, state, *, interpret=False):
     JzP, JxyP = spec.amp_shape
     S = spec.S
     kx, ky, kz = spec.kmax_xyz
-    # chunk must divide S AND be a multiple of 128 (lane-aligned dynamic
-    # ref slices; S is always padded to a multiple of 128)
+    lo = spec.guest_base if spec.fw_split else 0
+    # chunk must divide the synthesized range AND be a multiple of 128
+    # (lane-aligned dynamic ref slices; bases/S are 128-aligned)
     CH = 128
     for c in (512, 384, 256):
-        if S % c == 0:
+        if (S - lo) % c == 0:
             CH = c
             break
 
@@ -120,17 +125,19 @@ def resync_pallas(spec, state, *, interpret=False):
     eng = eng.at[0, 7].set(COULOMB_K * TWOPI / spec.volume)
 
     kernel = functools.partial(
-        _resync_kernel, R=spec.R, S=S, CH=CH, kx=kx, ky=ky, kz=kz, JzP=JzP)
+        _resync_kernel, R=spec.R, S=S, CH=CH, kx=kx, ky=ky, kz=kz, JzP=JzP,
+        lo=lo)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re, amp_im, eng2 = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((JzP, JxyP), f),
                    jax.ShapeDtypeStruct((JzP, JxyP), f),
                    jax.ShapeDtypeStruct((1, 8), f)),
-        in_specs=[vmem] * 10,
+        in_specs=[vmem] * 12,
         out_specs=(vmem, vmem, vmem),
         interpret=interpret,
     )(nmol, eng, state.pos, spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel,
       spec.k_weights, spec.site_q.reshape(1, S),
-      spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S))
+      spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S),
+      spec.fw_amp_re.astype(f), spec.fw_amp_im.astype(f))
     return amp_re, amp_im, eng2[0, :6]

@@ -110,39 +110,6 @@ def _stepg_kernel(
     i_nm = 9                               # iscal col of n_mol[0]
     i_w = 9 + R + 1                        # iscal col of the window starts
 
-    # ---- shared per-replica keep masks on guest cols (1 = live site) ----
-    midx = site_midx_ref[0, cols0:]
-    stype = site_type_ref[0, cols0:]
-    smol = site_mol_ref[0, cols0:]
-    keeps = []
-    for g in range(G):
-        nsel = jnp.full((GS,), iscal_ref[g, i_nm], jnp.int32) * (stype == 0)
-        for r in range(1, R):
-            nsel = jnp.where(stype == r, iscal_ref[g, i_nm + r], nsel)
-        kg = ((midx < nsel) & (smol != iscal_ref[g, 0])
-              & (smol != iscal_ref[g, 1]))
-        keeps.append(kg.astype(jnp.int32)[None, :])  # int rows: bool
-        # concatenation lowers to an invalid i1 vreg bitcast in Mosaic
-
-    # replica-expanded 2-D guest operands: each replica's (1, GS) row
-    # broadcast to its F footprint sublanes, all replicas stacked g-major.
-    # Rows come off a MULTI-row ref slice (pg) - Mosaic cannot broadcast a
-    # single-row slice whose lane offset is not vreg-aligned; keep masks go
-    # through a multiply (implicit broadcasts are supported)
-    def expand(F):
-        ones = None
-        xs, ys, zs, ks = [], [], [], []
-        for g in range(G):
-            pg = pos_ref[g][:, cols0:]                      # (3, GS)
-            xs.append(jnp.broadcast_to(pg[0:1, :], (F, GS)))
-            ys.append(jnp.broadcast_to(pg[1:2, :], (F, GS)))
-            zs.append(jnp.broadcast_to(pg[2:3, :], (F, GS)))
-            if ones is None:
-                ones = jnp.ones((F, 1), keeps[g].dtype)
-            ks.append(keeps[g] * ones)
-        return (jnp.concatenate(xs, 0), jnp.concatenate(ys, 0),
-                jnp.concatenate(zs, 0), jnp.concatenate(ks, 0))
-
     def pair_r2(pt_ref, x1, y1, z1, image_axis_mask=(True, True, True)):
         px = pt_ref[0, :][:, None]                          # (G*F, 1)
         py = pt_ref[1, :][:, None]
@@ -163,26 +130,75 @@ def _stepg_kernel(
     # already in the window (double counting)
     fw_imask = tuple(ax != fw_axis for ax in range(3))
 
-    # ---- LJ pass: guest cols + framework window ---------------------------
-    epsl, sig2l = [], []
-    for g in range(G):
-        pid8 = iscal_ref[g, 2] * 8
-        epsl.append(epslj_ref[pl.ds(pid8, 8), cols0:][:FL, :])
-        sig2l.append(sig2lj_ref[pl.ds(pid8, 8), cols0:][:FL, :])
-    eps = jnp.concatenate(epsl, axis=0)                     # (G*FL, GS)
-    sig2 = jnp.concatenate(sig2l, axis=0)
-    xL, yL, zL, keepL = expand(FL)
-    if skip_guest:
-        lj_rows = jnp.sum(xL * 0.0, axis=1, keepdims=True)
-    else:
+    # ---- guest pair passes: dynamic loop over LIVE 128-col chunks ---------
+    # Guest molecules occupy a compacted prefix of each type block, so the
+    # glue passes the number of chunks that intersect any live molecule
+    # (iscal col i_w+4); dead capacity padding costs nothing.
+    n_live = iscal_ref[0, i_w + 4]
+
+    def guest_chunk(ci, carry):
+        ljacc, cacc = carry
+        b = cols0 + ci * 128
+        midc = site_midx_ref[0, pl.ds(b, 128)]
+        styc = site_type_ref[0, pl.ds(b, 128)]
+        smoc = site_mol_ref[0, pl.ds(b, 128)]
+        sqc = site_q_ref[0:1, pl.ds(b, 128)]
+        keeps_c = []
+        pgs = []
+        for g in range(G):
+            nsel = jnp.full((128,), iscal_ref[g, i_nm],
+                            jnp.int32) * (styc == 0)
+            for r in range(1, R):
+                nsel = jnp.where(styc == r, iscal_ref[g, i_nm + r], nsel)
+            kg = ((midc < nsel) & (smoc != iscal_ref[g, 0])
+                  & (smoc != iscal_ref[g, 1]))
+            keeps_c.append(kg.astype(jnp.int32)[None, :])
+            pgs.append(pos_ref[g, :, pl.ds(b, 128)])        # (3, 128)
+
+        def expand_c(F):
+            ones = jnp.ones((F, 1), jnp.int32)
+            xs, ys, zs, ks = [], [], [], []
+            for g in range(G):
+                xs.append(jnp.broadcast_to(pgs[g][0:1, :], (F, 128)))
+                ys.append(jnp.broadcast_to(pgs[g][1:2, :], (F, 128)))
+                zs.append(jnp.broadcast_to(pgs[g][2:3, :], (F, 128)))
+                ks.append(keeps_c[g] * ones)
+            return (jnp.concatenate(xs, 0), jnp.concatenate(ys, 0),
+                    jnp.concatenate(zs, 0), jnp.concatenate(ks, 0))
+
+        epsl, sig2l = [], []
+        for g in range(G):
+            pid8 = iscal_ref[g, 2] * 8
+            epsl.append(epslj_ref[pl.ds(pid8, 8), pl.ds(b, 128)][:FL, :])
+            sig2l.append(sig2lj_ref[pl.ds(pid8, 8), pl.ds(b, 128)][:FL, :])
+        eps = jnp.concatenate(epsl, axis=0)                 # (G*FL, 128)
+        sig2 = jnp.concatenate(sig2l, axis=0)
+        xL, yL, zL, keepL = expand_c(FL)
         r2 = pair_r2(ptlj_ref, xL, yL, zL)
         inv_r2 = 1.0 / r2
         sr2 = sig2 * inv_r2
         sr6 = sr2 * sr2 * sr2
         lj = 4.0 * eps * (sr6 * sr6 - sr6)
         ljsel = (r2 < rc2) & (keepL > 0) & (ljw_ref[0, :][:, None] > 0.0)
-        lj_rows = jnp.sum(jnp.where(ljsel, lj, 0.0), axis=1,
-                          keepdims=True)                    # (G*FL, 1)
+        ljacc = ljacc + jnp.sum(jnp.where(ljsel, lj, 0.0), axis=1,
+                                keepdims=True)
+
+        xQ, yQ, zQ, keepQ = expand_c(FQ)
+        r2q = pair_r2(ptq_ref, xQ, yQ, zQ)
+        inv_r = jax.lax.rsqrt(r2q)
+        coul = (qw_ref[0, :][:, None] * sqc
+                * _erfc(alpha * (r2q * inv_r)) * inv_r)
+        cacc = cacc + jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
+                              keepdims=True)
+        return (ljacc, cacc)
+
+    lj0 = jnp.zeros((G * FL, 1), f32)
+    c0g = jnp.zeros((G * FQ, 1), f32)
+    if skip_guest:
+        lj_rows, c_rows = lj0, c0g
+    else:
+        lj_rows, c_rows = jax.lax.fori_loop(0, n_live, guest_chunk,
+                                            (lj0, c0g))
 
     if fw_on and not skip_fw:
         fx, fy, fz, feps, fsig2 = [], [], [], [], []
@@ -211,19 +227,7 @@ def _stepg_kernel(
         lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0), axis=1,
                                     keepdims=True)
 
-    # ---- Coulomb pass: guest cols + framework window ----------------------
-    xQ, yQ, zQ, keepQ = expand(FQ)
-    if skip_guest:
-        c_rows = jnp.sum(xQ * 0.0, axis=1, keepdims=True)
-    else:
-        r2q = pair_r2(ptq_ref, xQ, yQ, zQ)
-        inv_r = jax.lax.rsqrt(r2q)
-        sq = site_q_ref[0, cols0:][None, :]
-        coul = (qw_ref[0, :][:, None] * sq
-                * _erfc(alpha * (r2q * inv_r)) * inv_r)
-        c_rows = jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
-                         keepdims=True)                     # (G*FQ, 1)
-
+    # ---- Coulomb pass: framework window -----------------------------------
     if fw_on and not skip_fw:
         cx, cy, cz, cq = [], [], [], []
         for g in range(G):

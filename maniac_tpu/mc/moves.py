@@ -212,14 +212,17 @@ def _propose(spec: SystemSpec, state: SimState, u) -> dict:
     # forces XLA to re-lay-out the whole (B, 3, S) array every step
     # (profiled at ~40% of the step)
     a_iota = jnp.arange(A_act, dtype=jnp.int32)
-    s_iota = jnp.arange(spec.S, dtype=jnp.int32)
+    # with the framework split, moving molecules live only in the guest
+    # column suffix - the one-hot build and read shrink accordingly
+    gb = spec.guest_base if spec.fw_split else 0
+    s_iota = gb + jnp.arange(spec.S - gb, dtype=jnp.int32)
     last_idx = jnp.maximum(n_old_count - 1, 0)
     start_last = spec.type_site_base[t_old] + last_idx * A_old
     oh2 = jnp.concatenate([
         ((s_iota[:, None] - site_start_old) == a_iota[None, :]),
         ((s_iota[:, None] - start_last) == a_iota[None, :])],
-        axis=1).astype(fdt)                                 # (S, 2*A_act)
-    cols2 = state.pos @ oh2                                 # (3, 2*A_act)
+        axis=1).astype(fdt)                                 # (S-gb, 2*A_act)
+    cols2 = state.pos[:, gb:] @ oh2                         # (3, 2*A_act)
     P_old = cols2[:, :A_act].T                              # (A_act, 3)
     last_cols = cols2[:, A_act:]                            # (3, A_act)
 
@@ -414,6 +417,20 @@ def _core_kernel_grouped(spec: SystemSpec, states_g: SimState,
     newcols = pre["P_new"].transpose(2, 0, 1).reshape(3, G * A_act)
     lastcols = pre["last_cols"].transpose(1, 0, 2).reshape(3, G * A_act)
 
+    # number of 128-col guest chunks intersecting any live molecule (the
+    # kernel's guest pair loop bound): per-type live ends, max over the
+    # group. Types outside the frozen prefix are covered whether active
+    # (mutable prefix) or inactive (constant population).
+    gb = spec.guest_base if spec.fw_split else 0
+    live_end = jnp.zeros((), jnp.int32)
+    for r in range(spec.R):
+        base_r = spec.site_base_list[r] - gb
+        if base_r < 0:
+            continue  # frozen prefix handled by the framework tables
+        end_r = base_r + jnp.max(states_g.n_mol[:, r]) * spec.A_list[r]
+        live_end = jnp.maximum(live_end, end_r.astype(jnp.int32))
+    n_live = jnp.broadcast_to((live_end + 127) // 128, (G,))[:, None]
+
     iscal = jnp.concatenate([
         jnp.stack([pre["ex_a"], pre["ex_b"],
                    pre["t_old"] * spec.R + pre["t_new"],
@@ -422,7 +439,7 @@ def _core_kernel_grouped(spec: SystemSpec, states_g: SimState,
                    pre["w_new"].astype(jnp.int32),
                    pre["remove_like"].astype(jnp.int32)], axis=1),
         states_g.n_mol.astype(jnp.int32),
-        pre["fw_starts"]], axis=1).astype(jnp.int32)
+        pre["fw_starts"], n_live], axis=1).astype(jnp.int32)
     fscal = jnp.stack([
         pre["s_old"] + pre["i_old"], pre["s_new"] + pre["i_new"],
         pre["e_recip_old"], pre["pref"], pre["u_acc"],

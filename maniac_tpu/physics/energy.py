@@ -275,13 +275,25 @@ def _chunk_for(S: int) -> int:
 def full_amplitudes(spec: SystemSpec, pos, active):
     """A(k) = sum_s q_s e^{i k.r_s} over all active sites on the dense grid,
     chunked over S (separable per-axis tables + MXU contraction per chunk -
-    no (S, K) phase matrix is ever materialized)."""
-    S = spec.S
-    qm = jnp.where(active, spec.site_q, 0.0)
-    theta = pos @ spec.two_pi_Hinv.T                    # (S, 3)
-    chunk = _chunk_for(S)
-    theta_c = theta.reshape(S // chunk, chunk, 3)
-    q_c = qm.reshape(S // chunk, chunk)
+    no (S, K) phase matrix is ever materialized).
+
+    With the static-framework split the frozen prefix contributes a
+    CONSTANT amplitude (spec.fw_amp_re/_im, synthesized once in f64 at
+    setup); only the mutable guest columns are re-synthesized here."""
+    if spec.fw_split:
+        lo, S = spec.guest_base, spec.S
+        init = (spec.fw_amp_re.astype(pos.dtype),
+                spec.fw_amp_im.astype(pos.dtype))
+    else:
+        lo, S = 0, spec.S
+        init = (jnp.zeros(spec.amp_shape, dtype=pos.dtype),
+                jnp.zeros(spec.amp_shape, dtype=pos.dtype))
+    n = S - lo
+    qm = jnp.where(active[lo:], spec.site_q[lo:], 0.0)
+    theta = pos[lo:] @ spec.two_pi_Hinv.T               # (n, 3)
+    chunk = _chunk_for(n)
+    theta_c = theta.reshape(n // chunk, chunk, 3)
+    q_c = qm.reshape(n // chunk, chunk)
 
     def body(carry, xs):
         re, im = carry
@@ -289,8 +301,6 @@ def full_amplitudes(spec: SystemSpec, pos, active):
         d_re, d_im = _separable_amp(spec, t, q)
         return (re + d_re, im + d_im), None
 
-    init = (jnp.zeros(spec.amp_shape, dtype=pos.dtype),
-            jnp.zeros(spec.amp_shape, dtype=pos.dtype))
     (re, im), _ = jax.lax.scan(body, init, (theta_c, q_c))
     return re, im
 

@@ -81,13 +81,36 @@ class FwSplitSetup:
     c2_im: np.ndarray | None = None
     ex2_sel: np.ndarray | None = None   # (Jx2, Jxy2P)
     ey2_sel: np.ndarray | None = None   # (Jy2, Jxy2P)
+    # constant framework structure factor on the MAIN k-grid: resync /
+    # full_amplitudes start from it and synthesize guest sites only
+    amp_fw_re: np.ndarray | None = None  # (JzP, JxyP)
+    amp_fw_im: np.ndarray | None = None
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _amps_on_grid(phase, q, kmaxs, shape):
+    """sum_s q_s e^{i 2 pi n.frac_s} on a dense half-space grid laid out
+    (JzP, JxyP) with cols jx*Jy + jy (the ewald.py convention). phase:
+    (N, 3) complex e^{2 pi i frac}; returns (re, im) f64 arrays."""
+    kxm, kym, kzm = kmaxs
+    Jx, Jy, Jz = kxm + 1, 2 * kym + 1, 2 * kzm + 1
+    Jxy = Jx * Jy
+    JzP, JxyP = shape
+    px = phase[:, 0][:, None] ** np.arange(Jx)[None, :]
+    py = phase[:, 1][:, None] ** (np.arange(Jy)[None, :] - kym)
+    pz = phase[:, 2][:, None] ** (np.arange(Jz)[None, :] - kzm)
+    a_xy = np.einsum("sx,sy->sxy", px, py).reshape(q.size, Jxy)
+    A = pz.T @ (q[:, None] * a_xy)                     # (Jz, Jxy) complex
+    full = np.zeros((JzP, JxyP), dtype=complex)
+    full[:Jz, :Jxy] = A
+    return full.real.copy(), full.imag.copy()
+
+
 def build_fwsplit(box, alpha: float, cutoff: float, *,
+                  kmax_xyz, amp_shape,
                   R: int, active_list, A_list, cap_list, n_mol_init,
                   type_site_base, site_q, site_cls, pos0, eps_cls, sig_cls,
                   class_base, lj_idx, Lmax: int, mol_radius: float,
@@ -243,17 +266,18 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
     is_orig = (pos_all[:, axis] >= lo_ax) & (pos_all[:, axis] < hi_ax)
     phase = np.exp(2j * PI * frac[is_orig])            # (Nf, 3)
     qs = qf[is_orig]
-    px = phase[:, 0][:, None] ** np.arange(Jx)[None, :]
-    py = phase[:, 1][:, None] ** (np.arange(Jy)[None, :] - int(kmax2[1]))
-    pz = phase[:, 2][:, None] ** (np.arange(Jz)[None, :] - int(kmax2[2]))
-    a_xy = np.einsum("sx,sy->sxy", px, py).reshape(qs.size, Jxy)
-    A2 = pz.T @ (qs[:, None] * a_xy)                   # (Jz, Jxy) complex
-    A2_full = np.zeros((Jz2P, Jxy2P), dtype=complex)
-    A2_full[:Jz, :Jxy] = A2
+    A2_re, A2_im = _amps_on_grid(phase, qs, tuple(int(k) for k in kmax2),
+                                 (Jz2P, Jxy2P))
 
     coef2 = coef.reshape(Jz2P, Jxy2P)
-    c2_re = coef2 * A2_full.real
-    c2_im = coef2 * A2_full.imag
+    c2_re = coef2 * A2_re
+    c2_im = coef2 * A2_im
+
+    # constant framework structure factor on the MAIN grid (f64): the
+    # per-block resynthesis and full_amplitudes start from this and only
+    # synthesize the mutable guest columns
+    amp_fw_re, amp_fw_im = _amps_on_grid(phase, qs, tuple(kmax_xyz),
+                                         tuple(amp_shape))
 
     ex2 = np.zeros((Jx, Jxy2P))
     ey2 = np.zeros((Jy, Jxy2P))
@@ -271,4 +295,5 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
         blockmax=blockmax, WL=WL, WC=WC, rcw_lj=rcw_lj, rcw_c=rcw_c,
         alpha2=a2, rcut2=rc2, d0=d0,
         kmax2=tuple(int(k) for k in kmax2), amp2_shape=(Jz2P, Jxy2P),
-        c2_re=c2_re, c2_im=c2_im, ex2_sel=ex2, ey2_sel=ey2)
+        c2_re=c2_re, c2_im=c2_im, ex2_sel=ex2, ey2_sel=ey2,
+        amp_fw_re=amp_fw_re, amp_fw_im=amp_fw_im)

@@ -65,7 +65,7 @@ def _round_up(x: int, m: int) -> int:
                       "fw_pq_g", "fw_eps_g", "fw_sig2_g",
                       "fw_blockmax", "c2_re", "c2_im", "c2_cat",
                       "ex2_sel", "ey2_sel", "alpha2", "rcut2", "fw_d0",
-                      "fw_rcw_lj", "fw_rcw_c"],
+                      "fw_rcw_lj", "fw_rcw_c", "fw_amp_re", "fw_amp_im"],
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
@@ -180,6 +180,8 @@ class SystemSpec:
     fw_d0: jnp.ndarray        # k=0 far-field term per unit guest charge (K)
     fw_rcw_lj: jnp.ndarray    # scalar LJ half-window (A)
     fw_rcw_c: jnp.ndarray     # scalar Coulomb half-window (A)
+    fw_amp_re: jnp.ndarray    # (JzP, JxyP) constant framework amplitudes
+    fw_amp_im: jnp.ndarray
     # --- static metadata ---
     R: int
     A_list: tuple
@@ -473,6 +475,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     from .physics.fwsplit import FwSplitSetup, build_fwsplit
     fws = build_fwsplit(
         box, float(ewald.alpha), float(ewald.real_space_cutoff),
+        kmax_xyz=tuple(int(k) for k in ewald.kmax),
+        amp_shape=tuple(ewald.grid2_shape),
         R=R, active_list=active, A_list=A_list, cap_list=cap_list,
         n_mol_init=parsed.n_mol, type_site_base=type_site_base,
         site_q=site_q, site_cls=site_cls, pos0=offset0,
@@ -496,6 +500,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
             c2_re=np.zeros((8, 128)), c2_im=np.zeros((8, 128)),
             ex2_sel=np.zeros((1, 128)), ey2_sel=np.zeros((1, 128)),
             kmax2=(0, 0, 0), amp2_shape=(8, 128),
+            amp_fw_re=np.zeros(ewald.grid2_shape),
+            amp_fw_im=np.zeros(ewald.grid2_shape),
             guest_base=0, S_frozen=0, axis=2)
         c2_cat = np.zeros((16, 256))
 
@@ -540,6 +546,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         ex2_sel=f(fws.ex2_sel), ey2_sel=f(fws.ey2_sel),
         alpha2=f(fws.alpha2), rcut2=f(fws.rcut2), fw_d0=f(fws.d0),
         fw_rcw_lj=f(fws.rcw_lj), fw_rcw_c=f(fws.rcw_c),
+        fw_amp_re=f(fws.amp_fw_re), fw_amp_im=f(fws.amp_fw_im),
         R=R, A_list=A_list, cap_list=cap_list,
         active_list=tuple(active), A_act=A_act,
         n_active=len(active_ids), S=S, Mtot=Mtot, K=K,
