@@ -74,13 +74,14 @@ def _stepg_kernel(
         h2pi_ref,        # VMEM (3, 3) shared
         ex_ref, ey_ref,  # VMEM expansions, shared
         kw_ref,          # VMEM (JzP, JxyP) shared
-        epslj_ref,       # VMEM (R*R*8, S) shared compacted LJ rows
-        sig2lj_ref,      # VMEM (R*R*8, S) shared
-        site_q_ref, site_mol_ref, site_type_ref, site_midx_ref,  # (1, S)
+        epslj_ref,       # VMEM (nA*nA*8, GS) active-pair LJ rows, guest cols
+        sig2lj_ref,      # VMEM (nA*nA*8, GS)
+        site_q_ref, site_mol_ref, site_type_ref, site_midx_ref,  # (1, GS)
         fwpq_ref,        # VMEM (4, SG) ghosted sorted framework x/y/z/q
-        fweps_ref,       # VMEM (R*R*8, SG)
-        fwsig2_ref,      # VMEM (R*R*8, SG)
-        c2cat_ref,       # VMEM (2*Jz2P, 2*Jxy2P) far-field coefficients
+        fweps_ref,       # VMEM (nA*nA*8, SG) active-pair LJ blocks
+        fwsig2_ref,      # VMEM (nA*nA*8, SG)
+        c2re_ref,        # VMEM (Jz2P, Jxy2P) far-field coefficients
+        c2im_ref,
         ex2_ref, ey2_ref,  # VMEM grid2 expansions
         amp_re_ref, amp_im_ref, pos_ref,   # (G,JzP,JxyP) x2, (G,3,S) aliased
         amp_re_out, amp_im_out, pos_out,
@@ -138,7 +139,7 @@ def _stepg_kernel(
 
     def guest_chunk(ci, carry):
         ljacc, cacc = carry
-        b = cols0 + ci * 128
+        b = ci * 128                        # guest-relative (sliced tables)
         midc = site_midx_ref[0, pl.ds(b, 128)]
         styc = site_type_ref[0, pl.ds(b, 128)]
         smoc = site_mol_ref[0, pl.ds(b, 128)]
@@ -153,7 +154,8 @@ def _stepg_kernel(
             kg = ((midc < nsel) & (smoc != iscal_ref[g, 0])
                   & (smoc != iscal_ref[g, 1]))
             keeps_c.append(kg.astype(jnp.int32)[None, :])
-            pgs.append(pos_ref[g, :, pl.ds(b, 128)])        # (3, 128)
+            # pos_ref is the FULL (3, S) array - absolute column offset
+            pgs.append(pos_ref[g, :, pl.ds(cols0 + b, 128)])  # (3, 128)
 
         def expand_c(F):
             ones = jnp.ones((F, 1), jnp.int32)
@@ -299,13 +301,16 @@ def _stepg_kernel(
         ye2 = dotT(py2, ey2_ref[:, :])
         t2_re = xe2[:GFK] * ye2[:GFK] - xe2[GFK:] * ye2[GFK:]
         t2_im = xe2[:GFK] * ye2[GFK:] + xe2[GFK:] * ye2[:GFK]
-        t2_cat = jnp.concatenate([t2_re, t2_im], axis=1)    # (GFK, 2*Jxy2P)
-        # M1 = c_re @ t_re^T + c_im @ t_im^T ; M2 = c_im @ t_re^T - c_re @
-        # t_im^T (c2cat rows pack both) - contraction over the lane axis
-        M = jax.lax.dot_general(c2cat_ref[:, :], t2_cat,
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=f32)  # (2*Jz2P, GFK)
-        efar = jnp.sum(pz2T_re * M[:Jz2P] + pz2T_im * M[Jz2P:],
+
+        def dotL(a, b):  # contract the lane axis: (J, X) x (N, X) -> (J, N)
+            return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=f32)
+
+        c_re = c2re_ref[:, :]
+        c_im = c2im_ref[:, :]
+        M1 = dotL(c_re, t2_re) + dotL(c_im, t2_im)          # (Jz2P, GFK)
+        M2 = dotL(c_im, t2_re) - dotL(c_re, t2_im)
+        efar = jnp.sum(pz2T_re * M1 + pz2T_im * M2,
                        axis=0, keepdims=True)               # (1, GFK)
         efar = efar + fw_d0 * qwrow
     elif fw_on:
@@ -403,6 +408,7 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
     G = pos_g.shape[0]
     JzP, JxyP = spec.amp_shape
     S = spec.S
+    gb = spec.guest_base if spec.fw_split else 0
     FL = 2 * spec.Lmax
     FQ = 2 * spec.Qmax
     FK = ((FQ + 7) // 8) * 8
@@ -443,9 +449,9 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
                    jax.ShapeDtypeStruct((G, JzP, JxyP), f),
                    jax.ShapeDtypeStruct((G, 3, S), f),
                    jax.ShapeDtypeStruct((G, 8), f)),
-        in_specs=[vmem] * 31,
+        in_specs=[vmem] * 32,
         out_specs=(vmem,) * 4,
-        input_output_aliases={28: 0, 29: 1, 30: 2},
+        input_output_aliases={29: 0, 30: 1, 31: 2},
         # the shared all-G phase/far-field tables exceed the default 16 MB
         # scoped-vmem limit; v5e has 128 MB of physical VMEM
         compiler_params=pltpu.CompilerParams(
@@ -456,10 +462,11 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
       ptq.transpose(2, 0, 1).reshape(3, G * FQ), qw.reshape(1, G * FQ),
       ptk, qwk, wkk, newcols, lastcols,
       consts, spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel, spec.k_weights,
-      spec.eps_pair_lj, spec.sig2_pair_lj,
-      spec.site_q.reshape(1, S), spec.site_mol.reshape(1, S),
-      spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S),
+      spec.eps_pair_lj[:, gb:], spec.sig2_pair_lj[:, gb:],
+      spec.site_q.reshape(1, S)[:, gb:], spec.site_mol.reshape(1, S)[:, gb:],
+      spec.site_type.reshape(1, S)[:, gb:],
+      spec.site_midx.reshape(1, S)[:, gb:],
       spec.fw_pq_g, spec.fw_eps_g, spec.fw_sig2_g,
-      spec.c2_cat, spec.ex2_sel, spec.ey2_sel,
+      spec.c2_re, spec.c2_im, spec.ex2_sel, spec.ey2_sel,
       amp_re_g, amp_im_g, pos_g)
     return amp_re2, amp_im2, pos2, flags

@@ -167,11 +167,15 @@ def _propose(spec: SystemSpec, state: SimState, u) -> dict:
     t1 = spec.active_type_ids[i1]
     if spec.n_active >= 2:
         di = 1 + _uint(u[12], jnp.int32(spec.n_active - 1))
-        t2 = spec.active_type_ids[(i1 + di) % spec.n_active]
+        i2 = (i1 + di) % spec.n_active
+        t2 = spec.active_type_ids[i2]
     else:
+        i2 = i1
         t2 = t1
     t_old = t1
     t_new = jnp.where(is_swap, t2, t1)
+    # ACTIVE-pair id for the compact grouped-kernel LJ tables
+    pid_act = i1 * spec.n_active + jnp.where(is_swap, i2, i1)
 
     n_old_count = state.n_mol[t_old]
     n_new_count = state.n_mol[t_new]
@@ -331,6 +335,7 @@ def _propose(spec: SystemSpec, state: SimState, u) -> dict:
         A_old=A_old, A_new=A_new, mol_slot_old=mol_slot_old,
         slot_new=slot_new, m_iota=m_iota,
         site_start_old=site_start_old, site_start_new=site_start_new,
+        pid_act=pid_act,
         ex_a=ex_a, ex_b=ex_b, P_old=P_old, P_new=P_new, q_old=q_old,
         q_new=q_new, cls_old=cls_old, cls_new=cls_new, mask_old=mask_old,
         mask_new=mask_new, m2=m2, last_cols=last_cols, com_new=com_new,
@@ -432,8 +437,7 @@ def _core_kernel_grouped(spec: SystemSpec, states_g: SimState,
     n_live = jnp.broadcast_to((live_end + 127) // 128, (G,))[:, None]
 
     iscal = jnp.concatenate([
-        jnp.stack([pre["ex_a"], pre["ex_b"],
-                   pre["t_old"] * spec.R + pre["t_new"],
+        jnp.stack([pre["ex_a"], pre["ex_b"], pre["pid_act"],
                    pre["site_start_new"], pre["site_start_old"],
                    pre["A_new"], pre["A_old"],
                    pre["w_new"].astype(jnp.int32),

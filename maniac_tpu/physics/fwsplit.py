@@ -113,7 +113,8 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
                   kmax_xyz, amp_shape,
                   R: int, active_list, A_list, cap_list, n_mol_init,
                   type_site_base, site_q, site_cls, pos0, eps_cls, sig_cls,
-                  class_base, lj_idx, Lmax: int, mol_radius: float,
+                  class_base, lj_idx, Lmax: int, active_ids,
+                  mol_radius: float,
                   enabled: str = "auto", alpha2: float = 0.0,
                   rcut2: float = 0.0) -> FwSplitSetup:
     """Build the static-framework split tables (host-side numpy).
@@ -194,16 +195,17 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
     pq_g[3, :NG] = site_q[src]
 
     # grouped-kernel LJ rows vs framework ghost cols: same 8-row (old|new)
-    # per-type-pair block layout as SystemSpec.eps_pair_lj
+    # ACTIVE-pair block layout as SystemSpec.eps_pair_lj
     eps_site_fw = eps_cls[:, site_cls[src]]            # (C+1, NG)
     sig_site_fw = sig_cls[:, site_cls[src]]
-    eps_g = np.zeros((R * R * 8, SG))
-    sig2_g = np.zeros((R * R * 8, SG))
+    nA = max(len(active_ids), 1)
+    eps_g = np.zeros((nA * nA * 8, SG))
+    sig2_g = np.zeros((nA * nA * 8, SG))
     if 2 * Lmax <= 8:
-        for to in range(R):
-            for tn in range(R):
-                base = (to * R + tn) * 8
-                for side, t in ((0, to), (1, tn)):
+        for ao, to in enumerate(active_ids):
+            for an, tn in enumerate(active_ids):
+                base = (ao * nA + an) * 8
+                for side, t in ((0, int(to)), (1, int(tn))):
                     for j, a in enumerate(lj_idx[t][:Lmax]):
                         row = class_base[t] + a
                         eps_g[base + side * Lmax + j, :NG] = eps_site_fw[row]

@@ -63,7 +63,7 @@ def _round_up(x: int, m: int) -> int:
                       "res_type_site_base", "res_type_mol_base", "res_cap",
                       "res_H", "res_bounds_lo",
                       "fw_pq_g", "fw_eps_g", "fw_sig2_g",
-                      "fw_blockmax", "c2_re", "c2_im", "c2_cat",
+                      "fw_blockmax", "c2_re", "c2_im",
                       "ex2_sel", "ey2_sel", "alpha2", "rcut2", "fw_d0",
                       "fw_rcw_lj", "fw_rcw_c", "fw_amp_re", "fw_amp_im"],
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
@@ -172,7 +172,6 @@ class SystemSpec:
     fw_blockmax: jnp.ndarray  # (SG//128,) per-128-col max sort coordinate
     c2_re: jnp.ndarray        # (Jz2P, Jxy2P) far-field coefficients (K)
     c2_im: jnp.ndarray
-    c2_cat: jnp.ndarray       # (2*Jz2P, 2*Jxy2P) [[re|im],[im|-re]]
     ex2_sel: jnp.ndarray      # (Jx2, Jxy2P)
     ey2_sel: jnp.ndarray      # (Jy2, Jxy2P)
     alpha2: jnp.ndarray       # scalar short-range split parameter
@@ -437,14 +436,18 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
             q_sel[r, j, a] = 1.0
     # 8-row (old|new) LJ slabs fit only when each side has <=4 LJ rows;
     # bigger molecules fall back to the ungrouped kernel (kernels.group_size
-    # gates on Lmax) but the spec must still build.
-    eps_pair_lj = np.zeros((R * R * 8, S))
-    sig2_pair_lj = np.zeros((R * R * 8, S))
+    # gates on Lmax) but the spec must still build. Blocks are indexed by
+    # the ACTIVE-pair id pa = ao*n_active + an (only active types can be a
+    # move's old/new side), which keeps the tables - re-read from HBM by
+    # every kernel program - minimal.
+    nA = max(len(active_ids), 1)
+    eps_pair_lj = np.zeros((nA * nA * 8, S))
+    sig2_pair_lj = np.zeros((nA * nA * 8, S))
     if 2 * Lmax <= 8:
-        for to in range(R):
-            for tn in range(R):
-                base = (to * R + tn) * 8
-                for side, t in ((0, to), (1, tn)):
+        for ao, to in enumerate(active_ids):
+            for an, tn in enumerate(active_ids):
+                base = (ao * nA + an) * 8
+                for side, t in ((0, int(to)), (1, int(tn))):
                     for j, a in enumerate(lj_idx[t][:Lmax]):
                         row = class_base[t] + a
                         dst = base + side * Lmax + j
@@ -481,21 +484,18 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         n_mol_init=parsed.n_mol, type_site_base=type_site_base,
         site_q=site_q, site_cls=site_cls, pos0=offset0,
         eps_cls=eps_cls, sig_cls=sig_cls, class_base=class_base,
-        lj_idx=lj_idx, Lmax=Lmax, mol_radius=mol_rad,
+        lj_idx=lj_idx, Lmax=Lmax, active_ids=active_ids,
+        mol_radius=mol_rad,
         enabled=fw_mode,
         alpha2=getattr(deck, "fw_alpha2", 0.0),
         rcut2=getattr(deck, "fw_rcut2", 0.0))
     if fw_mode == "on" and not fws.enabled:
         raise ValueError(f"framework_split on but ineligible: {fws.reason}")
-    if fws.enabled:
-        Jz2P, Jxy2P = fws.amp2_shape
-        c2_cat = np.block([[fws.c2_re, fws.c2_im],
-                           [fws.c2_im, -fws.c2_re]])
-    else:  # inert dummies keep the pytree shape cheap
+    if not fws.enabled:  # inert dummies keep the pytree shape cheap
         fws = FwSplitSetup(
             False, fws.reason, pq_g=np.zeros((4, 128)),
-            eps_g=np.zeros((R * R * 8, 128)),
-            sig2_g=np.zeros((R * R * 8, 128)), blockmax=np.zeros(1),
+            eps_g=np.zeros((8, 128)),
+            sig2_g=np.zeros((8, 128)), blockmax=np.zeros(1),
             SG=128, WL=128, WC=128,
             c2_re=np.zeros((8, 128)), c2_im=np.zeros((8, 128)),
             ex2_sel=np.zeros((1, 128)), ey2_sel=np.zeros((1, 128)),
@@ -503,7 +503,6 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
             amp_fw_re=np.zeros(ewald.grid2_shape),
             amp_fw_im=np.zeros(ewald.grid2_shape),
             guest_base=0, S_frozen=0, axis=2)
-        c2_cat = np.zeros((16, 256))
 
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
@@ -542,7 +541,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         res_H=f(res_H), res_bounds_lo=f(res_lo),
         fw_pq_g=f(fws.pq_g), fw_eps_g=f(fws.eps_g),
         fw_sig2_g=f(fws.sig2_g), fw_blockmax=f(fws.blockmax),
-        c2_re=f(fws.c2_re), c2_im=f(fws.c2_im), c2_cat=f(c2_cat),
+        c2_re=f(fws.c2_re), c2_im=f(fws.c2_im),
         ex2_sel=f(fws.ex2_sel), ey2_sel=f(fws.ey2_sel),
         alpha2=f(fws.alpha2), rcut2=f(fws.rcut2), fw_d0=f(fws.d0),
         fw_rcw_lj=f(fws.rcw_lj), fw_rcw_c=f(fws.rcw_c),
