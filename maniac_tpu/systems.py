@@ -412,6 +412,71 @@ def make_zif_like(outdir, n_cells=6, a=5.66, atoms_per_cell=10, n_water=32,
     return outdir
 
 
+def make_framework_mixed(outdir, n_cells=4, a=5.66, n_water=8, n_dimer=4,
+                         seed=29, **deck_kw):
+    """Framework + TWO active species of different sizes (4-site water and
+    a 2-site charged dimer): stresses the static-framework split with
+    multiple active types - active-pair LJ table blocks, swap moves under
+    the split, and guest chunk ranges with a gap between the type blocks."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    L = n_cells * a
+    atoms = []
+    base = np.array([[sx, sy, sz] for sx in (-1.1, 1.1)
+                     for sy in (-1.1, 1.1) for sz in (-1.1, 1.1)])
+    qs = np.array([0.18 if i % 2 == 0 else -0.18 for i in range(len(base))])
+    qs -= qs.mean()
+    n_fw = 0
+    for i in range(n_cells):
+        for j in range(n_cells):
+            for k in range(n_cells):
+                c = -L / 2 + (np.array([i, j, k]) + 0.5) * a
+                for s, qf in zip(base, qs):
+                    n_fw += 1
+                    atoms.append((1, 1, qf, *(c + s)))
+    sites_w, q_w, names_w = water_sites()
+    sites_d = np.array([[0.0, 0.0, -0.6], [0.0, 0.0, 0.6]])
+    q_d = np.array([0.25, -0.25])
+    type_of_w = {"O": 2, "H": 3, "M": 4}
+    corners = [(i, j, k) for i in range(n_cells) for j in range(n_cells)
+               for k in range(n_cells)]
+    rng.shuffle(corners)
+    m = 1
+    for cell in corners[:n_water]:
+        c = -L / 2 + np.asarray(cell, dtype=float) * a
+        R = _random_rotation(rng)
+        pos = c + sites_w @ R.T
+        m += 1
+        for aa in range(4):
+            atoms.append((m, type_of_w[names_w[aa]], q_w[aa], *pos[aa]))
+    for cell in corners[n_water:n_water + n_dimer]:
+        c = -L / 2 + np.asarray(cell, dtype=float) * a
+        R = _random_rotation(rng)
+        pos = c + sites_d @ R.T
+        m += 1
+        for aa in range(2):
+            atoms.append((m, 5 + aa, q_d[aa], *pos[aa]))
+    masses = {1: MASS["F"], 2: MASS["O"], 3: MASS["H"], 4: MASS["M"],
+              5: MASS["F"], 6: MASS["F"]}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 6)
+    residues = [
+        dict(name="zif", active=False, types=[1], names=["F"], nb_atoms=n_fw),
+        dict(name="wat", active=True, fugacity=deck_kw.pop("fug_w", 60.0),
+             types=[2, 3, 4], names=["OW", "HW", "MW"], nb_atoms=4),
+        dict(name="dim", active=True, fugacity=deck_kw.pop("fug_d", 60.0),
+             types=[5, 6], names=["DA", "DB"], nb_atoms=2),
+    ]
+    deck_kw.setdefault("cutoff", 6.0)
+    deck_kw.setdefault("tol", 1e-5)
+    deck_kw.setdefault("probs", (0.25, 0.15, 0.4, 0.2))
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc",
+               [(1, 1, 0.25, 3.0), (2, 2, EPS_O, SIG_O),
+                (3, 3, 0.0, 0.0), (4, 4, 0.0, 0.0),
+                (5, 5, 0.15, 3.2), (6, 6, 0.1, 3.0)])
+    return outdir
+
+
 def make_mixed_sizes(outdir, n_water=6, n_dimer=6, L=16.0, seed=13,
                      **deck_kw):
     """Two active species with DIFFERENT molecule sizes (4-site water +

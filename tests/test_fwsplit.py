@@ -200,6 +200,61 @@ def test_window_coverage(tmp_path):
                 assert inside.max() < st * 128 + W
 
 
+def test_two_active_species_with_framework(tmp_path, monkeypatch):
+    """Framework + water + dimer: exercises the split with n_active=2 -
+    active-pair LJ table blocks, swap moves, and guest chunk ranges with a
+    dead gap between the two type blocks. Pins split-vs-plain per-move dE
+    (f64) and grouped-kernel vs XLA decisions (f32, stepwise)."""
+    from maniac_tpu.mc.moves import N_UNIFORMS, mc_step_group, mc_step_u
+    from maniac_tpu.parallel.replicas import replicate
+    from maniac_tpu.systems import make_framework_mixed
+    make_framework_mixed(str(tmp_path))
+    out = str(tmp_path)
+
+    sysm = _load(out, dtype=jnp.float64, capacity=12)
+    monkeypatch.setenv("MANIAC_FWSPLIT", "0")
+    plain = _load(out, dtype=jnp.float64, capacity=12)
+    monkeypatch.delenv("MANIAC_FWSPLIT")
+    assert sysm.spec.fw_split and sysm.spec.n_active == 2
+    keys = jax.random.split(jax.random.PRNGKey(3), 50)
+    st_s, st_p = sysm.state, plain.state
+    step_s = jax.jit(lambda st, k: mc_step(sysm.spec, st, k))
+    step_p = jax.jit(lambda st, k: mc_step(plain.spec, st, k))
+    for k in keys:
+        e0_s, e0_p = float(st_s.energy[E_TOT]), float(st_p.energy[E_TOT])
+        st_s, st_p = step_s(st_s, k), step_p(st_p, k)
+        de_s = float(st_s.energy[E_TOT]) - e0_s
+        de_p = float(st_p.energy[E_TOT]) - e0_p
+        assert abs(de_s - de_p) * KCAL_PER_K < 1e-6
+    np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_p.pos))
+    # grouped kernel vs XLA, f32, stepwise with flip tolerance
+    sysf = _load(out, dtype=jnp.float32, capacity=12)
+    spec = sysf.spec
+    B = 4
+    states = replicate(spec, sysf.state, B)
+    monkeypatch.setenv("MANIAC_GROUP", str(B))
+    stepg = jax.jit(lambda s, u: mc_step_group(spec, s, u))
+    stepx = jax.jit(lambda s, u: jax.vmap(
+        lambda ss, uu: mc_step_u(spec, ss, uu))(s, u))
+    key = jax.random.PRNGKey(4)
+    sk = sx = states
+    flips = 0
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        u = jax.random.uniform(sub, (B, N_UNIFORMS), dtype=spec.dtype)
+        monkeypatch.setenv("MANIAC_PALLAS", "1")
+        sk = stepg(sk, u)
+        monkeypatch.setenv("MANIAC_PALLAS", "0")
+        sx = stepx(sx, u)
+        same = (np.array_equal(np.asarray(sk.pos), np.asarray(sx.pos))
+                and np.array_equal(np.asarray(sk.n_mol),
+                                   np.asarray(sx.n_mol)))
+        if not same:
+            flips += 1
+            sx = sk
+    assert flips <= 2, f"{flips} decision flips in 40 steps"
+
+
 def test_number_conservation_physics(tmp_path):
     """<N> must be split-invariant: run the same chain with and without the
     split and compare mean occupancy loosely (they are not the same chain
