@@ -55,3 +55,27 @@ def use_block_kernel(spec) -> bool:
         return False
     return (not spec.is_triclinic and spec.dtype_name == "float32"
             and not spec.has_reservoir and not spec.fw_split)
+
+
+def use_blockg(spec) -> bool:
+    """Trace-time dispatch for the grouped whole-block kernel
+    (kernels/blockg.py): G replicas x n_steps in ONE program with state
+    resident in VMEM. Scope: f32, orthorhombic, one active residue type,
+    no reservoir, grouped LJ rows; any inactive species must be the frozen
+    prefix (fw_split) so the guest keep-masks are single-type.
+    Default on TPU when eligible (auto); MANIAC_PALLAS=blockg forces it
+    (e.g. for interpret-mode parity tests on CPU); any other value
+    disables it."""
+    mode = os.environ.get("MANIAC_PALLAS", "auto")
+    if mode not in ("auto", "blockg"):
+        return False
+    ok = (not spec.is_triclinic and spec.dtype_name == "float32"
+          and not spec.has_reservoir and spec.n_active == 1
+          and 2 * spec.Lmax <= 8
+          and (spec.fw_split or spec.R == 1))
+    if not ok:
+        return False
+    if mode == "blockg":
+        return True
+    import jax
+    return jax.devices()[0].platform != "cpu"

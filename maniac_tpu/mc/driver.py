@@ -119,18 +119,39 @@ def run_block(spec: SystemSpec, state: SimState, n_steps: int,
 def block_body_group(spec: SystemSpec, states_g: SimState, n_steps: int,
                      recalibrate: bool) -> SimState:
     """One block for a GROUP of G replicas sharing each Pallas program
-    (kernels/stepg.py). Per-replica PRNG streams are identical to the
-    ungrouped path, so trajectories match it exactly."""
+    (kernels/stepg.py per step, or kernels/blockg.py for the whole block
+    under MANIAC_PALLAS=blockg). Per-replica PRNG streams are identical to
+    the ungrouped path, so trajectories match it exactly."""
+    from ..kernels import use_blockg
     from .moves import N_UNIFORMS, mc_step_group
     split = jax.vmap(jax.random.split)(states_g.key)      # (G, 2, 2)
     uniforms = jax.vmap(lambda k: jax.random.uniform(
         k, (n_steps, N_UNIFORMS), dtype=spec.dtype))(split[:, 1])
     st = states_g.replace(key=split[:, 0])
 
-    def body(s, u_t):
-        return mc_step_group(spec, s, u_t), None
+    if use_blockg(spec):
+        from ..kernels.blockg import run_block_grouped
+        G = st.n_mol.shape[0]
+        uq = uniforms.transpose(1, 2, 0).reshape(n_steps, N_UNIFORMS * G)
+        pos, com, amp_re, amp_im, nrow, eng, cnt = run_block_grouped(
+            spec, st, uq)
+        T = spec.active_list.index(True)
+        r_idx = jnp.arange(spec.R + 1)
+        n_mol = jnp.where(r_idx[None, :] == T, nrow.T, st.n_mol)
+        trials = cnt[0:5, :].T.astype(jnp.int32)          # (G, 5)
+        accepts = cnt[8:13, :].T.astype(jnp.int32)
+        counters = st.counters + jnp.stack([trials, accepts], axis=1)
+        x_idx = jnp.arange(st.extras.shape[1])
+        extras = st.extras + jnp.where(
+            x_idx[None, :] == 0, cnt[5:6, :].T.astype(jnp.int32), 0)
+        st = st.replace(pos=pos, com=com, amp_re=amp_re, amp_im=amp_im,
+                        n_mol=n_mol, energy=eng[:6, :].T,
+                        counters=counters, extras=extras)
+    else:
+        def body(s, u_t):
+            return mc_step_group(spec, s, u_t), None
 
-    st, _ = jax.lax.scan(body, st, jnp.swapaxes(uniforms, 0, 1))
+        st, _ = jax.lax.scan(body, st, jnp.swapaxes(uniforms, 0, 1))
     return jax.vmap(lambda s: _recalibrate(s, recalibrate, spec.dtype))(st)
 
 

@@ -72,7 +72,7 @@ def _round_up(x: int, m: int) -> int:
                       "kmax_xyz", "amp_shape", "F_pack", "Lmax", "Qmax",
                       "fw_split", "S_frozen", "guest_base", "fw_SG",
                       "fw_WL", "fw_WC", "fw_axis", "kmax2_xyz", "amp2_shape",
-                      "site_base_list"])
+                      "site_base_list", "lj_idx_list", "q_idx_list"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -211,6 +211,8 @@ class SystemSpec:
     kmax2_xyz: tuple
     amp2_shape: tuple         # (Jz2P, Jxy2P)
     site_base_list: tuple     # static per-type site bases (128-aligned)
+    lj_idx_list: tuple        # per-type eps-active atom slots (static)
+    q_idx_list: tuple         # per-type charged atom slots (static)
 
     @property
     def dtype(self):
@@ -559,7 +561,9 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         guest_base=int(fws.guest_base), fw_SG=int(fws.SG),
         fw_WL=int(fws.WL), fw_WC=int(fws.WC), fw_axis=int(fws.axis),
         kmax2_xyz=tuple(fws.kmax2), amp2_shape=tuple(fws.amp2_shape),
-        site_base_list=tuple(base_list))
+        site_base_list=tuple(base_list),
+        lj_idx_list=tuple(tuple(x) for x in lj_idx),
+        q_idx_list=tuple(tuple(x) for x in q_idx))
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol

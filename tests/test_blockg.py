@@ -1,0 +1,113 @@
+"""Grouped whole-block kernel (kernels/blockg.py): parity + invariants.
+
+blockg runs the WHOLE block (G replicas x n_steps) in one Pallas program
+with an in-kernel, lane-vectorized proposal. Unlike the per-step kernels
+(which share the XLA proposal glue and are bit-exact), blockg re-derives
+the proposal geometry in-kernel, so positions agree with the scan path to
+f32 ulp (~1e-6) rather than bitwise; decisions (populations, counters)
+must match exactly on these fixtures, and the running energies must stay
+consistent with a from-scratch recompute.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maniac_tpu import load_system
+from maniac_tpu.mc.driver import block_body, resync_amplitudes_replicated
+from maniac_tpu.parallel.replicas import replicate, run_block_replicated
+from maniac_tpu.physics.energy import system_energy
+from maniac_tpu.system import E_TOT
+from maniac_tpu.systems import make_water_box, make_zif_like
+
+
+def _load(outdir, **kw):
+    return load_system(f"{outdir}/input.maniac", f"{outdir}/topology.data",
+                       f"{outdir}/parameters.inc", **kw)
+
+
+def _run_pair(spec, states, n_steps, monkeypatch, G):
+    monkeypatch.setenv("MANIAC_GROUP", str(G))
+    monkeypatch.setenv("MANIAC_PALLAS", "blockg")
+    st_b = run_block_replicated(spec, states, n_steps, False)
+    monkeypatch.setenv("MANIAC_PALLAS", "0")
+    st_x = jax.jit(lambda s: jax.vmap(
+        lambda ss: block_body(spec, ss, n_steps, False))(s))(states)
+    return st_b, st_x
+
+
+def test_blockg_parity_framework(tmp_path, monkeypatch):
+    make_zif_like(str(tmp_path), n_cells=4, a=5.66, n_water=10,
+                  fugacity=50.0, cutoff=6.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    assert spec.fw_split and spec.n_active == 1
+    states = replicate(spec, sysm.state, 4)
+    st_b, st_x = _run_pair(spec, states, 60, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
+    assert np.abs(np.asarray(st_b.energy)
+                  - np.asarray(st_x.energy)).max() < 5.0
+
+
+def test_blockg_parity_pure_water(tmp_path, monkeypatch):
+    """fw_split off (R == 1): cols0 = 0 path."""
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    assert not spec.fw_split and spec.R == 1
+    states = replicate(spec, sysm.state, 4)
+    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
+
+
+def test_blockg_bookkeeping_vs_recompute(tmp_path, monkeypatch):
+    """Running energies from the in-kernel bookkeeping must match a
+    from-scratch recompute to f32 working precision, and the per-block
+    amplitude resync must keep matching the positions."""
+    make_zif_like(str(tmp_path), n_cells=4, a=5.66, n_water=10,
+                  fugacity=50.0, cutoff=6.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    states = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_GROUP", "4")
+    monkeypatch.setenv("MANIAC_PALLAS", "blockg")
+    for _ in range(3):
+        states = run_block_replicated(spec, states, 50, False)
+        states = resync_amplitudes_replicated(spec, states)
+    monkeypatch.setenv("MANIAC_PALLAS", "0")
+    for b in range(4):
+        st1 = jax.tree_util.tree_map(lambda x: x[b], states)
+        e, _, _ = system_energy(spec, st1)
+        drift = abs(float(st1.energy[E_TOT]) - float(e[E_TOT]))
+        assert drift < 2.0, f"replica {b}: running vs recompute {drift} K"
+
+
+def test_blockg_gcmc_physics(tmp_path, monkeypatch):
+    """GCMC still works end-to-end: occupancy responds to fugacity and
+    stays within capacity; recalibration path runs."""
+    make_zif_like(str(tmp_path), n_cells=4, a=5.66, n_water=2,
+                  fugacity=300.0, cutoff=6.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=24)
+    spec = sysm.spec
+    states = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_GROUP", "4")
+    monkeypatch.setenv("MANIAC_PALLAS", "blockg")
+    for _ in range(4):
+        states = run_block_replicated(spec, states, 100, True)
+        states = resync_amplitudes_replicated(spec, states)
+    n = np.asarray(states.n_mol)[:, 1]
+    assert np.all(n >= 0) and np.all(n <= 24)
+    c = np.asarray(states.counters)
+    # all move classes were exercised and some insertions/deletions landed
+    assert c[:, 0, :4].sum(axis=0).min() > 0        # trials of T/R/C/D
+    assert c[:, 1, 0].sum() > 0 and c[:, 1, 1].sum() > 0
