@@ -141,3 +141,135 @@ def resync_pallas(spec, state, *, interpret=False):
       spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S),
       spec.fw_amp_re.astype(f), spec.fw_amp_im.astype(f))
     return amp_re, amp_im, eng2[0, :6]
+
+
+def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
+                    eng_ref,        # VMEM (G, 8) f32
+                    pos_ref,        # VMEM (G, 3, S)
+                    h2pi_ref, ex_ref, ey_ref, kw_ref,
+                    site_q_ref, site_type_ref, site_midx_ref,   # (1, S)
+                    fw_re_ref, fw_im_ref,
+                    amp_re_out,     # VMEM (G, JzP, JxyP)
+                    amp_im_out,
+                    eng_out,        # VMEM (G, 8)
+                    *, G: int, R: int, S: int, CH: int, kx: int, ky: int,
+                    kz: int, JzP: int, lo: int):
+    """Grouped resynthesis: G replicas per program. The per-chunk phase
+    tables are built for ALL replicas at once on (1, G*CH) rows (the
+    per-replica version was launch-overhead bound at B=1024); only the
+    final (JzP, 2CH)@(2CH, 2JxyP) contraction is per replica."""
+    f32 = jnp.float32
+    for g in range(G):
+        amp_re_out[g] = fw_re_ref[:, :]
+        amp_im_out[g] = fw_im_ref[:, :]
+
+    n_ch = (S - lo) // CH
+
+    def chunk_body(ci, _):
+        sl = pl.ds(lo + ci * CH, CH)
+        midx = site_midx_ref[0:1, sl][0, :]
+        stype = site_type_ref[0:1, sl][0, :]
+        sq = site_q_ref[0:1, sl][0, :]
+        # batched phase tables: all replicas' chunk columns side by side
+        pos_cat = jnp.concatenate(
+            [pos_ref[g, :, sl] for g in range(G)], axis=1)   # (3, G*CH)
+        th = jnp.dot(h2pi_ref[:, :], pos_cat,
+                     preferred_element_type=f32)
+        rex, imx = _powers(jnp.cos(th[0:1, :]), jnp.sin(th[0:1, :]), kx)
+        rey, imy = _powers(jnp.cos(th[1:2, :]), jnp.sin(th[1:2, :]), ky)
+        rez, imz = _powers(jnp.cos(th[2:3, :]), jnp.sin(th[2:3, :]), kz)
+        # fold per-replica active-site weights into the x tables
+        ws = []
+        for g in range(G):
+            nsel = jnp.full((CH,), nmol_ref[g, 0], jnp.int32) * (stype == 0)
+            for r in range(1, R):
+                nsel = jnp.where(stype == r, nmol_ref[g, r], nsel)
+            ws.append(jnp.where(midx < nsel, sq, 0.0)[None, :])
+        wrow = jnp.concatenate(ws, axis=1)                   # (1, G*CH)
+        pxT = jnp.concatenate(
+            [jnp.concatenate([r * wrow for r in rex], axis=0),
+             jnp.concatenate([i * wrow for i in imx], axis=0)],
+            axis=1)                                          # (Jx, 2*G*CH)
+        pyT_re, pyT_im = _signed_table(rey, imy, ky)
+        pyT = jnp.concatenate([pyT_re, pyT_im], axis=1)
+        pzT_re, pzT_im = _signed_table(rez, imz, kz, pad_to=JzP)
+
+        def dotT(a, b):
+            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+
+        GCH = G * CH
+        xe = dotT(pxT, ex_ref[:, :])                         # (2*GCH, JxyP)
+        ye = dotT(pyT, ey_ref[:, :])
+        t_re = xe[:GCH] * ye[:GCH] - xe[GCH:] * ye[GCH:]
+        t_im = xe[:GCH] * ye[GCH:] + xe[GCH:] * ye[:GCH]
+        for g in range(G):
+            gsl = slice(g * CH, (g + 1) * CH)
+            t_both = jnp.concatenate(
+                [jnp.concatenate([t_re[gsl], t_im[gsl]], axis=1),
+                 jnp.concatenate([-t_im[gsl], t_re[gsl]], axis=1)], axis=0)
+            pzT_g = jnp.concatenate([pzT_re[:, gsl], pzT_im[:, gsl]],
+                                    axis=1)                  # (JzP, 2CH)
+            d_both = jnp.dot(pzT_g, t_both, preferred_element_type=f32)
+            JXY = t_re.shape[1]
+            amp_re_out[g] = amp_re_out[g] + d_both[:, :JXY]
+            amp_im_out[g] = amp_im_out[g] + d_both[:, JXY:]
+        return 0
+
+    jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+
+    rows = []
+    for g in range(G):
+        e_recip = jnp.sum(kw_ref[:, :] * (amp_re_out[g] ** 2
+                                          + amp_im_out[g] ** 2)) \
+            * eng_ref[g, 7]
+        e_tot_new = eng_ref[g, 5] + e_recip - eng_ref[g, 0]
+        tot_sel = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)[0, :]
+        row = eng_ref[g, :]
+        row = jnp.where(tot_sel == 0, e_recip, row)
+        row = jnp.where(tot_sel == 5, e_tot_new, row)
+        rows.append(row)
+    eng_out[:, :] = jnp.stack(rows, axis=0)
+
+
+def resync_pallas_grouped(spec, states_g, *, interpret=False):
+    """Grouped resynthesis for G replicas in one program. states_g has a
+    leading G axis. Returns (amp_re (G,...), amp_im, energy (G, 6))."""
+    f = spec.dtype
+    if not interpret:
+        interpret = jax.devices()[0].platform == "cpu"
+    G = states_g.n_mol.shape[0]
+    JzP, JxyP = spec.amp_shape
+    S = spec.S
+    kx, ky, kz = spec.kmax_xyz
+    lo = spec.guest_base if spec.fw_split else 0
+    CH = 128
+    for c in (256,):
+        if (S - lo) % c == 0:
+            CH = c
+            break
+
+    nmol = jnp.zeros((G, 8), jnp.int32).at[:, :spec.R + 1].set(
+        states_g.n_mol)
+    eng = jnp.zeros((G, 8), f).at[:, :6].set(states_g.energy)
+    eng = eng.at[:, 7].set(COULOMB_K * TWOPI / spec.volume)
+
+    kernel = functools.partial(
+        _resyncg_kernel, G=G, R=spec.R, S=S, CH=CH, kx=kx, ky=ky, kz=kz,
+        JzP=JzP, lo=lo)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    amp_re, amp_im, eng2 = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((G, JzP, JxyP), f),
+                   jax.ShapeDtypeStruct((G, JzP, JxyP), f),
+                   jax.ShapeDtypeStruct((G, 8), f)),
+        in_specs=[vmem] * 12,
+        out_specs=(vmem, vmem, vmem),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(nmol, eng, states_g.pos, spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel,
+      spec.k_weights, spec.site_q.reshape(1, S),
+      spec.site_type.reshape(1, S), spec.site_midx.reshape(1, S),
+      spec.fw_amp_re.astype(f), spec.fw_amp_im.astype(f))
+    return amp_re, amp_im, eng2[:, :6]

@@ -193,6 +193,26 @@ def resync_amplitudes(spec: SystemSpec, state: SimState) -> SimState:
 
 @jax.jit
 def resync_amplitudes_replicated(spec: SystemSpec, states: SimState) -> SimState:
+    import os
+
+    from ..kernels import use_blockg, use_pair_kernel
+    B = states.n_mol.shape[0]
+    G = int(os.environ.get("MANIAC_GROUP", "16") or 16)
+    if ((use_pair_kernel(spec) or use_blockg(spec)) and G > 1
+            and B % G == 0):
+        # grouped resynthesis: the per-replica program was launch-overhead
+        # bound at bench scale (1024 tiny programs per block)
+        from ..kernels.resync import resync_pallas_grouped
+        sg = jax.tree_util.tree_map(
+            lambda x: x.reshape(B // G, G, *x.shape[1:]), states)
+
+        def one(stg):
+            amp_re, amp_im, eng = resync_pallas_grouped(spec, stg)
+            return stg.replace(amp_re=amp_re, amp_im=amp_im, energy=eng)
+
+        out = jax.vmap(one)(sg)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape(B, *x.shape[2:]), out)
     return jax.vmap(lambda st: resync_amplitudes_body(spec, st))(states)
 
 
