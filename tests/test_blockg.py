@@ -92,6 +92,24 @@ def test_blockg_bookkeeping_vs_recompute(tmp_path, monkeypatch):
         assert drift < 2.0, f"replica {b}: running vs recompute {drift} K"
 
 
+def test_blockg_capacity_overflow(tmp_path, monkeypatch):
+    """Insertions beyond capacity are rejected and counted in extras[0]
+    (the reference would overflow its fixed arrays here)."""
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.1, 0.0, 0.9, 0.0), fugacity=5e5)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=10)
+    spec = sysm.spec
+    states = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_GROUP", "4")
+    monkeypatch.setenv("MANIAC_PALLAS", "blockg")
+    for _ in range(3):
+        states = run_block_replicated(spec, states, 100, False)
+        states = resync_amplitudes_replicated(spec, states)
+    n = np.asarray(states.n_mol)[:, 0]
+    assert np.all(n <= 10)
+    assert np.asarray(states.extras)[:, 0].sum() > 0
+
+
 def test_blockg_gcmc_physics(tmp_path, monkeypatch):
     """GCMC still works end-to-end: occupancy responds to fugacity and
     stays within capacity; recalibration path runs."""
