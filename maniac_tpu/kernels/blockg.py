@@ -81,8 +81,16 @@ def _blockg_kernel(
         Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, NBG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
-        lj_atoms: tuple, q_atoms: tuple):
+        lj_atoms: tuple, q_atoms: tuple, ablate: str = ""):
     f32 = jnp.float32
+    skip_guest = "guest" in ablate
+    skip_fw = "fw" in ablate
+    skip_far = "far" in ablate
+    skip_kstruct = "kstruct" in ablate
+    skip_pos = "pos" in ablate
+    skip_prop = "prop" in ablate
+    skip_fpread = "fpread" in ablate
+    skip_ampc = "ampc" in ablate
     FL, FQ = 2 * Lmax, 2 * Qmax
     FK = ((FQ + 7) // 8) * 8
     JxyP_ = kw_ref.shape[1]
@@ -230,6 +238,10 @@ def _blockg_kernel(
         comcols = []
         fpcols = []
         for g in range(G):
+            if skip_fpread:
+                comcols.append(jnp.zeros((3, 2), f32))
+                fpcols.append(jnp.zeros((3, 2 * A), f32))
+                continue
             mi = jax.lax.broadcasted_iota(jnp.int32, (MP, 2), 0)
             cisel = jnp.where(
                 jax.lax.broadcasted_iota(jnp.int32, (MP, 2), 1) == 0,
@@ -464,12 +476,16 @@ def _blockg_kernel(
                                   keepdims=True)
             return (ljacc, cacc)
 
-        lj_rows, c_rows = jax.lax.fori_loop(
-            0, n_live_c, guest_chunk,
-            (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32)))
+        if skip_guest:
+            lj_rows = jnp.zeros((GFL, 1), f32)
+            c_rows = jnp.zeros((GFQ, 1), f32)
+        else:
+            lj_rows, c_rows = jax.lax.fori_loop(
+                0, n_live_c, guest_chunk,
+                (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32)))
 
         # ---- fw window passes --------------------------------------------
-        if fw_on:
+        if fw_on and not skip_fw:
             fx, fy, fz, feps, fsig2 = [], [], [], [], []
             for g in range(G):
                 for side, st in ((0, stL0), (1, stL1)):
@@ -515,7 +531,11 @@ def _blockg_kernel(
                                        preferred_element_type=f32)
 
         # ---- shared phase tables + far field (same as stepg) -------------
-        th_all = jnp.dot(h2pi_ref[:, :], ptk, preferred_element_type=f32)
+        if skip_kstruct and skip_far:
+            th_all = jnp.dot(h2pi_ref[:, :], ptk * 0.0,
+                             preferred_element_type=f32)
+        else:
+            th_all = jnp.dot(h2pi_ref[:, :], ptk, preferred_element_type=f32)
         cA, sA = jnp.cos(th_all), jnp.sin(th_all)
         nx = max(kx, kx2 if fw_on else 0)
         ny = max(ky, ky2 if fw_on else 0)
@@ -537,7 +557,7 @@ def _blockg_kernel(
         t_re_all = xe[:GFK] * ye[:GFK] - xe[GFK:] * ye[GFK:]
         t_im_all = xe[:GFK] * ye[GFK:] + xe[GFK:] * ye[:GFK]
 
-        if fw_on:
+        if fw_on and not skip_far:
             px2 = jnp.concatenate(
                 [jnp.concatenate([rex[j] * qwk for j in range(kx2 + 1)], 0),
                  jnp.concatenate([imx[j] * qwk for j in range(kx2 + 1)], 0)],
@@ -562,6 +582,8 @@ def _blockg_kernel(
             M2 = dotL(c_im, t2_re) - dotL(c_re, t2_im)
             efar = jnp.sum(pz2T_re * M1 + pz2T_im * M2, axis=0,
                            keepdims=True) + fw_d0 * qwk    # (1, GFK)
+        elif fw_on:
+            efar = jnp.zeros((1, GFK), f32)
 
         # ---- per-replica k-space + Metropolis + commits -------------------
         eng_row = eng_out[0:8, :]                           # (8, G)
@@ -586,18 +608,25 @@ def _blockg_kernel(
 
             ar = amp_re_out[g]
             ai = amp_im_out[g]
-            sl = slice(g * FK, (g + 1) * FK)
-            t_re = t_re_all[sl]
-            t_im = t_im_all[sl]
-            t_both = jnp.concatenate(
-                [jnp.concatenate([t_re, t_im], axis=1),
-                 jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
-            pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]], axis=1)
-            d_both = jnp.dot(pzT_g, t_both, preferred_element_type=f32)
-            d_re = d_both[:, :JxyP_]
-            d_im = d_both[:, JxyP_:]
-            cross = jnp.sum(kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
-                                            + d_re * d_re + d_im * d_im))
+            if skip_kstruct:
+                d_re = jnp.zeros((JzP, JxyP_), f32)
+                d_im = jnp.zeros((JzP, JxyP_), f32)
+                cross = jnp.sum(kw_ref[:, :] * (ar * d_re + ai * d_im))
+            else:
+                sl = slice(g * FK, (g + 1) * FK)
+                t_re = t_re_all[sl]
+                t_im = t_im_all[sl]
+                t_both = jnp.concatenate(
+                    [jnp.concatenate([t_re, t_im], axis=1),
+                     jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
+                pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]],
+                                        axis=1)
+                d_both = jnp.dot(pzT_g, t_both, preferred_element_type=f32)
+                d_re = d_both[:, :JxyP_]
+                d_im = d_both[:, JxyP_:]
+                cross = jnp.sum(
+                    kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
+                                    + d_re * d_re + d_im * d_im))
             e_recip_old = eng_row[0, g]
             e_recip_new = e_recip_old + cross * c2piv
             delta_e = (e_rest_new[0, g] + e_lj1 + e_c1 + e_recip_new
@@ -613,8 +642,9 @@ def _blockg_kernel(
             acc = gate & (urow(2)[0, g] <= p_acc)
             accf = acc.astype(f32)
 
-            amp_re_out[g] = ar + accf * d_re
-            amp_im_out[g] = ai + accf * d_im
+            if not skip_ampc:
+                amp_re_out[g] = ar + accf * d_re
+                amp_im_out[g] = ai + accf * d_im
 
             s_idx = (jax.lax.broadcasted_iota(jnp.int32, (1, GS), 1)[0, :]
                      + cols0)
@@ -624,6 +654,9 @@ def _blockg_kernel(
             rel_old = s_idx - site_start_old[0, g]
             in_new = do_write & (rel_new >= 0) & (rel_new < A)
             in_old = do_compact & (rel_old >= 0) & (rel_old < A)
+            if skip_pos:
+                in_new = in_new & (s_idx < 0)
+                in_old = in_old & (s_idx < 0)
             out = pos_out[g][:, cols0:]
             for a in range(A):
                 sel_o = ((rel_old == a) & in_old)[None, :]
