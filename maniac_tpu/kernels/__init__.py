@@ -19,7 +19,7 @@ def use_pair_kernel(spec) -> bool:
         return False
     if spec.is_triclinic or spec.dtype_name != "float32":
         return False  # XLA path: 27-image search / f64 precision oracle
-    if spec.fw_split and (int(os.environ.get("MANIAC_GROUP", "16")) <= 1
+    if spec.fw_split and (int(os.environ.get("MANIAC_GROUP", "16") or 16) <= 1
                           or 2 * spec.Lmax > 8):
         # only the grouped kernel implements the static-framework split;
         # without it the XLA path (which does) must be used
@@ -37,7 +37,7 @@ def group_size(spec) -> int:
     (0/1 disables). Requires the regular kernel regime, the 8-row LJ slab
     layout (<=4 LJ-active atoms per molecule), and the replica count to be
     divisible by G (callers fall back per batch otherwise)."""
-    g = int(os.environ.get("MANIAC_GROUP", "16"))
+    g = int(os.environ.get("MANIAC_GROUP", "16") or 16)
     if g <= 1 or not use_pair_kernel(spec) or 2 * spec.Lmax > 8:
         return 1
     return g

@@ -88,7 +88,6 @@ def _blockg_kernel(
     skip_far = "far" in ablate
     skip_kstruct = "kstruct" in ablate
     skip_pos = "pos" in ablate
-    skip_prop = "prop" in ablate
     skip_fpread = "fpread" in ablate
     skip_ampc = "ampc" in ablate
     FL, FQ = 2 * Lmax, 2 * Qmax
@@ -358,9 +357,6 @@ def _blockg_kernel(
         e_rest_new = s_new + i_new
 
         # ---- footprint operands (static-matrix extraction) ---------------
-        ptlj = (jnp.dot(P_oldT, E_lj * (1.0 - 0.0),
-                        preferred_element_type=f32) * 0.0
-                + jnp.dot(P_oldT, E_lj, preferred_element_type=f32))
         # old side occupies cols with side==0, new side side==1:
         ptlj = jnp.where(side_fl,
                          jnp.dot(P_newT, E_lj, preferred_element_type=f32),

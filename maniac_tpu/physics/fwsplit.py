@@ -16,7 +16,7 @@ lattice-summed over the static framework, is a periodic harmonic field
 
     D(r) = sum_j q_j sum_n [erfc(a |r-r_j+Ln|) - erfc(a2 |r-r_j+Ln|)]
          = (1/V) sum_k ghat(k) conj(A_fw(k)) e^{ik.r},
-    ghat(k) = 4 pi / k^2 (e^{-k^2/4a^2} - e^{-k^2/4a2^2}),
+    ghat(k) = 4 pi / k^2 (e^{-k^2/4a2^2} - e^{-k^2/4a^2}),
 
 whose Fourier coefficients decay like e^{-k^2/4a2^2} and are PRECOMPUTED
 here once (the framework structure factor A_fw is constant). Per move the
@@ -134,7 +134,14 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
     if frozen_types != list(range(len(frozen_types))):
         return FwSplitSetup(False, "inactive types not a layout prefix")
 
-    S_frozen = sum(cap_list[r] * A_list[r] for r in frozen_types)
+    # The site layout 128-aligns every per-type region (system.py base_list),
+    # so the frozen prefix ends at the END of the LAST frozen type's region,
+    # not at the raw sum of frozen site counts (which undercounts whenever an
+    # earlier frozen region is padded). Inter-region pad columns are inert
+    # (zero charge / zero eps), so classifying them as frozen is harmless;
+    # classifying live frozen sites as mobile would double count them.
+    last = frozen_types[-1]
+    S_frozen = int(type_site_base[last]) + cap_list[last] * A_list[last]
     guest_base = _round_up(S_frozen, 128)
 
     # live frozen site columns (dead capacity slots of empty inactive types

@@ -128,8 +128,10 @@ class SystemSpec:
     # carry only LJ or only charge, so the grouped pair pass runs LJ on the
     # eps-active rows and Coulomb on the charged rows separately.
     # lj_sel/q_sel: (R, Lmax/Qmax, A_act) 0/1 row selectors per type;
-    # eps_pair_lj/sig2_pair_lj: (R*R*8, S) per-type-pair tables whose
-    # 8-row blocks hold [Lmax rows of t_old | Lmax rows of t_new | pad].
+    # eps_pair_lj/sig2_pair_lj: (nA*nA*8, S) ACTIVE-pair tables (nA =
+    # n_active) whose 8-row blocks hold [Lmax rows of t_old | Lmax rows of
+    # t_new | pad]; kernels index them by pid_act = ao*nA + an over active
+    # type ordinals, not by t_old*R + t_new.
     lj_sel: jnp.ndarray
     q_sel: jnp.ndarray
     eps_pair_lj: jnp.ndarray

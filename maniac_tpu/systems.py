@@ -49,15 +49,17 @@ def _random_rotation(rng) -> np.ndarray:
 
 
 def _write_data(path, L, atoms, masses, n_types, tilt=None):
-    """atoms: list of (mol_id, type, q, x, y, z)."""
+    """atoms: list of (mol_id, type, q, x, y, z). L: scalar (cubic) or
+    3-sequence (orthorhombic box lengths)."""
+    Lx, Ly, Lz = (L, L, L) if np.ndim(L) == 0 else L
     with open(path, "w") as f:
         f.write("LAMMPS data file (maniac-tpu test fixture)\n\n")
         f.write(f"{len(atoms)} atoms\n{n_types} atom types\n")
         f.write("0 bonds\n0 bond types\n0 angles\n0 angle types\n")
         f.write("0 dihedrals\n0 dihedral types\n0 impropers\n0 improper types\n\n")
-        f.write(f"{-L / 2:.6f} {L / 2:.6f} xlo xhi\n")
-        f.write(f"{-L / 2:.6f} {L / 2:.6f} ylo yhi\n")
-        f.write(f"{-L / 2:.6f} {L / 2:.6f} zlo zhi\n")
+        f.write(f"{-Lx / 2:.6f} {Lx / 2:.6f} xlo xhi\n")
+        f.write(f"{-Ly / 2:.6f} {Ly / 2:.6f} ylo yhi\n")
+        f.write(f"{-Lz / 2:.6f} {Lz / 2:.6f} zlo zhi\n")
         if tilt is not None:
             f.write(f"{tilt[0]:.6f} {tilt[1]:.6f} {tilt[2]:.6f} xy xz yz\n")
         f.write("\nMasses\n\n")
@@ -523,4 +525,70 @@ def make_mixed_sizes(outdir, n_water=6, n_dimer=6, L=16.0, seed=13,
     _write_inc(f"{outdir}/parameters.inc",
                [(1, 1, EPS_O, SIG_O), (2, 2, 0.0, 0.0), (3, 3, 0.0, 0.0),
                 (4, 4, 0.15, 3.2), (5, 5, 0.1, 3.0)])
+    return outdir
+
+def make_slit_pore(outdir, nx=5, ny=5, wall_layers=2, n_water=10,
+                   Lxy=12.0, Lz=30.0, seed=19, **deck_kw):
+    """Slit pore (analog of the reference run.sh SLIT case,
+    /root/reference/run.sh:4-96): two rigid walls perpendicular to z, each
+    its OWN inactive residue type, with water guests confined in the gap.
+
+    Having TWO frozen residue types makes this the regression fixture for
+    the fwsplit frozen-prefix alignment: the first wall's site region is
+    128-padded, so the frozen prefix must end at the LAST frozen region's
+    end, not at the raw frozen-site count (ADVICE r1, high)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    a = Lxy / nx
+    zw = Lz / 2 - 2.0            # wall center planes at +-zw
+    atoms = []
+
+    def wall(z0, typ, mol_id, qmag):
+        n = 0
+        for layer in range(wall_layers):
+            for i in range(nx):
+                for j in range(ny):
+                    q = qmag if (i + j + layer) % 2 == 0 else -qmag
+                    atoms.append((mol_id, typ,  q,
+                                  -Lxy / 2 + (i + 0.5) * a,
+                                  -Lxy / 2 + (j + 0.5) * a,
+                                  z0 + 1.4 * layer))
+                    n += 1
+        return n
+
+    n_bot = wall(-zw, 1, 1, 0.20)
+    n_top = wall(+zw - 1.4 * (wall_layers - 1), 2, 2, 0.20)
+    # (even nx*ny*wall_layers -> each wall is exactly neutral)
+
+    sites, q, names = water_sites()
+    type_of = {"O": 3, "H": 4, "M": 5}
+    m = 2
+    z_free = zw - 1.4 * wall_layers - 2.0   # stay clear of both walls
+    for _ in range(n_water):
+        c = np.array([rng.uniform(-Lxy / 2 + 1, Lxy / 2 - 1),
+                      rng.uniform(-Lxy / 2 + 1, Lxy / 2 - 1),
+                      rng.uniform(-z_free, z_free)])
+        R = _random_rotation(rng)
+        pos = c + sites @ R.T
+        m += 1
+        for aa in range(4):
+            atoms.append((m, type_of[names[aa]], q[aa], *pos[aa]))
+    masses = {1: MASS["F"], 2: MASS["F"], 3: MASS["O"], 4: MASS["H"],
+              5: MASS["M"]}
+    _write_data(f"{outdir}/topology.data", (Lxy, Lxy, Lz), atoms, masses, 5)
+    residues = [
+        dict(name="walb", active=False, types=[1], names=["WB"],
+             nb_atoms=n_bot),
+        dict(name="walt", active=False, types=[2], names=["WT"],
+             nb_atoms=n_top),
+        dict(name="wat", active=True, fugacity=deck_kw.pop("fugacity", 80.0),
+             types=[3, 4, 5], names=["OW", "HW", "MW"], nb_atoms=4),
+    ]
+    deck_kw.setdefault("cutoff", 5.5)
+    deck_kw.setdefault("tol", 1e-5)
+    deck_kw.setdefault("probs", (0.3, 0.2, 0.5, 0.0))
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc",
+               [(1, 1, 0.30, 3.2), (2, 2, 0.20, 3.0),
+                (3, 3, EPS_O, SIG_O), (4, 4, 0.0, 0.0), (5, 5, 0.0, 0.0)])
     return outdir

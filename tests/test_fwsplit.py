@@ -255,6 +255,57 @@ def test_two_active_species_with_framework(tmp_path, monkeypatch):
     assert flips <= 2, f"{flips} decision flips in 40 steps"
 
 
+def test_two_frozen_types_slit_pore(tmp_path, monkeypatch):
+    """TWO inactive residue types (slit-pore walls): the frozen prefix must
+    end at the aligned end of the LAST frozen region, not at the raw frozen
+    site count (ADVICE r1 high - the raw sum classified the second wall's
+    sites as mobile while they also sat in the ghost window table and the
+    far-field grid, double counting them)."""
+    from maniac_tpu.systems import make_slit_pore
+    make_slit_pore(str(tmp_path))
+    out = str(tmp_path)
+    sysm = _load(out, dtype=jnp.float64, capacity=16)
+    spec = sysm.spec
+    assert spec.fw_split
+    # wall regions: 50 sites each, 128-aligned -> frozen prefix ends at
+    # 128 + 50, NOT at 100
+    assert spec.site_base_list[1] == 128
+    assert spec.S_frozen == 128 + 50
+    assert spec.guest_base == 256
+    # every live frozen site is inside the prefix; no active site is
+    st = np.asarray(spec.site_type)
+    live_frozen = np.where((st < spec.R)
+                           & ~np.asarray(spec.type_active)[np.minimum(st, spec.R - 1)]
+                           & (st < spec.R))[0]
+    assert live_frozen.max() < spec.S_frozen
+    act_sites = np.where((st < spec.R)
+                         & np.asarray(spec.type_active)[np.minimum(st, spec.R - 1)])[0]
+    assert act_sites.min() >= spec.guest_base
+
+    # the real gate: split vs plain per-move dE parity (fails before the fix)
+    monkeypatch.setenv("MANIAC_FWSPLIT", "0")
+    plain = _load(out, dtype=jnp.float64, capacity=16)
+    monkeypatch.delenv("MANIAC_FWSPLIT")
+    assert not plain.spec.fw_split
+    e_s = float(sysm.state.energy[E_TOT])
+    e_p = float(plain.state.energy[E_TOT])
+    assert abs(e_s - e_p) * KCAL_PER_K < 1e-5
+    keys = jax.random.split(jax.random.PRNGKey(11), 30)
+    st_s, st_p = sysm.state, plain.state
+    step_s = jax.jit(lambda st, k: mc_step(sysm.spec, st, k))
+    step_p = jax.jit(lambda st, k: mc_step(plain.spec, st, k))
+    for k in keys:
+        e0_s, e0_p = float(st_s.energy[E_TOT]), float(st_p.energy[E_TOT])
+        st_s, st_p = step_s(st_s, k), step_p(st_p, k)
+        de_s = float(st_s.energy[E_TOT]) - e0_s
+        de_p = float(st_p.energy[E_TOT]) - e0_p
+        assert abs(de_s - de_p) * KCAL_PER_K < 1e-6
+    # bookkeeping == recompute under the split
+    stt = run_block(sysm.spec, st_s, 30, False)
+    e, amp_re, _ = system_energy(sysm.spec, stt)
+    assert float(jnp.abs(stt.energy[E_TOT] - e[E_TOT])) < 1e-7
+
+
 def test_number_conservation_physics(tmp_path):
     """<N> must be split-invariant: run the same chain with and without the
     split and compare mean occupancy loosely (they are not the same chain
