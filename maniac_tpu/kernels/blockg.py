@@ -13,11 +13,17 @@ few hundred row ops per step instead of G serial scalar storms (the
 failure mode of the per-replica block kernel, kernels/block.py).
 
 Scope (dispatch-gated in kernels/__init__.py): float32, orthorhombic,
-ONE active residue type (n_active == 1 - no swap), no reservoir, grouped
-LJ rows (2*Lmax <= 8). The single active type makes every per-type select
-a trace-time constant and every footprint-extraction matrix static. The
-static-framework split (fw_split) is supported and is the intended
-regime; fw_split=False also works (cols0 = 0).
+grouped LJ rows (2*Lmax <= 8), and either the static-framework split
+(fw_split) or no inactive residue types at all. Multi-active-species
+systems (n_active >= 2, including the swap move the reference declares but
+never dispatches, src/monte_carlo.f90:60) and reservoir systems are
+served: per-type constants become per-replica (1, G) rows selected by the
+drawn type ordinal, footprint-extraction matrices are blended from nA
+static per-type patterns, LJ tables are indexed by the ACTIVE-pair id with
+a per-replica dynamic row slice (as in stepg), and reservoir geometry
+sampling plus push/pop bookkeeping run in-kernel on aliased reservoir
+state. When n_active == 1 and there is no reservoir, every one of those
+constructs collapses at trace time to the single-type program.
 
 Physics identical to mc/moves.py (the XLA oracle); the pair/k-space/
 far-field section mirrors kernels/stepg.py line for line. Parity is
@@ -42,46 +48,55 @@ from .step import _erfc, _powers, _signed_table
 
 _R2_FLOOR = 1e-18
 
-# const row layout (1, 32) f32
+# const row layout (1, 48) f32
 _CF = dict(INVL=0, L=3, ALPHA=6, RC2=7, CK=8, INVT=9, C2PIV=10, PCUM=11,
-           VOL=15, LO=16, H=19, TRANS=28, ROT=29, ALPHA2=30, RC2SQ2=31)
-# second const row (1, 8) f32: activity, self_energy, fw_d0
-_CG = dict(ACT=0, SELF=1, FWD0=2)
-# int const row (1, 16): A, cap, site_base, mol_base, Mtot
-_CI = dict(A=0, CAP=1, SB=2, MB=3, MTOT=4)
+           VOL=15, LO=16, H=19, TRANS=28, ROT=29, ALPHA2=30, RC2SQ2=31,
+           RH=32)
+# per-active-type const rows (nA, 8) f32: activity, self_energy, fw_d0,
+# fw half-windows (rows 2-4 identical across types)
+_CG = dict(ACT=0, SELF=1, FWD0=2, RCWL=3, RCWC=4)
+# per-active-type int rows (nA, 16): A, cap, site_base, mol_base, Mtot,
+# reservoir site_base / mol_base / cap
+_CI = dict(A=0, CAP=1, SB=2, MB=3, MTOT=4, RSB=5, RMB=6, RCAP=7)
 
 
 def _blockg_kernel(
         uniforms_ref,    # VMEM (n_steps, NU*G) quantity-major uniforms
-        cstf_ref,        # VMEM (1, 32) f32 constants
-        cstg_ref,        # VMEEM (1, 8) f32 per-type constants
-        csti_ref,        # VMEM (1, 16) int32 constants
+        cstf_ref,        # VMEM (1, 48) f32 constants
+        cstg_ref,        # VMEM (nA, 8) f32 per-type constants
+        csti_ref,        # VMEM (nA, 16) int32 per-type constants
         h2pi_ref, ex_ref, ey_ref, kw_ref,
-        epslj_ref,       # VMEM (8, GS) single-type LJ rows, guest cols
-        sig2lj_ref,      # VMEM (8, GS)
+        epslj_ref,       # VMEM (nA*nA*8, GS) active-pair LJ rows, guest cols
+        sig2lj_ref,      # VMEM (nA*nA*8, GS)
         site_q_ref, site_mol_ref, site_type_ref, site_midx_ref,  # (1, GS)
-        qrow_ref,        # VMEM (1, A) site charges of the active type
-        templ_ref,       # VMEM (3, A) rigid insertion template
+        qrow_ref,        # VMEM (nA, A) site charges per active type
+        templ_ref,       # VMEM (3*nA, A) rigid insertion templates
         fwpq_ref,        # VMEM (4, SG)
-        fweps_ref,       # VMEM (8, SG)
-        fwsig2_ref,      # VMEM (8, SG)
+        fweps_ref,       # VMEM (nA*nA*8, SG)
+        fwsig2_ref,      # VMEM (nA*nA*8, SG)
         fwbm_ref,        # VMEM (1, NBG) per-block max sort coordinate
         c2re_ref, c2im_ref, ex2_ref, ey2_ref,
-        nmol_in_ref,     # VMEM (1, G) int32 initial populations (type T)
+        nmol_in_ref,     # VMEM (nA, G) int32 initial populations
         eng_in_ref,      # VMEM (8, G) f32 initial energy components
         trans_ref,       # VMEM (1, G) per-replica translation step
         rot_ref,         # VMEM (1, G) per-replica rotation step
+        resn_in_ref,     # VMEM (nA, G) int32 reservoir populations
         pos_ref, com_ref, amp_re_ref, amp_im_ref,   # aliased state
+        resoff_ref,      # VMEM (G, 3, SresP) reservoir offsets (aliased)
+        rescom_ref,      # VMEM (G, 3, MresP) reservoir COMs (aliased)
         pos_out, com_out, amp_re_out, amp_im_out,
-        nmol_out,        # VMEM (1, G) int32
+        nmol_out,        # VMEM (nA, G) int32
         eng_out,         # VMEM (8, G)
         cnt_out,         # VMEM (16, G) trials rows 0-4, accepts 8-12,
-                         #   overflow rejections row 5
+                         #   overflow rejections row 5, reservoir drops row 6
+        resoff_out, rescom_out,
+        resn_out,        # VMEM (nA, G) int32
         *, n_steps: int, NU: int, G: int, S: int, A: int, Lmax: int,
         Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, NBG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
-        lj_atoms: tuple, q_atoms: tuple, ablate: str = ""):
+        nA: int, A_ts: tuple, aids: tuple, has_res: bool,
+        lj_atoms_ts: tuple, q_atoms_ts: tuple, ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -95,6 +110,8 @@ def _blockg_kernel(
     JxyP_ = kw_ref.shape[1]
     cols0 = gbase if fw_on else 0
     GS = S - cols0
+    SresP = resoff_ref.shape[2]
+    MresP = rescom_ref.shape[2]
 
     def cf(i):
         return cstf_ref[0, i]
@@ -105,12 +122,6 @@ def _blockg_kernel(
     coulomb_k, inv_t, c2piv = cf(_CF["CK"]), cf(_CF["INVT"]), cf(_CF["C2PIV"])
     alpha2, rc2sq2 = cf(_CF["ALPHA2"]), cf(_CF["RC2SQ2"])
     fw_d0 = cstg_ref[0, _CG["FWD0"]]
-    activity = cstg_ref[0, _CG["ACT"]]
-    self_e = cstg_ref[0, _CG["SELF"]]
-    A_i = csti_ref[0, _CI["A"]]
-    cap_i = csti_ref[0, _CI["CAP"]]
-    SB = csti_ref[0, _CI["SB"]]
-    MB = csti_ref[0, _CI["MB"]]
     Mtot = csti_ref[0, _CI["MTOT"]]
     MP = com_ref.shape[2]                      # Mtot + 1 columns
 
@@ -123,7 +134,7 @@ def _blockg_kernel(
     r1 = jax.lax.broadcasted_iota(jnp.int32, (GA, A * G), 0)
     c1 = jax.lax.broadcasted_iota(jnp.int32, (GA, A * G), 1)
     E_atom = ((r1 // A == c1 % G) & (r1 % A == c1 // G)).astype(f32)
-    # LJ/charged row selection (static single-type patterns)
+    # LJ/charged row selection (static per-type patterns)
     GFL, GFQ, GFK = G * FL, G * FQ, G * FK
 
     def sel_mat(atoms, Fh, F):
@@ -138,9 +149,9 @@ def _blockg_kernel(
                 a_of = jnp.where(jcol == side * Fh + j, aj, a_of)
         return (gmatch & ((rr % A) == a_of)).astype(f32)
 
-    E_lj = sel_mat(lj_atoms, Lmax, FL)                     # (GA, GFL)
-    E_q = sel_mat(q_atoms, Qmax, FQ)                       # (GA, GFQ)
-    E_k = sel_mat(q_atoms, Qmax, FK)                       # (GA, GFK)
+    E_lj_ts = [sel_mat(lj_atoms_ts[t], Lmax, FL) for t in range(nA)]
+    E_q_ts = [sel_mat(q_atoms_ts[t], Qmax, FQ) for t in range(nA)]
+    E_k_ts = [sel_mat(q_atoms_ts[t], Qmax, FK) for t in range(nA)]
     # side-of-column rows
     side_fl = ((jax.lax.broadcasted_iota(jnp.int32, (1, GFL), 1) % FL)
                >= Lmax)
@@ -149,22 +160,25 @@ def _blockg_kernel(
     ik = jax.lax.broadcasted_iota(jnp.int32, (1, GFK), 1) % FK
     side_fk = (ik >= Qmax) & (ik < FQ)
     live_fk = ik < FQ
-    # per-column charge patterns
-    qpat_q = jnp.zeros((1, GFQ), f32)
-    qpat_k = jnp.zeros((1, GFK), f32)
+    # per-column charge patterns, one per active type
     iq = jax.lax.broadcasted_iota(jnp.int32, (1, GFQ), 1) % FQ
-    for j, aj in enumerate(q_atoms):
-        qv = qrow_ref[0, aj]
-        qpat_q = jnp.where((iq % Qmax == j) & (iq // Qmax <= 1), qv, qpat_q)
-        qpat_k = jnp.where(((ik % Qmax) == j) & live_fk, qv, qpat_k)
+    qpat_q_ts, qpat_k_ts = [], []
+    for t in range(nA):
+        qq_t = jnp.zeros((1, GFQ), f32)
+        qk_t = jnp.zeros((1, GFK), f32)
+        for j, aj in enumerate(q_atoms_ts[t]):
+            qv = qrow_ref[t, aj]
+            qq_t = jnp.where((iq % Qmax == j) & (iq // Qmax <= 1), qv, qq_t)
+            qk_t = jnp.where(((ik % Qmax) == j) & live_fk, qv, qk_t)
+        qpat_q_ts.append(qq_t)
+        qpat_k_ts.append(qk_t)
     # templ tiling: (3, A) -> (3, GA) with col g*A+a = templ[:, a]
     rt = jax.lax.broadcasted_iota(jnp.int32, (A, GA), 0)
     ct = jax.lax.broadcasted_iota(jnp.int32, (A, GA), 1)
     E_tile = (rt == ct % A).astype(f32)                    # (A, GA)
-    templ_tiled = jnp.dot(templ_ref[:, :], E_tile,
-                          preferred_element_type=f32)      # (3, GA)
-    qrow_tiled = jnp.dot(qrow_ref[:, :], E_tile,
-                         preferred_element_type=f32)       # (1, GA)
+    templ_tiled_ts = [jnp.dot(templ_ref[3 * t:3 * t + 3, :], E_tile,
+                              preferred_element_type=f32)  # (3, GA)
+                      for t in range(nA)]
 
     # (G, G*F) static expansion of per-replica rows to footprint layouts
     def g_exp_mat(F):
@@ -186,6 +200,9 @@ def _blockg_kernel(
     nmol_out[...] = nmol_in_ref[...]
     eng_out[...] = eng_in_ref[...]
     cnt_out[...] = jnp.zeros((16, G), f32)
+    resoff_out[...] = resoff_ref[...]
+    rescom_out[...] = rescom_ref[...]
+    resn_out[...] = resn_in_ref[...]
 
     def step_body(t, carry):
         u = uniforms_ref[pl.ds(t, 1), :]                    # (1, NU*G)
@@ -198,40 +215,109 @@ def _blockg_kernel(
         is_trans = um <= cf(_CF["PCUM"])
         is_rot = (~is_trans) & (um <= cf(_CF["PCUM"] + 1))
         is_indel = (~is_trans) & (~is_rot) & (um <= cf(_CF["PCUM"] + 2))
-        dead = (~is_trans) & (~is_rot) & (~is_indel)
+        if nA >= 2:
+            # the swap move is live (reference declares it but never
+            # dispatches it, src/monte_carlo.f90:60)
+            is_swap = (~is_trans) & (~is_rot) & (~is_indel)
+            dead = jnp.zeros_like(is_swap)
+        else:
+            is_swap = jnp.zeros_like(is_trans)
+            dead = (~is_trans) & (~is_rot) & (~is_indel)
         is_create = is_indel & (urow(1) <= PROB_CREATE_DELETE)
         is_delete = is_indel & (~is_create)
         move = jnp.where(is_create, 0, jnp.where(is_delete, 1,
                 jnp.where(is_trans, 2, jnp.where(is_rot, 3, 4))))
-        insert = is_create
-        remove = is_delete
-        w_old = is_trans | is_rot | is_delete
-        w_new = is_trans | is_rot | is_create
+        insert = is_create | is_swap
+        remove = is_delete | is_swap
+        w_old = is_trans | is_rot | is_delete | is_swap
+        w_new = is_trans | is_rot | is_create | is_swap
 
         def uint(uu, n):
+            if isinstance(n, int):
+                n = jnp.int32(n)
             return jnp.minimum((uu * n.astype(f32)).astype(jnp.int32),
                                n - 1)
 
-        n_row = nmol_out[0:1, :]                            # (1, G) int32
-        nf = n_row.astype(f32)
-        m_old = uint(urow(13), jnp.maximum(n_row, 1))
+        # ---- per-replica type ordinals + per-type constant rows ----------
+        if nA >= 2:
+            i1 = uint(urow(11), nA)                         # (1, G) int32
+            di = 1 + uint(urow(12), nA - 1)
+            i2 = (i1 + di) % nA
+            i_old = i1
+            i_new = jnp.where(is_swap, i2, i1)
+            pid_row = i_old * nA + i_new                    # LJ table block
+        else:
+            i_old = i_new = None
+
+        def ti(col, idx):
+            v = csti_ref[0, col]
+            if nA == 1 or idx is None:
+                return v
+            out = jnp.full((1, G), v, jnp.int32)
+            for tt in range(1, nA):
+                out = jnp.where(idx == tt, csti_ref[tt, col], out)
+            return out
+
+        def tf(col, idx):
+            v = cstg_ref[0, col]
+            if nA == 1 or idx is None:
+                return v
+            out = jnp.full((1, G), v, f32)
+            for tt in range(1, nA):
+                out = jnp.where(idx == tt, cstg_ref[tt, col], out)
+            return out
+
+        def nrow_of(ref, idx):
+            out = ref[0:1, :]
+            if nA == 1 or idx is None:
+                return out
+            for tt in range(1, nA):
+                out = jnp.where(idx == tt, ref[tt:tt + 1, :], out)
+            return out
+
+        A_old_r = ti(_CI["A"], i_old)
+        A_new_r = ti(_CI["A"], i_new)
+        cap_new = ti(_CI["CAP"], i_new)
+        SB_old = ti(_CI["SB"], i_old)
+        SB_new = ti(_CI["SB"], i_new)
+        MB_old = ti(_CI["MB"], i_old)
+        MB_new = ti(_CI["MB"], i_new)
+        act_old = tf(_CG["ACT"], i_old)
+        act_new = tf(_CG["ACT"], i_new)
+        self_old = tf(_CG["SELF"], i_old)
+        self_new = tf(_CG["SELF"], i_new)
+
+        n_old_row = nrow_of(nmol_out, i_old)                # (1, G) int32
+        n_new_row = nrow_of(nmol_out, i_new)
+        m_old = uint(urow(13), jnp.maximum(n_old_row, 1))
         # int-select then one compare (bool-branch selects lower to an
         # i8->i1 truncation Mosaic rejects)
-        has_rotatable = (n_row > 0).astype(jnp.int32) * (1 if A > 1 else 0)
+        if nA == 1:
+            rot_ok = ((n_old_row > 0).astype(jnp.int32)
+                      * (1 if A_ts[0] > 1 else 0))
+        else:
+            rot_ok = ((n_old_row > 0).astype(jnp.int32)
+                      * (A_old_r > 1).astype(jnp.int32))
         valid_i = jnp.where(is_create, 1,
-                            jnp.where(is_rot, has_rotatable,
-                                      (n_row > 0).astype(jnp.int32)))
+                            jnp.where(is_rot, rot_ok,
+                                      (n_old_row > 0).astype(jnp.int32)))
         valid = (valid_i > 0) & (~dead)
-        cap_blocked = insert & (n_row >= cap_i)
+        if has_res:
+            # empty reservoir blocks insertions of that species (the
+            # reference would read a stale slot, create_molecule.f90:188)
+            resn_new_row = nrow_of(resn_out, i_new)
+            valid = valid & ((~insert) | (resn_new_row > 0))
+        cap_blocked = insert & (n_new_row >= cap_new)
 
-        site_start_old = SB + m_old * A_i                   # (1, G)
-        mol_slot_old = MB + m_old
-        nmin = jnp.minimum(n_row, cap_i - 1)
-        slot_new = jnp.where(insert, MB + nmin, mol_slot_old)
-        site_start_new = jnp.where(insert, SB + nmin * A_i, site_start_old)
-        last = jnp.maximum(n_row - 1, 0)
-        start_last = SB + last * A_i
-        slot_last = MB + last
+        site_start_old = SB_old + m_old * A_old_r           # (1, G)
+        mol_slot_old = MB_old + m_old
+        nmin = jnp.minimum(n_new_row, cap_new - 1)
+        slot_new = jnp.where(insert, MB_new + nmin, mol_slot_old)
+        site_start_new = jnp.where(insert, SB_new + nmin * A_new_r,
+                                   site_start_old)
+        last = jnp.maximum(n_old_row - 1, 0)
+        start_last = SB_old + last * A_old_r
+        slot_last = MB_old + last
 
         # ---- per-replica COM + footprint reads (small one-hot matmuls) ---
         comcols = []
@@ -266,7 +352,49 @@ def _blockg_kernel(
         off_old = P_oldT - com_old_exp
         insert_exp = jnp.dot(insert.astype(f32), E_exp,
                              preferred_element_type=f32)    # (1, GA)
-        off_src = jnp.where(insert_exp > 0, templ_tiled, off_old)
+
+        # ---- insertion geometry source -----------------------------------
+        if has_res:
+            # reservoir molecule pick of type i_new: offsets used verbatim
+            # (reference convention, src/create_molecule.f90:166-189)
+            RSB_new = ti(_CI["RSB"], i_new)
+            RMB_new = ti(_CI["RMB"], i_new)
+            res_pick = uint(urow(14), jnp.maximum(resn_new_row, 1))
+            res_src = RSB_new + res_pick * A_new_r          # (1, G)
+            res_last = jnp.maximum(resn_new_row - 1, 0)
+            res_last_start = RSB_new + res_last * A_new_r
+            pop_slot = RMB_new + res_pick
+            last_slot_res = RMB_new + res_last
+            rcols = []
+            rcomc = []
+            for g in range(G):
+                sri = jax.lax.broadcasted_iota(jnp.int32, (SresP, 2 * A), 0)
+                ari = jax.lax.broadcasted_iota(jnp.int32, (SresP, 2 * A), 1)
+                bsel = jnp.where(ari < A, res_src[0, g],
+                                 res_last_start[0, g])
+                tgt_r = jnp.where(ari < A, ari, ari - A)
+                ohr = ((sri - bsel) == tgt_r).astype(f32)
+                rcols.append(jnp.dot(resoff_out[g], ohr,
+                                     preferred_element_type=f32))  # (3, 2A)
+                mri = jax.lax.broadcasted_iota(jnp.int32, (MresP, 1), 0)
+                ohm = (mri == last_slot_res[0, g]).astype(f32)
+                rcomc.append(jnp.dot(rescom_out[g], ohm,
+                                     preferred_element_type=f32))  # (3, 1)
+            res_off_cols = jnp.concatenate([c[:, :A] for c in rcols], 1)
+            res_lastoff_cols = jnp.concatenate([c[:, A:] for c in rcols], 1)
+            rescom_last = jnp.concatenate(rcomc, 1)         # (3, G)
+            off_src = jnp.where(insert_exp > 0, res_off_cols, off_old)
+        else:
+            if nA == 1:
+                templ_sel = templ_tiled_ts[0]
+            else:
+                inew_exp = jnp.dot(i_new.astype(f32), E_exp,
+                                   preferred_element_type=f32)  # (1, GA)
+                templ_sel = templ_tiled_ts[0]
+                for tt in range(1, nA):
+                    templ_sel = jnp.where(inew_exp == tt,
+                                          templ_tiled_ts[tt], templ_sel)
+            off_src = jnp.where(insert_exp > 0, templ_sel, off_old)
 
         # ---- rotation rows ----------------------------------------------
         axis_r = uint(urow(10), jnp.int32(3))
@@ -285,22 +413,29 @@ def _blockg_kernel(
                 sel3(-s_, zero, zero)),
                (sel3(zero, -s_, zero), sel3(s_, zero, zero),
                 sel3(c_, c_, one)))
-        a_ = jnp.sqrt(1.0 - urow(15))
-        b_ = jnp.sqrt(urow(15))
-        t2_, t3_ = TWOPI * urow(16), TWOPI * urow(17)
-        qw_, qx_ = a_ * jnp.sin(t2_), a_ * jnp.cos(t2_)
-        qy_, qz_ = b_ * jnp.sin(t3_), b_ * jnp.cos(t3_)
-        runi = ((1 - 2 * (qy_ * qy_ + qz_ * qz_),
-                 2 * (qx_ * qy_ - qw_ * qz_), 2 * (qx_ * qz_ + qw_ * qy_)),
-                (2 * (qx_ * qy_ + qw_ * qz_),
-                 1 - 2 * (qx_ * qx_ + qz_ * qz_),
-                 2 * (qy_ * qz_ - qw_ * qx_)),
-                (2 * (qx_ * qz_ - qw_ * qy_),
-                 2 * (qy_ * qz_ + qw_ * qx_),
-                 1 - 2 * (qx_ * qx_ + qy_ * qy_)))
-        rm_rows = jnp.concatenate(
-            [jnp.where(insert, runi[i][j], rax[i][j])
-             for i in range(3) for j in range(3)], axis=0)  # (9, G)
+        if has_res:
+            # reservoir geometry is used as-is: theta is already gated to
+            # rotations only, so inserts see the identity matrix
+            rm_rows = jnp.concatenate(
+                [rax[i][j] for i in range(3) for j in range(3)], axis=0)
+        else:
+            a_ = jnp.sqrt(1.0 - urow(15))
+            b_ = jnp.sqrt(urow(15))
+            t2_, t3_ = TWOPI * urow(16), TWOPI * urow(17)
+            qw_, qx_ = a_ * jnp.sin(t2_), a_ * jnp.cos(t2_)
+            qy_, qz_ = b_ * jnp.sin(t3_), b_ * jnp.cos(t3_)
+            runi = ((1 - 2 * (qy_ * qy_ + qz_ * qz_),
+                     2 * (qx_ * qy_ - qw_ * qz_),
+                     2 * (qx_ * qz_ + qw_ * qy_)),
+                    (2 * (qx_ * qy_ + qw_ * qz_),
+                     1 - 2 * (qx_ * qx_ + qz_ * qz_),
+                     2 * (qy_ * qz_ - qw_ * qx_)),
+                    (2 * (qx_ * qz_ - qw_ * qy_),
+                     2 * (qy_ * qz_ + qw_ * qx_),
+                     1 - 2 * (qx_ * qx_ + qy_ * qy_)))
+            rm_rows = jnp.concatenate(
+                [jnp.where(insert, runi[i][j], rax[i][j])
+                 for i in range(3) for j in range(3)], axis=0)  # (9, G)
         rm_exp = jnp.dot(rm_rows, E_exp,
                          preferred_element_type=f32)        # (9, GA)
 
@@ -329,7 +464,7 @@ def _blockg_kernel(
              for i in range(3)], axis=0)                    # (3, GA)
 
         # ---- intra + self (batched atom extraction) ----------------------
-        def intra(PT, gate_row):
+        def intra(PT, gate_row, idx):
             X = jnp.dot(PT, E_atom, preferred_element_type=f32)  # (3, A*G)
             acc = jnp.zeros((1, G), f32)
             for a in range(A):
@@ -344,29 +479,86 @@ def _blockg_kernel(
                                       + dxs[2] * dxs[2], _R2_FLOOR)
                     ri = jnp.sqrt(ri2)
                     qq = qrow_ref[0, a] * qrow_ref[0, b]
+                    if nA > 1:
+                        qq = jnp.full((1, G), qq, f32)
+                        for tt in range(1, nA):
+                            qq = jnp.where(idx == tt,
+                                           qrow_ref[tt, a] * qrow_ref[tt, b],
+                                           qq)
                     acc = acc + jnp.where(
                         ri2 > 1e-16,
                         qq * (_erfc(alpha * ri) - 1.0) / ri, 0.0)
             return jnp.where(gate_row, acc * coulomb_k, 0.0)
 
-        i_old = intra(P_oldT, remove & valid)
-        i_new = intra(P_newT, insert)
-        s_old = jnp.where(remove, self_e, 0.0)
-        s_new = jnp.where(insert, self_e, 0.0)
-        e_rest_old = s_old + i_old                          # (1, G)
-        e_rest_new = s_new + i_new
+        i_old_e = intra(P_oldT, remove & valid, i_old)
+        i_new_e = intra(P_newT, insert, i_new)
+        s_old = jnp.where(remove, self_old, 0.0)
+        s_new = jnp.where(insert, self_new, 0.0)
+        e_rest_old = s_old + i_old_e                        # (1, G)
+        e_rest_new = s_new + i_new_e
 
         # ---- footprint operands (static-matrix extraction) ---------------
         # old side occupies cols with side==0, new side side==1:
-        ptlj = jnp.where(side_fl,
-                         jnp.dot(P_newT, E_lj, preferred_element_type=f32),
-                         jnp.dot(P_oldT, E_lj, preferred_element_type=f32))
-        ptq = jnp.where(side_fq,
-                        jnp.dot(P_newT, E_q, preferred_element_type=f32),
-                        jnp.dot(P_oldT, E_q, preferred_element_type=f32))
-        ptk = jnp.where(side_fk,
-                        jnp.dot(P_newT, E_k, preferred_element_type=f32),
-                        jnp.dot(P_oldT, E_k, preferred_element_type=f32))
+        if nA == 1:
+            ptlj = jnp.where(side_fl,
+                             jnp.dot(P_newT, E_lj_ts[0],
+                                     preferred_element_type=f32),
+                             jnp.dot(P_oldT, E_lj_ts[0],
+                                     preferred_element_type=f32))
+            ptq = jnp.where(side_fq,
+                            jnp.dot(P_newT, E_q_ts[0],
+                                    preferred_element_type=f32),
+                            jnp.dot(P_oldT, E_q_ts[0],
+                                    preferred_element_type=f32))
+            ptk = jnp.where(side_fk,
+                            jnp.dot(P_newT, E_k_ts[0],
+                                    preferred_element_type=f32),
+                            jnp.dot(P_oldT, E_k_ts[0],
+                                    preferred_element_type=f32))
+            qpat_q = qpat_q_ts[0]
+            qpat_k = qpat_k_ts[0]
+        else:
+            # per-side type gates expanded to the footprint layouts
+            go_fl = [jnp.dot((i_old == tt).astype(f32), Eg_fl,
+                             preferred_element_type=f32) for tt in range(nA)]
+            gn_fl = [jnp.dot((i_new == tt).astype(f32), Eg_fl,
+                             preferred_element_type=f32) for tt in range(nA)]
+            go_fq = [jnp.dot((i_old == tt).astype(f32), Eg_fq,
+                             preferred_element_type=f32) for tt in range(nA)]
+            gn_fq = [jnp.dot((i_new == tt).astype(f32), Eg_fq,
+                             preferred_element_type=f32) for tt in range(nA)]
+            go_fk = [jnp.dot((i_old == tt).astype(f32), Eg_fk,
+                             preferred_element_type=f32) for tt in range(nA)]
+            gn_fk = [jnp.dot((i_new == tt).astype(f32), Eg_fk,
+                             preferred_element_type=f32) for tt in range(nA)]
+            ptlj = jnp.zeros((3, GFL), f32)
+            ptq = jnp.zeros((3, GFQ), f32)
+            ptk = jnp.zeros((3, GFK), f32)
+            qpat_q = jnp.zeros((1, GFQ), f32)
+            qpat_k = jnp.zeros((1, GFK), f32)
+            for tt in range(nA):
+                ptlj = ptlj + jnp.where(
+                    side_fl,
+                    gn_fl[tt] * jnp.dot(P_newT, E_lj_ts[tt],
+                                        preferred_element_type=f32),
+                    go_fl[tt] * jnp.dot(P_oldT, E_lj_ts[tt],
+                                        preferred_element_type=f32))
+                ptq = ptq + jnp.where(
+                    side_fq,
+                    gn_fq[tt] * jnp.dot(P_newT, E_q_ts[tt],
+                                        preferred_element_type=f32),
+                    go_fq[tt] * jnp.dot(P_oldT, E_q_ts[tt],
+                                        preferred_element_type=f32))
+                ptk = ptk + jnp.where(
+                    side_fk,
+                    gn_fk[tt] * jnp.dot(P_newT, E_k_ts[tt],
+                                        preferred_element_type=f32),
+                    go_fk[tt] * jnp.dot(P_oldT, E_k_ts[tt],
+                                        preferred_element_type=f32))
+                qpat_q = qpat_q + jnp.where(side_fq, gn_fq[tt],
+                                            go_fq[tt]) * qpat_q_ts[tt]
+                qpat_k = qpat_k + jnp.where(side_fk, gn_fk[tt],
+                                            go_fk[tt]) * qpat_k_ts[tt]
         # side gates expanded to the row layouts (static matmuls)
         wof = w_old.astype(f32)
         wnf = w_new.astype(f32)
@@ -403,7 +595,15 @@ def _blockg_kernel(
         exb = slot_new
 
         # ---- guest pair passes: loop over live chunks --------------------
-        n_live_c = (jnp.max(n_row) * A + 127) // 128
+        if nA == 1:
+            n_live_c = (jnp.max(nmol_out[0:1, :]) * A + 127) // 128
+        else:
+            live_end = jnp.zeros((), jnp.int32)
+            for tt in range(nA):
+                end_t = ((csti_ref[tt, _CI["SB"]] - cols0)
+                         + jnp.max(nmol_out[tt:tt + 1, :]) * A_ts[tt])
+                live_end = jnp.maximum(live_end, end_t)
+            n_live_c = (live_end + 127) // 128
         n_live_c = jnp.minimum(n_live_c, GS // 128)
 
         def pair_r2(pt, x1, y1, z1, imask=(True, True, True)):
@@ -431,9 +631,17 @@ def _blockg_kernel(
             keeps_c = []
             pgs = []
             for g in range(G):
-                nsel = jnp.where(styc < 99,
-                                 jnp.full((128,), n_row[0, g], jnp.int32),
-                                 0)
+                if nA == 1:
+                    nsel = jnp.where(styc < 99,
+                                     jnp.full((128,), nmol_out[0, g],
+                                              jnp.int32),
+                                     0)
+                else:
+                    nsel = jnp.zeros((128,), jnp.int32)
+                    for tt in range(nA):
+                        nsel = jnp.where(styc == aids[tt],
+                                         jnp.full((128,), nmol_out[tt, g],
+                                                  jnp.int32), nsel)
                 kg = ((midc < nsel) & (smoc != exa[0, g])
                       & (smoc != exb[0, g]))
                 keeps_c.append(kg.astype(jnp.int32)[None, :])
@@ -450,10 +658,21 @@ def _blockg_kernel(
                 return (jnp.concatenate(xs, 0), jnp.concatenate(ys, 0),
                         jnp.concatenate(zs, 0), jnp.concatenate(ks, 0))
 
-            eps = jnp.concatenate(
-                [epslj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
-            sig2 = jnp.concatenate(
-                [sig2lj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
+            if nA == 1:
+                eps = jnp.concatenate(
+                    [epslj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
+                sig2 = jnp.concatenate(
+                    [sig2lj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
+            else:
+                epsl, sig2l = [], []
+                for g in range(G):
+                    pid8 = pid_row[0, g] * 8
+                    epsl.append(epslj_ref[pl.ds(pid8, 8),
+                                          pl.ds(b, 128)][:FL, :])
+                    sig2l.append(sig2lj_ref[pl.ds(pid8, 8),
+                                            pl.ds(b, 128)][:FL, :])
+                eps = jnp.concatenate(epsl, axis=0)
+                sig2 = jnp.concatenate(sig2l, axis=0)
             xL, yL, zL, keepL = expand_c(FL)
             r2 = pair_r2(ptlj, xL, yL, zL)
             inv_r2 = 1.0 / r2
@@ -484,16 +703,26 @@ def _blockg_kernel(
         if fw_on and not skip_fw:
             fx, fy, fz, feps, fsig2 = [], [], [], [], []
             for g in range(G):
+                if nA == 1:
+                    pid8 = 0
+                else:
+                    pid8 = pid_row[0, g] * 8
                 for side, st in ((0, stL0), (1, stL1)):
                     c0 = st[0, g] * 128
                     blk = fwpq_ref[:, pl.ds(c0, WL)]
                     fx.append(jnp.broadcast_to(blk[0:1, :], (Lmax, WL)))
                     fy.append(jnp.broadcast_to(blk[1:2, :], (Lmax, WL)))
                     fz.append(jnp.broadcast_to(blk[2:3, :], (Lmax, WL)))
-                    feps.append(fweps_ref[pl.ds(side * Lmax, Lmax),
-                                          pl.ds(c0, WL)])
-                    fsig2.append(fwsig2_ref[pl.ds(side * Lmax, Lmax),
-                                            pl.ds(c0, WL)])
+                    if nA == 1:
+                        feps.append(fweps_ref[pl.ds(side * Lmax, Lmax),
+                                              pl.ds(c0, WL)])
+                        fsig2.append(fwsig2_ref[pl.ds(side * Lmax, Lmax),
+                                                pl.ds(c0, WL)])
+                    else:
+                        feps.append(fweps_ref[pl.ds(pid8 + side * Lmax,
+                                                    Lmax), pl.ds(c0, WL)])
+                        fsig2.append(fwsig2_ref[pl.ds(pid8 + side * Lmax,
+                                                      Lmax), pl.ds(c0, WL)])
             r2f = pair_r2(ptlj, jnp.concatenate(fx, 0),
                           jnp.concatenate(fy, 0), jnp.concatenate(fz, 0),
                           fw_imask)
@@ -581,6 +810,24 @@ def _blockg_kernel(
         elif fw_on:
             efar = jnp.zeros((1, GFK), f32)
 
+        # ---- reservoir push targets (rows shared by the per-g loop) ------
+        if has_res:
+            RSB_old = ti(_CI["RSB"], i_old)
+            RMB_old = ti(_CI["RMB"], i_old)
+            rcap_old = ti(_CI["RCAP"], i_old)
+            resn_old_row = nrow_of(resn_out, i_old)
+            res_full = resn_old_row >= rcap_old             # (1, G) bool
+            push_idx = jnp.minimum(resn_old_row, rcap_old - 1)
+            push_start = RSB_old + push_idx * A_old_r
+            push_slot = RMB_old + push_idx
+            # random placement in the reservoir box (centered; reference
+            # convention, src/delete_molecule.f90:148-166)
+            res_pos = jnp.concatenate(
+                [cf(_CF["RH"] + 3 * i) * (urow(18) - 0.5)
+                 + cf(_CF["RH"] + 3 * i + 1) * (urow(19) - 0.5)
+                 + cf(_CF["RH"] + 3 * i + 2) * (urow(20) - 0.5)
+                 for i in range(3)], axis=0)                # (3, G)
+
         # ---- per-replica k-space + Metropolis + commits -------------------
         eng_row = eng_out[0:8, :]                           # (8, G)
         # bool rows cannot be read as scalars on TPU - go through int32
@@ -589,6 +836,10 @@ def _blockg_kernel(
         val_i = valid.astype(jnp.int32)
         cb_i = cap_blocked.astype(jnp.int32)
         wnew_i = w_new.astype(jnp.int32)
+        nf_old = n_old_row.astype(f32)
+        nf_new = n_new_row.astype(f32)
+        if has_res:
+            rfull_i = res_full.astype(jnp.int32)
         acc_rows = []
         ecomp_rows = []
         for g in range(G):
@@ -627,11 +878,18 @@ def _blockg_kernel(
             e_recip_new = e_recip_old + cross * c2piv
             delta_e = (e_rest_new[0, g] + e_lj1 + e_c1 + e_recip_new
                        - e_rest_old[0, g] - e_lj0 - e_c0 - e_recip_old)
+            if nA == 1:
+                act_old_g = act_new_g = cstg_ref[0, _CG["ACT"]]
+            else:
+                act_old_g = act_old[0, g]
+                act_new_g = act_new[0, g]
             pref = jnp.where(ins_i[0, g] > 0,
-                             activity * cf(_CF["VOL"]) / (nf[0, g] + 1.0),
+                             act_new_g * cf(_CF["VOL"]) / (nf_new[0, g]
+                                                           + 1.0),
                              1.0)
             pref = pref * jnp.where(rem_i[0, g] > 0,
-                                    nf[0, g] / (activity * cf(_CF["VOL"])),
+                                    nf_old[0, g] / (act_old_g
+                                                    * cf(_CF["VOL"])),
                                     1.0)
             p_acc = jnp.minimum(1.0, pref * jnp.exp(-delta_e * inv_t))
             gate = (val_i[0, g] > 0) & (cb_i[0, g] == 0)
@@ -642,14 +900,19 @@ def _blockg_kernel(
                 amp_re_out[g] = ar + accf * d_re
                 amp_im_out[g] = ai + accf * d_im
 
+            if nA == 1:
+                A_new_g = A_old_g = A
+            else:
+                A_new_g = A_new_r[0, g]
+                A_old_g = A_old_r[0, g]
             s_idx = (jax.lax.broadcasted_iota(jnp.int32, (1, GS), 1)[0, :]
                      + cols0)
             do_write = acc & (wnew_i[0, g] > 0)
             do_compact = acc & (rem_i[0, g] > 0)
             rel_new = s_idx - site_start_new[0, g]
             rel_old = s_idx - site_start_old[0, g]
-            in_new = do_write & (rel_new >= 0) & (rel_new < A)
-            in_old = do_compact & (rel_old >= 0) & (rel_old < A)
+            in_new = do_write & (rel_new >= 0) & (rel_new < A_new_g)
+            in_old = do_compact & (rel_old >= 0) & (rel_old < A_old_g)
             if skip_pos:
                 in_new = in_new & (s_idx < 0)
                 in_old = in_old & (s_idx < 0)
@@ -671,61 +934,124 @@ def _blockg_kernel(
                              com_new[:, g:g + 1], comv)
             com_out[g] = comv
 
+            if has_res:
+                # pop the sampled reservoir molecule on accepted insertion;
+                # push the removed molecule on accepted deletion (a full
+                # reservoir drops it, counted in cnt row 6)
+                do_pop = acc & (ins_i[0, g] > 0)
+                do_push = acc & (rem_i[0, g] > 0) & (rfull_i[0, g] == 0)
+                sr = jax.lax.broadcasted_iota(jnp.int32, (1, SresP),
+                                              1)[0, :]
+                rel_pop = sr - res_src[0, g]
+                rel_push = sr - push_start[0, g]
+                in_pop = do_pop & (rel_pop >= 0) & (rel_pop < A_new_g)
+                in_push = do_push & (rel_push >= 0) & (rel_push < A_old_g)
+                rout = resoff_out[g]
+                for a in range(A):
+                    sel_p = ((rel_push == a) & in_push)[None, :]
+                    rout = jnp.where(sel_p, off_old[:, g * A + a][:, None],
+                                     rout)
+                for a in range(A):
+                    sel_c = ((rel_pop == a) & in_pop)[None, :]
+                    rout = jnp.where(
+                        sel_c, res_lastoff_cols[:, g * A + a][:, None],
+                        rout)
+                resoff_out[g] = rout
+                mr = jax.lax.broadcasted_iota(jnp.int32, (1, MresP),
+                                              1)[0, :]
+                rcv = rescom_out[g]
+                rcv = jnp.where((do_push & (mr == push_slot[0, g]))[None, :],
+                                res_pos[:, g:g + 1], rcv)
+                rcv = jnp.where((do_pop & (mr == pop_slot[0, g]))[None, :],
+                                rescom_last[:, g:g + 1], rcv)
+                rescom_out[g] = rcv
+
             acc_rows.append(accf)
             ecomp_rows.append(jnp.stack(
                 [jnp.where(acc, e_recip_new - e_recip_old, 0.0),
                  accf * (e_lj1 - e_lj0), accf * (e_c1 - e_c0),
                  accf * (s_new[0, g] - s_old[0, g]),
-                 accf * (i_new[0, g] - i_old[0, g]),
+                 accf * (i_new_e[0, g] - i_old_e[0, g]),
                  accf * delta_e, jnp.zeros((), f32), jnp.zeros((), f32)]))
 
         accr = jnp.stack(acc_rows).reshape(1, G)            # (1, G)
         eng_out[0:8, :] = eng_row + jnp.stack(ecomp_rows, axis=1)
 
-        n_new_row = (nmol_out[0:1, :]
-                     + jnp.where((accr > 0) & insert, 1, 0)
-                     - jnp.where((accr > 0) & remove, 1, 0))
-        nmol_out[0:1, :] = n_new_row
+        accb = accr > 0
+        if nA == 1:
+            nmol_out[0:1, :] = (nmol_out[0:1, :]
+                                + jnp.where(accb & insert, 1, 0)
+                                - jnp.where(accb & remove, 1, 0))
+        else:
+            for tt in range(nA):
+                nmol_out[tt:tt + 1, :] = (
+                    nmol_out[tt:tt + 1, :]
+                    + jnp.where(accb & insert & (i_new == tt), 1, 0)
+                    - jnp.where(accb & remove & (i_old == tt), 1, 0))
+        if has_res:
+            do_pop_row = accb & insert
+            do_push_row = accb & remove & (~res_full)
+            if nA == 1:
+                resn_out[0:1, :] = (resn_out[0:1, :]
+                                    + jnp.where(do_push_row, 1, 0)
+                                    - jnp.where(do_pop_row, 1, 0))
+            else:
+                for tt in range(nA):
+                    resn_out[tt:tt + 1, :] = (
+                        resn_out[tt:tt + 1, :]
+                        + jnp.where(do_push_row & (i_old == tt), 1, 0)
+                        - jnp.where(do_pop_row & (i_new == tt), 1, 0))
 
         cm = jax.lax.broadcasted_iota(jnp.int32, (16, G), 0)
         mv16 = jnp.broadcast_to(move, (16, G))
         valid16 = jnp.broadcast_to(valid, (16, G))
-        acc16 = jnp.broadcast_to(accr > 0, (16, G))
+        acc16 = jnp.broadcast_to(accb, (16, G))
         cb16 = jnp.broadcast_to(cap_blocked & valid, (16, G))
         inc = (((cm == mv16) & valid16)
                | ((cm == mv16 + 8) & acc16)
                | ((cm == 5) & cb16)).astype(f32)
+        if has_res:
+            drop16 = jnp.broadcast_to(accb & remove & res_full, (16, G))
+            inc = inc + ((cm == 6) & drop16).astype(f32)
         cnt_out[:, :] = cnt_out[:, :] + inc
         return carry
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
     """Run n_steps MC steps for G replicas in ONE Pallas program.
     states_g: SimState with leading G axis; uniforms_qmajor:
     (n_steps, NU*G), quantity-major. Returns (pos, com, amp_re, amp_im,
-    n_mol_row (G,), energy (G, 6), counters (16, G))."""
+    n_mol (nA, G), energy (8, G), counters (16, G), res_off (G,3,SresP),
+    res_com (G,3,MresP), res_n (nA, G))."""
     f = spec.dtype
     if not interpret:
         interpret = jax.devices()[0].platform == "cpu"
     G = states_g.n_mol.shape[0]
     JzP, JxyP = spec.amp_shape
     S = spec.S
-    T = spec.active_list.index(True)            # static (single active type)
-    A = spec.A_list[T]
+    aids = tuple(r for r in range(spec.R) if spec.active_list[r])
+    nA = len(aids)
+    A = spec.A_act
+    A_ts = tuple(spec.A_list[r] for r in aids)
     kx, ky, kz = spec.kmax_xyz
     kx2, ky2, kz2 = spec.kmax2_xyz
     Jz2P, _ = spec.amp2_shape
     gb = spec.guest_base if spec.fw_split else 0
     n_steps = uniforms_qmajor.shape[0]
+    has_res = bool(spec.has_reservoir)
     from ..mc.moves import N_UNIFORMS
 
-    # single-type static atom patterns (spec meta)
-    lj_atoms = tuple(spec.lj_idx_list[T][:spec.Lmax])
-    q_atoms = tuple(spec.q_idx_list[T][:spec.Qmax])
+    # per-active-type static atom patterns (spec meta)
+    lj_atoms_ts = tuple(tuple(spec.lj_idx_list[r][:spec.Lmax]) for r in aids)
+    q_atoms_ts = tuple(tuple(spec.q_idx_list[r][:spec.Qmax]) for r in aids)
 
-    cstf = jnp.zeros(32, f)
+    cstf = jnp.zeros(48, f)
     cstf = cstf.at[_CF["INVL"]:_CF["INVL"] + 3].set(1.0 / spec.box_diag)
     cstf = cstf.at[_CF["L"]:_CF["L"] + 3].set(spec.box_diag)
     cstf = cstf.at[_CF["ALPHA"]].set(spec.alpha)
@@ -740,64 +1066,94 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
     # TRANS/ROT const slots unused (per-replica rows are passed instead)
     cstf = cstf.at[_CF["ALPHA2"]].set(spec.alpha2)
     cstf = cstf.at[_CF["RC2SQ2"]].set(spec.rcut2 * spec.rcut2)
-    cstf = cstf.reshape(1, 32)
-    cstg = jnp.zeros(8, f)
-    cstg = cstg.at[_CG["ACT"]].set(spec.type_activity[T])
-    cstg = cstg.at[_CG["SELF"]].set(spec.type_self_energy[T])
-    cstg = cstg.at[_CG["FWD0"]].set(spec.fw_d0)
-    cstg = cstg.at[3].set(spec.fw_rcw_lj)
-    cstg = cstg.at[4].set(spec.fw_rcw_c)
-    cstg = cstg.reshape(1, 8)
-    csti = jnp.zeros(16, jnp.int32)
-    csti = csti.at[_CI["A"]].set(spec.type_A[T])
-    csti = csti.at[_CI["CAP"]].set(spec.type_cap[T])
-    csti = csti.at[_CI["SB"]].set(spec.type_site_base[T])
-    csti = csti.at[_CI["MB"]].set(spec.type_mol_base[T])
-    csti = csti.at[_CI["MTOT"]].set(spec.Mtot)
-    csti = csti.reshape(1, 16)
+    cstf = cstf.at[_CF["RH"]:_CF["RH"] + 9].set(spec.res_H.reshape(-1))
+    cstf = cstf.reshape(1, 48)
+    aidx = jnp.asarray(aids, dtype=jnp.int32)
+    cstg = jnp.zeros((nA, 8), f)
+    cstg = cstg.at[:, _CG["ACT"]].set(spec.type_activity[aidx])
+    cstg = cstg.at[:, _CG["SELF"]].set(spec.type_self_energy[aidx])
+    cstg = cstg.at[:, _CG["FWD0"]].set(spec.fw_d0)
+    cstg = cstg.at[:, _CG["RCWL"]].set(spec.fw_rcw_lj)
+    cstg = cstg.at[:, _CG["RCWC"]].set(spec.fw_rcw_c)
+    csti = jnp.zeros((nA, 16), jnp.int32)
+    csti = csti.at[:, _CI["A"]].set(spec.type_A[aidx])
+    csti = csti.at[:, _CI["CAP"]].set(spec.type_cap[aidx])
+    csti = csti.at[:, _CI["SB"]].set(spec.type_site_base[aidx])
+    csti = csti.at[:, _CI["MB"]].set(spec.type_mol_base[aidx])
+    csti = csti.at[:, _CI["MTOT"]].set(spec.Mtot)
+    csti = csti.at[:, _CI["RSB"]].set(spec.res_type_site_base[aidx])
+    csti = csti.at[:, _CI["RMB"]].set(spec.res_type_mol_base[aidx])
+    csti = csti.at[:, _CI["RCAP"]].set(spec.res_cap[aidx])
+
+    qrow = spec.type_q_rows[aidx][:, :A]                   # (nA, A)
+    templ = spec.type_template_off[aidx].transpose(0, 2, 1).reshape(
+        3 * nA, A)
 
     NBG = spec.fw_SG // 128
+    nmol_in = states_g.n_mol[:, aidx].T.astype(jnp.int32)  # (nA, G)
+    eng_in = jnp.concatenate(
+        [states_g.energy.T.astype(f),
+         jnp.zeros((2, G), f)], axis=0)                     # (8, G)
+    if has_res:
+        Sres = states_g.res_offset.shape[1]
+        Mres = states_g.res_com.shape[1]
+        SresP = _round_up(Sres, 128)
+        MresP = _round_up(Mres, 128)
+        resoff = jnp.pad(states_g.res_offset.transpose(0, 2, 1).astype(f),
+                         ((0, 0), (0, 0), (0, SresP - Sres)))
+        rescom = jnp.pad(states_g.res_com.transpose(0, 2, 1).astype(f),
+                         ((0, 0), (0, 0), (0, MresP - Mres)))
+        resn_in = states_g.res_n[:, aidx].T.astype(jnp.int32)
+    else:
+        SresP = MresP = 128
+        resoff = jnp.zeros((G, 3, SresP), f)
+        rescom = jnp.zeros((G, 3, MresP), f)
+        resn_in = jnp.zeros((nA, G), jnp.int32)
+
+    import os
     kernel = functools.partial(
         _blockg_kernel, n_steps=n_steps, NU=N_UNIFORMS, G=G, S=S, A=A,
         Lmax=spec.Lmax, Qmax=spec.Qmax, kx=kx, ky=ky, kz=kz, JzP=JzP,
         fw_on=spec.fw_split, gbase=gb, SG=spec.fw_SG, NBG=NBG,
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
-        Jz2P=Jz2P, fw_axis=spec.fw_axis, lj_atoms=lj_atoms, q_atoms=q_atoms)
+        Jz2P=Jz2P, fw_axis=spec.fw_axis, nA=nA, A_ts=A_ts, aids=aids,
+        has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
+        ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
-    nmol_in = states_g.n_mol[:, T].astype(jnp.int32).reshape(1, G)
-    eng_in = jnp.concatenate(
-        [states_g.energy.T.astype(f),
-         jnp.zeros((2, G), f)], axis=0)                     # (8, G)
     outs = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((G, 3, S), f),
                    jax.ShapeDtypeStruct((G, 3, MP), f),
                    jax.ShapeDtypeStruct((G, JzP, JxyP), f),
                    jax.ShapeDtypeStruct((G, JzP, JxyP), f),
-                   jax.ShapeDtypeStruct((1, G), jnp.int32),
+                   jax.ShapeDtypeStruct((nA, G), jnp.int32),
                    jax.ShapeDtypeStruct((8, G), f),
-                   jax.ShapeDtypeStruct((16, G), f)),
-        in_specs=[vmem] * 32,
-        out_specs=(vmem,) * 7,
-        input_output_aliases={28: 0, 29: 1, 30: 2, 31: 3},
+                   jax.ShapeDtypeStruct((16, G), f),
+                   jax.ShapeDtypeStruct((G, 3, SresP), f),
+                   jax.ShapeDtypeStruct((G, 3, MresP), f),
+                   jax.ShapeDtypeStruct((nA, G), jnp.int32)),
+        in_specs=[vmem] * 35,
+        out_specs=(vmem,) * 10,
+        input_output_aliases={29: 0, 30: 1, 31: 2, 32: 3, 33: 7, 34: 8},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(uniforms_qmajor, cstf, cstg, csti,
       spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel, spec.k_weights,
-      spec.eps_pair_lj[:8, gb:], spec.sig2_pair_lj[:8, gb:],
+      spec.eps_pair_lj[:, gb:], spec.sig2_pair_lj[:, gb:],
       spec.site_q.reshape(1, S)[:, gb:],
       spec.site_mol.reshape(1, S)[:, gb:],
       spec.site_type.reshape(1, S)[:, gb:],
       spec.site_midx.reshape(1, S)[:, gb:],
-      spec.type_q_rows[T].reshape(1, spec.A_act)[:, :A],
-      spec.type_template_off[T].T[:, :A],
-      spec.fw_pq_g, spec.fw_eps_g[:8], spec.fw_sig2_g[:8],
+      qrow, templ,
+      spec.fw_pq_g, spec.fw_eps_g, spec.fw_sig2_g,
       spec.fw_blockmax.reshape(1, NBG),
       spec.c2_re, spec.c2_im, spec.ex2_sel, spec.ey2_sel,
       nmol_in, eng_in,
       states_g.trans_step.astype(f).reshape(1, G),
       states_g.rot_step.astype(f).reshape(1, G),
-      states_g.pos, states_g.com, states_g.amp_re, states_g.amp_im)
+      resn_in,
+      states_g.pos, states_g.com, states_g.amp_re, states_g.amp_im,
+      resoff, rescom)
     return outs

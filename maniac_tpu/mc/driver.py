@@ -133,20 +133,38 @@ def block_body_group(spec: SystemSpec, states_g: SimState, n_steps: int,
         from ..kernels.blockg import run_block_grouped
         G = st.n_mol.shape[0]
         uq = uniforms.transpose(1, 2, 0).reshape(n_steps, N_UNIFORMS * G)
-        pos, com, amp_re, amp_im, nrow, eng, cnt = run_block_grouped(
-            spec, st, uq)
-        T = spec.active_list.index(True)
+        (pos, com, amp_re, amp_im, nrow, eng, cnt, resoff, rescom,
+         resn) = run_block_grouped(spec, st, uq)
+        aids = [r for r in range(spec.R) if spec.active_list[r]]
         r_idx = jnp.arange(spec.R + 1)
-        n_mol = jnp.where(r_idx[None, :] == T, nrow.T, st.n_mol)
+        n_mol = st.n_mol
+        for j, t in enumerate(aids):
+            n_mol = jnp.where(r_idx[None, :] == t, nrow[j][:, None], n_mol)
         trials = cnt[0:5, :].T.astype(jnp.int32)          # (G, 5)
         accepts = cnt[8:13, :].T.astype(jnp.int32)
         counters = st.counters + jnp.stack([trials, accepts], axis=1)
         x_idx = jnp.arange(st.extras.shape[1])
-        extras = st.extras + jnp.where(
-            x_idx[None, :] == 0, cnt[5:6, :].T.astype(jnp.int32), 0)
+        extras = (st.extras
+                  + jnp.where(x_idx[None, :] == 0,
+                              cnt[5:6, :].T.astype(jnp.int32), 0)
+                  + jnp.where(x_idx[None, :] == 1,
+                              cnt[6:7, :].T.astype(jnp.int32), 0))
         st = st.replace(pos=pos, com=com, amp_re=amp_re, amp_im=amp_im,
                         n_mol=n_mol, energy=eng[:6, :].T,
                         counters=counters, extras=extras)
+        if spec.has_reservoir:
+            Sres = st.res_offset.shape[1]
+            Mres = st.res_com.shape[1]
+            res_n = st.res_n
+            for j, t in enumerate(aids):
+                res_n = jnp.where(r_idx[None, :] == t, resn[j][:, None],
+                                  res_n)
+            st = st.replace(
+                res_offset=resoff[:, :, :Sres].transpose(0, 2, 1)
+                .astype(spec.dtype),
+                res_com=rescom[:, :, :Mres].transpose(0, 2, 1)
+                .astype(spec.dtype),
+                res_n=res_n)
     else:
         def body(s, u_t):
             return mc_step_group(spec, s, u_t), None
@@ -189,6 +207,24 @@ def resync_amplitudes_body(spec: SystemSpec, state: SimState) -> SimState:
 @jax.jit
 def resync_amplitudes(spec: SystemSpec, state: SimState) -> SimState:
     return resync_amplitudes_body(spec, state)
+
+
+@jax.jit
+def refresh_reported_energy(spec: SystemSpec, states: SimState) -> SimState:
+    """Exact energy components for the REPORTED replica (row 0 of a
+    batched state): the reference's energy.dat is a fresh value every
+    block (src/write_utils.f90:94-188), while f32 running totals wander
+    by O(100 K) (DIVERGENCES.md #13). One from-scratch recompute for ONE
+    replica per block replaces row 0's energy AND its amplitudes (so the
+    bookkeeping invariant E_RECIP == recip_energy(amp) keeps holding for
+    that replica). The chain itself never reads the non-recip components,
+    so the trajectory is unperturbed."""
+    st0 = jax.tree_util.tree_map(lambda x: x[0], states)
+    st0 = initialize_state(spec, st0)
+    return states.replace(
+        energy=states.energy.at[0].set(st0.energy),
+        amp_re=states.amp_re.at[0].set(st0.amp_re),
+        amp_im=states.amp_im.at[0].set(st0.amp_im))
 
 
 @jax.jit

@@ -110,6 +110,64 @@ def test_blockg_capacity_overflow(tmp_path, monkeypatch):
     assert np.asarray(states.extras)[:, 0].sum() > 0
 
 
+def test_blockg_parity_two_active_species(tmp_path, monkeypatch):
+    """Multi-active-species blockg: framework + water + dimer with live
+    SWAP moves. Decisions (populations, counters) must match the scan
+    path exactly; positions to f32 ulp."""
+    from maniac_tpu.systems import make_framework_mixed
+    make_framework_mixed(str(tmp_path))
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=12)
+    spec = sysm.spec
+    assert spec.fw_split and spec.n_active == 2
+    states = replicate(spec, sysm.state, 4)
+    st_b, st_x = _run_pair(spec, states, 60, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    # swap trials actually happened (probs reserve 0.2 for swap)
+    assert np.asarray(st_b.counters)[:, 0, 4].sum() > 0
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
+    assert np.abs(np.asarray(st_b.energy)
+                  - np.asarray(st_x.energy)).max() < 5.0
+
+
+def test_blockg_parity_reservoir(tmp_path, monkeypatch):
+    """Reservoir blockg: insertion geometry sampled from the reservoir
+    in-kernel, pop-on-insert / push-on-delete bookkeeping, and box +
+    reservoir particle conservation."""
+    from maniac_tpu.systems import make_water_box, make_water_reservoir
+    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
+                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
+    res_path = make_water_reservoir(str(tmp_path), n_water=12)
+    sysm = load_system(f"{tmp_path}/input.maniac", f"{tmp_path}/topology.data",
+                       f"{tmp_path}/parameters.inc",
+                       reservoir_file=res_path,
+                       dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    assert spec.has_reservoir
+    states = replicate(spec, sysm.state, 4)
+    n_tot0 = (np.asarray(states.n_mol)[:, 0]
+              + np.asarray(states.res_n)[:, 0])
+    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.res_n),
+                                  np.asarray(st_x.res_n))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
+    assert np.abs(np.asarray(st_b.res_offset)
+                  - np.asarray(st_x.res_offset)).max() < 1e-5
+    assert np.abs(np.asarray(st_b.res_com)
+                  - np.asarray(st_x.res_com)).max() < 1e-5
+    # box + reservoir particle count conserved (insert pops, delete pushes)
+    n_tot = (np.asarray(st_b.n_mol)[:, 0] + np.asarray(st_b.res_n)[:, 0])
+    np.testing.assert_array_equal(n_tot, n_tot0)
+    # insertions/deletions actually landed
+    assert np.asarray(st_b.counters)[:, 1, 0].sum() > 0
+
+
 def test_blockg_gcmc_physics(tmp_path, monkeypatch):
     """GCMC still works end-to-end: occupancy responds to fugacity and
     stays within capacity; recalibration path runs."""
