@@ -11,7 +11,18 @@ The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
 is measured against the driver-supplied north-star target of 1e6
 accepted-move-equivalent GCMC steps/sec/chip.
 
-Env knobs: MANIAC_BENCH_REPLICAS / STEPS / BLOCKS / DTYPE / CAPACITY.
+Env knobs: MANIAC_BENCH_REPLICAS / STEPS / BLOCKS / DTYPE / CAPACITY /
+SYSTEM. MANIAC_BENCH_SYSTEM selects the workload (BASELINE.md perf matrix):
+
+  zif     (default) ZIF-8-scale framework + water, single active species
+  mixed   framework + water + dimer, TWO active species incl. swap moves
+  resv    water GCMC with a RESERVOIR (geometry sampling + push/pop)
+  tricl   triclinic water box (27-image XLA path)
+  bigS    reference-capacity envelope: ~2000 live waters, capacity 2500
+          (the reference's static cap is 5000/type, src/parameters.f90:8)
+
+Kernel-path selection is inherited from the engine (MANIAC_PALLAS /
+MANIAC_GROUP), so stepg-vs-blockg rows can be recorded with env overrides.
 """
 
 import json
@@ -30,10 +41,12 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    system = os.environ.get("MANIAC_BENCH_SYSTEM", "zif")
     replicas = int(os.environ.get("MANIAC_BENCH_REPLICAS", "1024"))
     steps_per_block = int(os.environ.get("MANIAC_BENCH_STEPS", "400"))
     n_blocks = int(os.environ.get("MANIAC_BENCH_BLOCKS", "3"))
-    capacity = int(os.environ.get("MANIAC_BENCH_CAPACITY", "192"))
+    cap_default = {"bigS": 2500}.get(system, 192)
+    capacity = int(os.environ.get("MANIAC_BENCH_CAPACITY", str(cap_default)))
     dtype_name = os.environ.get("MANIAC_BENCH_DTYPE", "f32")
     if dtype_name == "f64":
         jax.config.update("jax_enable_x64", True)
@@ -42,14 +55,35 @@ def main() -> None:
     from maniac_tpu import load_system
     from maniac_tpu.mc.driver import resync_amplitudes_replicated
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
-    from maniac_tpu.systems import make_zif_like
+    from maniac_tpu.systems import (make_framework_mixed, make_triclinic_water,
+                                    make_water_box, make_water_reservoir,
+                                    make_zif_like)
 
     t_setup = time.perf_counter()
     with tempfile.TemporaryDirectory() as tmp:
-        make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
+        res_file = None
+        if system == "zif":
+            make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
+        elif system == "mixed":
+            make_framework_mixed(tmp, n_cells=6, a=5.66, n_water=24,
+                                 n_dimer=12, cutoff=8.5, tol=1e-5,
+                                 probs=(0.25, 0.15, 0.4, 0.2))
+        elif system == "resv":
+            make_water_box(tmp, n_water=48, L=24.0, cutoff=8.0, tol=1e-5,
+                           probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
+            res_file = make_water_reservoir(tmp, n_water=96, L=24.0)
+        elif system == "tricl":
+            make_triclinic_water(tmp, n_water=24, L=22.0,
+                                 tilt=(2.0, 1.2, 0.8), cutoff=7.0, tol=1e-5,
+                                 probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
+        elif system == "bigS":
+            make_water_box(tmp, n_water=2000, L=40.0, cutoff=8.5, tol=1e-5,
+                           probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
+        else:
+            raise SystemExit(f"unknown MANIAC_BENCH_SYSTEM={system}")
         sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                            f"{tmp}/parameters.inc", dtype=dtype,
-                           capacity=capacity)
+                           capacity=capacity, reservoir_file=res_file)
     spec, state = sysm.spec, sysm.state
     states = replicate(spec, state, replicas)
     t_setup = time.perf_counter() - t_setup
@@ -116,9 +150,11 @@ def main() -> None:
         f"HBM {hbm_bytes / step_t / 1e9:.0f} GB/s "
         f"(floor ~{hbm_bytes / 800e9 * 1e3:.2f} ms vs {step_t * 1e3:.2f} ms)\n"
         f"# steps={total_steps:,} elapsed={elapsed:.2f}s "
-        f"mean_N={float(np.asarray(states.n_mol)[:, 1].mean()):.1f}\n")
+        f"mean_N={float(np.asarray(states.n_mol)[:, :spec.R].sum(1).mean()):.1f}\n")
+    metric = ("gcmc_steps_per_sec_per_chip_zif8_h2o" if system == "zif"
+              else f"gcmc_steps_per_sec_per_chip_{system}")
     print(json.dumps({
-        "metric": "gcmc_steps_per_sec_per_chip_zif8_h2o",
+        "metric": metric,
         "value": round(rate, 1),
         "unit": "MC steps/s/chip",
         "vs_baseline": round(rate / TARGET_STEPS_PER_SEC, 4),

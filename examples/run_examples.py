@@ -48,6 +48,16 @@ CASES = {
                               cutoff=5.5, tol=1e-5, nb_block=3, nb_step=300,
                               probs=(0.4, 0.3, 0.3, 0.0), fugacity=1000.0),
                          []),
+    # analogs of the remaining reference run.sh cases (run.sh:4-96)
+    "SLIT": (systems.make_slit_pore,
+             dict(n_water=8, nb_block=3, nb_step=300, fugacity=80.0),
+             ["--capacity", "24"]),
+    "MFI-CO2": (systems.make_mfi_co2,
+                dict(n_co2=8, nb_block=3, nb_step=300, fugacity=40.0),
+                ["--capacity", "32"]),
+    "CH4O-H2O": (systems.make_fw_ch4o_h2o,
+                 dict(n_water=6, n_meoh=6, nb_block=3, nb_step=300),
+                 ["--capacity", "24"]),
 }
 
 

@@ -88,7 +88,7 @@ def _run(args, outdir: str, logger, dtype) -> int:
     from . import __version__
     from .api import load_system
     from .io.writers import OutputWriter, snapshot
-    from .mc.driver import (drift_report, resync_amplitudes,
+    from .mc.driver import (drift_report, refresh_reported_energy, resync,
                             resync_amplitudes_replicated, run_block)
     from .parallel.replicas import replicate, run_block_replicated
     from .utils.errors import ManiacError
@@ -144,10 +144,16 @@ def _run(args, outdir: str, logger, dtype) -> int:
             state = run_block(spec, state, deck.nb_step,
                               deck.recalibrate_moves)
         if spec.dtype == np.float32:
-            # bound incremental A(k) drift at block granularity (f32 only;
-            # DIVERGENCES.md #13, tests/test_moves.py::test_f32_resync)
-            state = (resync_amplitudes_replicated(spec, state) if replicated
-                     else resync_amplitudes(spec, state))
+            # bound incremental A(k) drift at block granularity AND make the
+            # REPORTED energy rows exact: the reference's energy.dat is a
+            # fresh value every block (src/write_utils.f90:94-188), so f32
+            # runs fold one from-scratch recompute into the per-block
+            # output path (replica 0 only when replicated; DIVERGENCES #13)
+            if replicated:
+                state = resync_amplitudes_replicated(spec, state)
+                state = refresh_reported_energy(spec, state)
+            else:
+                state = resync(spec, state)
         total_steps += deck.nb_step * args.replicas
         snap = snapshot(spec, state, rep0)
         writer.print_status(snap, block)

@@ -592,3 +592,151 @@ def make_slit_pore(outdir, nx=5, ny=5, wall_layers=2, n_water=10,
                [(1, 1, 0.30, 3.2), (2, 2, 0.20, 3.0),
                 (3, 3, EPS_O, SIG_O), (4, 4, 0.0, 0.0), (5, 5, 0.0, 0.0)])
     return outdir
+
+def co2_sites() -> tuple[np.ndarray, np.ndarray, list]:
+    """Rigid linear CO2 (EPM2-like): O=C=O along z, 1.163 A bonds."""
+    pos = np.array([[0.0, 0.0, -1.163], [0.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.163]])
+    q = np.array([-0.3256, 0.6512, -0.3256])
+    return pos, q, ["OC", "C", "OC"]
+
+
+def make_mfi_co2(outdir, n_cells=4, a=6.0, n_co2=8, seed=31, **deck_kw):
+    """MFI-CO2 analog (reference run.sh MFI-CO2 case): zeolite-like charged
+    framework + rigid LINEAR 3-site CO2 guests. Exercises A=3 linear
+    molecules (rotation moves on a linear rotor, 3 LJ rows, 3 charged
+    rows, a repeated atom type inside one residue) through the whole
+    engine.
+
+    The framework is TWO inactive single-atom residue types (F+ / F-):
+    both the reference and this engine store charges per (residue type,
+    atom) - simulation_state.f90:110-114 - so alternating charges inside
+    one residue type would be silently replaced by the template charge;
+    and single-atom framework molecules make the absolute-energy oracle
+    comparison convention-free (the reference computes the intramolecular
+    Ewald correction over ACTIVE molecules only,
+    src/energy_utils.f90:55-81)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    L = n_cells * a
+    atoms = []
+    base = np.array([[sx, sy, sz] for sx in (-1.2, 1.2)
+                     for sy in (-1.2, 1.2) for sz in (-1.2, 1.2)])
+    n_fw = 0
+    fw_pos = []
+    for i in range(n_cells):
+        for j in range(n_cells):
+            for k in range(n_cells):
+                c = -L / 2 + (np.array([i, j, k]) + 0.5) * a
+                for si, s in enumerate(base):
+                    n_fw += 1
+                    typ = 1 if si % 2 == 0 else 2
+                    qf = 0.2 if si % 2 == 0 else -0.2
+                    fw_pos.append((typ, qf, c + s))
+    # type-1 molecules first, then type-2 (matches the sorted residue
+    # layout; the parser orders residues by minimum atom-type id)
+    mid = 0
+    for want in (1, 2):
+        for typ, qf, p in fw_pos:
+            if typ == want:
+                mid += 1
+                atoms.append((mid, typ, qf, *p))
+    sites, q, _ = co2_sites()
+    corners = [(i, j, k) for i in range(n_cells) for j in range(n_cells)
+               for k in range(n_cells)]
+    rng.shuffle(corners)
+    m = mid
+    for cell in corners[:n_co2]:
+        c = -L / 2 + np.asarray(cell, dtype=float) * a
+        R = _random_rotation(rng)
+        pos = c + sites @ R.T
+        m += 1
+        # O C O -> types 3 4 3
+        for aa, typ in enumerate((3, 4, 3)):
+            atoms.append((m, typ, q[aa], *pos[aa]))
+    masses = {1: MASS["F"], 2: MASS["F"], 3: MASS["O"], 4: 12.011}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 4)
+    residues = [
+        dict(name="mfip", active=False, types=[1], names=["FP"],
+             nb_atoms=1),
+        dict(name="mfim", active=False, types=[2], names=["FM"],
+             nb_atoms=1),
+        dict(name="co2", active=True, fugacity=deck_kw.pop("fugacity", 40.0),
+             types=[3, 4, 3], names=["OC", "C", "OC"], nb_atoms=3),
+    ]
+    deck_kw.setdefault("cutoff", 7.0)
+    deck_kw.setdefault("tol", 1e-5)
+    deck_kw.setdefault("probs", (0.3, 0.2, 0.5, 0.0))
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    # EPM2-ish LJ (eps kcal/mol, sigma A)
+    _write_inc(f"{outdir}/parameters.inc",
+               [(1, 1, 0.22, 3.0), (2, 2, 0.22, 3.0),
+                (3, 3, 0.1599, 3.033), (4, 4, 0.0559, 2.757)])
+    return outdir
+
+
+def make_fw_ch4o_h2o(outdir, n_cells=4, a=5.8, n_water=6, n_meoh=6,
+                     seed=37, **deck_kw):
+    """CH4O-H2O analog (reference run.sh CH4O-H2O / ZIF8-CH4O-H2O cases):
+    framework + TWO active adsorbates - 4-site water and a 3-site rigid
+    methanol (CH3-O-H, two LJ sites) - co-adsorbing with swap moves."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    L = n_cells * a
+    atoms = []
+    base = np.array([[sx, sy, sz] for sx in (-1.1, 1.1)
+                     for sy in (-1.1, 1.1) for sz in (-1.1, 1.1)])
+    qs = np.array([0.15 if i % 2 == 0 else -0.15 for i in range(len(base))])
+    qs -= qs.mean()
+    n_fw = 0
+    for i in range(n_cells):
+        for j in range(n_cells):
+            for k in range(n_cells):
+                c = -L / 2 + (np.array([i, j, k]) + 0.5) * a
+                for s, qf in zip(base, qs):
+                    n_fw += 1
+                    atoms.append((1, 1, qf, *(c + s)))
+    sites_w, q_w, names_w = water_sites()
+    # rigid methanol: CH3 - O - H (united-atom CH3), OPLS-like charges
+    sites_m = np.array([[0.0, 0.0, 0.0],          # CH3
+                        [0.0, 0.0, 1.43],          # O
+                        [0.9, 0.0, 1.72]])         # H
+    q_m = np.array([0.265, -0.700, 0.435])
+    type_of_w = {"O": 2, "H": 3, "M": 4}
+    corners = [(i, j, k) for i in range(n_cells) for j in range(n_cells)
+               for k in range(n_cells)]
+    rng.shuffle(corners)
+    m = 1
+    for cell in corners[:n_water]:
+        c = -L / 2 + np.asarray(cell, dtype=float) * a
+        R = _random_rotation(rng)
+        pos = c + sites_w @ R.T
+        m += 1
+        for aa in range(4):
+            atoms.append((m, type_of_w[names_w[aa]], q_w[aa], *pos[aa]))
+    for cell in corners[n_water:n_water + n_meoh]:
+        c = -L / 2 + np.asarray(cell, dtype=float) * a
+        R = _random_rotation(rng)
+        pos = c + sites_m @ R.T
+        m += 1
+        for aa, typ in enumerate((5, 6, 7)):
+            atoms.append((m, typ, q_m[aa], *pos[aa]))
+    masses = {1: MASS["F"], 2: MASS["O"], 3: MASS["H"], 4: MASS["M"],
+              5: 15.035, 6: MASS["O"], 7: MASS["H"]}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 7)
+    residues = [
+        dict(name="zif", active=False, types=[1], names=["F"], nb_atoms=n_fw),
+        dict(name="wat", active=True, fugacity=deck_kw.pop("fug_w", 60.0),
+             types=[2, 3, 4], names=["OW", "HW", "MW"], nb_atoms=4),
+        dict(name="meoh", active=True, fugacity=deck_kw.pop("fug_m", 40.0),
+             types=[5, 6, 7], names=["CM", "OM", "HM"], nb_atoms=3),
+    ]
+    deck_kw.setdefault("cutoff", 6.5)
+    deck_kw.setdefault("tol", 1e-5)
+    deck_kw.setdefault("probs", (0.25, 0.15, 0.4, 0.2))
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc",
+               [(1, 1, 0.22, 3.0), (2, 2, EPS_O, SIG_O),
+                (3, 3, 0.0, 0.0), (4, 4, 0.0, 0.0),
+                (5, 5, 0.195, 3.75), (6, 6, 0.17, 3.02), (7, 7, 0.0, 0.0)])
+    return outdir

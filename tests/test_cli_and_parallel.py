@@ -114,6 +114,28 @@ def test_mesh_sharded_replicas(lj_system):
     assert any("dp" in s for s in shardings)
 
 
+def test_sharded_block_hlo_has_no_collectives(lj_system):
+    """Pin the SURVEY section 2.18 / docs/architecture.md design claim
+    mechanically: the compiled steady-state sharded block program contains
+    NO cross-replica collectives (independent chains shard with zero ICI
+    traffic); the only collective lives in the diagnostic reduction
+    (gather_mean_population), which must still lower to an all-reduce."""
+    spec, state = lj_system.spec, lj_system.state
+    mesh = make_mesh(8)
+    states = shard_replicas(mesh, replicate(spec, state, 16))
+    spec_r = replicate_spec(mesh, spec)
+    with mesh:
+        txt = jax.jit(run_block_replicated, static_argnums=(2, 3)).lower(
+            spec_r, states, 10, False).compile().as_text()
+    for op in ("all-reduce", "all-gather", "collective-permute",
+               "all-to-all", "reduce-scatter"):
+        assert op not in txt, f"steady-state block program contains {op}"
+    with mesh:
+        txt2 = jax.jit(gather_mean_population, static_argnums=(1,)).lower(
+            states, spec.R).compile().as_text()
+    assert "all-reduce" in txt2
+
+
 def test_isotherm_sweep(tmp_path):
     """Per-replica chemical potentials: one compiled program produces a full
     adsorption isotherm. On an ideal gas <N> = activity * V per replica, so

@@ -93,3 +93,39 @@ def test_oracle_self_consistency_alpha_invariance():
     e1 = periodic_coulomb(pos, q, 10.0, alpha=0.4, n_images=3, kmax=20)
     e2 = periodic_coulomb(pos, q, 10.0, alpha=0.6, n_images=3, kmax=28)
     assert abs(e1 - e2) < 1e-6 * max(1.0, abs(e1))
+
+
+def test_co2_framework_total_energy_vs_oracle(tmp_path):
+    """MFI-CO2 analog: linear 3-site CO2 guests in a charged framework -
+    the A=3 linear-molecule path (rotations on a linear rotor, repeated
+    atom types in one residue) pinned against the independent oracle."""
+    from fixtures import make_mfi_co2
+    make_mfi_co2(str(tmp_path), n_cells=3, a=6.0, n_co2=5, cutoff=6.0,
+                 tol=1e-6)
+    sysm = _load(str(tmp_path))
+    pos, q, mol, eps, sig = _gather_inputs(sysm)
+    L = 3 * 6.0
+    ref = oracle_total(pos, q, mol, L, eps, sig, cutoff=6.0,
+                       alpha=0.5, n_images=3, kmax=28, coulomb_k=COULOMB_K)
+    got = float(sysm.state.energy[E_TOT])
+    diff_kcal = abs(got - ref) * KB_KCALMOL
+    assert diff_kcal < TOL_KCALMOL, (got, ref, diff_kcal)
+
+
+def test_co2_moves_consistency(tmp_path):
+    """GCMC on the linear CO2 guest keeps bookkeeping == recompute."""
+    import jax.numpy as jnp
+
+    from maniac_tpu.mc.driver import run_block
+    from maniac_tpu.physics.energy import system_energy
+    from fixtures import make_mfi_co2
+    make_mfi_co2(str(tmp_path), n_cells=3, a=6.0, n_co2=5, cutoff=6.0,
+                 tol=1e-5, fugacity=60.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float64, capacity=12)
+    spec, st = sysm.spec, sysm.state
+    for _ in range(3):
+        st = run_block(spec, st, 50, False)
+        e, _, _ = system_energy(spec, st)
+        assert float(abs(st.energy[E_TOT] - e[E_TOT])) < 1e-7
+    c = np.asarray(st.counters)
+    assert c[0, :4].min() > 0  # all move classes exercised incl. rotation

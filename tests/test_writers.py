@@ -81,3 +81,32 @@ def test_log_status_rows_parse(tmp_path):
         int(fields[0])                      # Step
         for f in fields[1:5]:
             float(f)                        # TotEng E_vdwl E_coul E_long
+
+
+def test_f32_energy_rows_exact(tmp_path):
+    """TPU-shaped (f32) runs must report EXACT energies every block like the
+    reference (src/write_utils.f90:94-188), not the wandering f32 running
+    totals (DIVERGENCES.md #13): the final energy.dat row must match a
+    from-scratch f64 recompute of the written restart configuration."""
+    import jax.numpy as jnp
+
+    from maniac_tpu import load_system
+    from maniac_tpu.constants import KB_KCALMOL
+    from maniac_tpu.system import E_TOT
+
+    d = make_water_box(str(tmp_path / "sys"), n_water=8, L=14.0, cutoff=5.0,
+                       tol=1e-4, probs=(0.3, 0.2, 0.5, 0.0), fugacity=8000.0,
+                       nb_block=3, nb_step=120)
+    out = str(tmp_path / "outputs")
+    assert cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                     "-p", f"{d}/parameters.inc", "-o", out,
+                     "--platform", "cpu", "--dtype", "f32"]) == 0
+    rows = [list(map(float, l.split())) for l in open(f"{out}/energy.dat")
+            if not l.startswith("#")]
+    last_tot = rows[-1][1]
+    # topology.data is the final configuration; recompute its energy in f64
+    sys2 = load_system(f"{d}/input.maniac", f"{out}/topology.data",
+                       f"{d}/parameters.inc", dtype=jnp.float64)
+    e_fresh = float(sys2.state.energy[E_TOT]) * KB_KCALMOL
+    # restart file prints 10-decimal positions; f32 recompute noise ~1e-3
+    assert abs(last_tot - e_fresh) < 5e-3, (last_tot, e_fresh)
