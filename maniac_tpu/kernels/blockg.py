@@ -664,13 +664,23 @@ def _blockg_kernel(
                 sig2 = jnp.concatenate(
                     [sig2lj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
             else:
+                # Mosaic rejects dynamic sublane offsets it cannot prove
+                # 8-aligned; gate the nA*nA static 8-row blocks by the
+                # active-pair id instead (nA is tiny)
                 epsl, sig2l = [], []
                 for g in range(G):
-                    pid8 = pid_row[0, g] * 8
-                    epsl.append(epslj_ref[pl.ds(pid8, 8),
-                                          pl.ds(b, 128)][:FL, :])
-                    sig2l.append(sig2lj_ref[pl.ds(pid8, 8),
-                                            pl.ds(b, 128)][:FL, :])
+                    pid_g = pid_row[0, g]
+                    e_acc = s_acc = None
+                    for p in range(nA * nA):
+                        w = (pid_g == p).astype(f32)
+                        se = epslj_ref[p * 8:p * 8 + 8,
+                                       pl.ds(b, 128)][:FL, :] * w
+                        ss = sig2lj_ref[p * 8:p * 8 + 8,
+                                        pl.ds(b, 128)][:FL, :] * w
+                        e_acc = se if e_acc is None else e_acc + se
+                        s_acc = ss if s_acc is None else s_acc + ss
+                    epsl.append(e_acc)
+                    sig2l.append(s_acc)
                 eps = jnp.concatenate(epsl, axis=0)
                 sig2 = jnp.concatenate(sig2l, axis=0)
             xL, yL, zL, keepL = expand_c(FL)
@@ -703,10 +713,6 @@ def _blockg_kernel(
         if fw_on and not skip_fw:
             fx, fy, fz, feps, fsig2 = [], [], [], [], []
             for g in range(G):
-                if nA == 1:
-                    pid8 = 0
-                else:
-                    pid8 = pid_row[0, g] * 8
                 for side, st in ((0, stL0), (1, stL1)):
                     c0 = st[0, g] * 128
                     blk = fwpq_ref[:, pl.ds(c0, WL)]
@@ -714,15 +720,27 @@ def _blockg_kernel(
                     fy.append(jnp.broadcast_to(blk[1:2, :], (Lmax, WL)))
                     fz.append(jnp.broadcast_to(blk[2:3, :], (Lmax, WL)))
                     if nA == 1:
-                        feps.append(fweps_ref[pl.ds(side * Lmax, Lmax),
+                        feps.append(fweps_ref[side * Lmax:(side + 1) * Lmax,
                                               pl.ds(c0, WL)])
-                        fsig2.append(fwsig2_ref[pl.ds(side * Lmax, Lmax),
-                                                pl.ds(c0, WL)])
+                        fsig2.append(
+                            fwsig2_ref[side * Lmax:(side + 1) * Lmax,
+                                       pl.ds(c0, WL)])
                     else:
-                        feps.append(fweps_ref[pl.ds(pid8 + side * Lmax,
-                                                    Lmax), pl.ds(c0, WL)])
-                        fsig2.append(fwsig2_ref[pl.ds(pid8 + side * Lmax,
-                                                      Lmax), pl.ds(c0, WL)])
+                        # static row blocks gated by the active-pair id
+                        # (Mosaic sublane alignment; see guest chunk)
+                        pid_g = pid_row[0, g]
+                        fe = fs = None
+                        for p in range(nA * nA):
+                            w = (pid_g == p).astype(f32)
+                            r0 = p * 8 + side * Lmax
+                            se = fweps_ref[r0:r0 + Lmax,
+                                           pl.ds(c0, WL)] * w
+                            ss = fwsig2_ref[r0:r0 + Lmax,
+                                            pl.ds(c0, WL)] * w
+                            fe = se if fe is None else fe + se
+                            fs = ss if fs is None else fs + ss
+                        feps.append(fe)
+                        fsig2.append(fs)
             r2f = pair_r2(ptlj, jnp.concatenate(fx, 0),
                           jnp.concatenate(fy, 0), jnp.concatenate(fz, 0),
                           fw_imask)

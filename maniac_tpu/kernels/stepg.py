@@ -86,7 +86,8 @@ def _stepg_kernel(
         amp_re_ref, amp_im_ref, pos_ref,   # (G,JzP,JxyP) x2, (G,3,S) aliased
         amp_re_out, amp_im_out, pos_out,
         flags_out,       # VMEM (G, 8)
-        *, G: int, R: int, S: int, FL: int, FQ: int, FK: int, A_act: int,
+        *, G: int, R: int, nA: int, S: int, FL: int, FQ: int, FK: int,
+        A_act: int,
         Lmax: int, Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
@@ -170,9 +171,25 @@ def _stepg_kernel(
 
         epsl, sig2l = [], []
         for g in range(G):
-            pid8 = iscal_ref[g, 2] * 8
-            epsl.append(epslj_ref[pl.ds(pid8, 8), pl.ds(b, 128)][:FL, :])
-            sig2l.append(sig2lj_ref[pl.ds(pid8, 8), pl.ds(b, 128)][:FL, :])
+            if nA == 1:
+                epsl.append(epslj_ref[0:8, pl.ds(b, 128)][:FL, :])
+                sig2l.append(sig2lj_ref[0:8, pl.ds(b, 128)][:FL, :])
+            else:
+                # Mosaic rejects dynamic sublane offsets it cannot prove
+                # 8-aligned; gate the nA*nA static 8-row blocks by the
+                # active-pair id instead (nA is tiny)
+                pid_g = iscal_ref[g, 2]
+                e_acc = s_acc = None
+                for p in range(nA * nA):
+                    w = (pid_g == p).astype(f32)
+                    se = epslj_ref[p * 8:p * 8 + 8,
+                                   pl.ds(b, 128)][:FL, :] * w
+                    ss = sig2lj_ref[p * 8:p * 8 + 8,
+                                    pl.ds(b, 128)][:FL, :] * w
+                    e_acc = se if e_acc is None else e_acc + se
+                    s_acc = ss if s_acc is None else s_acc + ss
+                epsl.append(e_acc)
+                sig2l.append(s_acc)
         eps = jnp.concatenate(epsl, axis=0)                 # (G*FL, 128)
         sig2 = jnp.concatenate(sig2l, axis=0)
         xL, yL, zL, keepL = expand_c(FL)
@@ -205,17 +222,31 @@ def _stepg_kernel(
     if fw_on and not skip_fw:
         fx, fy, fz, feps, fsig2 = [], [], [], [], []
         for g in range(G):
-            pid8 = iscal_ref[g, 2] * 8
             for side in range(2):
                 c0 = iscal_ref[g, i_w + side] * 128
                 blk = fwpq_ref[:, pl.ds(c0, WL)]            # (4, WL)
                 fx.append(jnp.broadcast_to(blk[0:1, :], (Lmax, WL)))
                 fy.append(jnp.broadcast_to(blk[1:2, :], (Lmax, WL)))
                 fz.append(jnp.broadcast_to(blk[2:3, :], (Lmax, WL)))
-                feps.append(fweps_ref[pl.ds(pid8 + side * Lmax, Lmax),
-                                      pl.ds(c0, WL)])
-                fsig2.append(fwsig2_ref[pl.ds(pid8 + side * Lmax, Lmax),
-                                        pl.ds(c0, WL)])
+                if nA == 1:
+                    feps.append(fweps_ref[side * Lmax:(side + 1) * Lmax,
+                                          pl.ds(c0, WL)])
+                    fsig2.append(fwsig2_ref[side * Lmax:(side + 1) * Lmax,
+                                            pl.ds(c0, WL)])
+                else:
+                    # static row blocks gated by the active-pair id (see
+                    # the guest-chunk note on Mosaic sublane alignment)
+                    pid_g = iscal_ref[g, 2]
+                    fe = fs = None
+                    for p in range(nA * nA):
+                        w = (pid_g == p).astype(f32)
+                        r0 = p * 8 + side * Lmax
+                        se = fweps_ref[r0:r0 + Lmax, pl.ds(c0, WL)] * w
+                        ss = fwsig2_ref[r0:r0 + Lmax, pl.ds(c0, WL)] * w
+                        fe = se if fe is None else fe + se
+                        fs = ss if fs is None else fs + ss
+                    feps.append(fe)
+                    fsig2.append(fs)
         fxc = jnp.concatenate(fx, 0)                        # (G*FL, WL)
         fyc = jnp.concatenate(fy, 0)
         fzc = jnp.concatenate(fz, 0)
@@ -435,8 +466,8 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
 
     import os
     kernel = functools.partial(
-        _stepg_kernel, G=G, R=spec.R, S=S, FL=FL, FQ=FQ, FK=FK,
-        A_act=spec.A_act, Lmax=spec.Lmax, Qmax=spec.Qmax,
+        _stepg_kernel, G=G, R=spec.R, nA=spec.n_active, S=S, FL=FL, FQ=FQ,
+        FK=FK, A_act=spec.A_act, Lmax=spec.Lmax, Qmax=spec.Qmax,
         kx=kx, ky=ky, kz=kz, JzP=JzP,
         fw_on=spec.fw_split, gbase=spec.guest_base, SG=spec.fw_SG,
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
