@@ -190,6 +190,22 @@ def _blockg_kernel(
     Eg_fq = g_exp_mat(FQ)
     Eg_fk = g_exp_mat(FK)
 
+    # (G*F, G) side-sum matrices: ONE matmul turns the per-row pair
+    # accumulators into per-replica (1, G) energy rows (the kernel is
+    # op-issue bound; 4*G scalar reduces were on the critical path)
+    def side_sum_mat(F, Fh):
+        rr = jax.lax.broadcasted_iota(jnp.int32, (G * F, G), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (G * F, G), 1)
+        g_of = rr // F
+        j = rr % F
+        old = ((cc == g_of) & (j < Fh)).astype(f32)
+        new = ((cc == g_of) & (j >= Fh) & (j < 2 * Fh)).astype(f32)
+        return old, new
+
+    E_sum_fl = side_sum_mat(FL, Lmax)
+    E_sum_fq = side_sum_mat(FQ, Qmax)
+    E_sum_fk = side_sum_mat(FK, Qmax)
+
     fw_imask = tuple(ax != fw_axis for ax in range(3))
 
     # copy initial state into the aliased outputs / running rows
@@ -846,31 +862,9 @@ def _blockg_kernel(
                  + cf(_CF["RH"] + 3 * i + 2) * (urow(20) - 0.5)
                  for i in range(3)], axis=0)                # (3, G)
 
-        # ---- per-replica k-space + Metropolis + commits -------------------
-        eng_row = eng_out[0:8, :]                           # (8, G)
-        # bool rows cannot be read as scalars on TPU - go through int32
-        ins_i = insert.astype(jnp.int32)
-        rem_i = remove.astype(jnp.int32)
-        val_i = valid.astype(jnp.int32)
-        cb_i = cap_blocked.astype(jnp.int32)
-        wnew_i = w_new.astype(jnp.int32)
-        nf_old = n_old_row.astype(f32)
-        nf_new = n_new_row.astype(f32)
-        if has_res:
-            rfull_i = res_full.astype(jnp.int32)
-        acc_rows = []
-        ecomp_rows = []
+        # ---- per-replica k-space delta (d matmuls stay per-g) ------------
+        d_res, d_ims, cross_list = [], [], []
         for g in range(G):
-            e_lj0 = jnp.sum(lj_rows[g * FL:g * FL + Lmax, :])
-            e_lj1 = jnp.sum(lj_rows[g * FL + Lmax:(g + 1) * FL, :])
-            e_c0 = jnp.sum(c_rows[g * FQ:g * FQ + Qmax, :]) * coulomb_k
-            e_c1 = jnp.sum(c_rows[g * FQ + Qmax:(g + 1) * FQ, :]) \
-                * coulomb_k
-            if fw_on:
-                e_c0 = e_c0 + jnp.sum(efar[0:1, g * FK:g * FK + Qmax])
-                e_c1 = e_c1 + jnp.sum(
-                    efar[0:1, g * FK + Qmax:g * FK + 2 * Qmax])
-
             ar = amp_re_out[g]
             ai = amp_im_out[g]
             if skip_kstruct:
@@ -892,31 +886,59 @@ def _blockg_kernel(
                 cross = jnp.sum(
                     kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
                                     + d_re * d_re + d_im * d_im))
-            e_recip_old = eng_row[0, g]
-            e_recip_new = e_recip_old + cross * c2piv
-            delta_e = (e_rest_new[0, g] + e_lj1 + e_c1 + e_recip_new
-                       - e_rest_old[0, g] - e_lj0 - e_c0 - e_recip_old)
-            if nA == 1:
-                act_old_g = act_new_g = cstg_ref[0, _CG["ACT"]]
-            else:
-                act_old_g = act_old[0, g]
-                act_new_g = act_new[0, g]
-            pref = jnp.where(ins_i[0, g] > 0,
-                             act_new_g * cf(_CF["VOL"]) / (nf_new[0, g]
-                                                           + 1.0),
-                             1.0)
-            pref = pref * jnp.where(rem_i[0, g] > 0,
-                                    nf_old[0, g] / (act_old_g
-                                                    * cf(_CF["VOL"])),
-                                    1.0)
-            p_acc = jnp.minimum(1.0, pref * jnp.exp(-delta_e * inv_t))
-            gate = (val_i[0, g] > 0) & (cb_i[0, g] == 0)
-            acc = gate & (urow(2)[0, g] <= p_acc)
-            accf = acc.astype(f32)
+            d_res.append(d_re)
+            d_ims.append(d_im)
+            cross_list.append(cross)
+        cross_row = jnp.stack(cross_list).reshape(1, G)
 
+        # ---- e-sum rows + lane-vectorized Metropolis ---------------------
+        def sumrow(rows, E):
+            return jax.lax.dot_general(rows, E, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=f32)
+
+        e_lj0_row = sumrow(lj_rows, E_sum_fl[0])            # (1, G)
+        e_lj1_row = sumrow(lj_rows, E_sum_fl[1])
+        e_c0_row = sumrow(c_rows, E_sum_fq[0]) * coulomb_k
+        e_c1_row = sumrow(c_rows, E_sum_fq[1]) * coulomb_k
+        if fw_on:
+            e_c0_row = e_c0_row + jnp.dot(efar, E_sum_fk[0],
+                                          preferred_element_type=f32)
+            e_c1_row = e_c1_row + jnp.dot(efar, E_sum_fk[1],
+                                          preferred_element_type=f32)
+        nf_old = n_old_row.astype(f32)
+        nf_new = n_new_row.astype(f32)
+        e_recip_old_row = eng_out[0:1, :]
+        e_recip_new_row = e_recip_old_row + cross_row * c2piv
+        delta_row = (e_rest_new + e_lj1_row + e_c1_row + e_recip_new_row
+                     - e_rest_old - e_lj0_row - e_c0_row - e_recip_old_row)
+        if nA == 1:
+            act_old_row = act_new_row = cstg_ref[0, _CG["ACT"]]
+        else:
+            act_old_row = act_old
+            act_new_row = act_new
+        pref_row = jnp.where(
+            insert, act_new_row * cf(_CF["VOL"]) / (nf_new + 1.0), 1.0)
+        pref_row = pref_row * jnp.where(
+            remove, nf_old / (act_old_row * cf(_CF["VOL"])), 1.0)
+        p_acc_row = jnp.minimum(1.0, pref_row * jnp.exp(-delta_row * inv_t))
+        gate_row = valid & (~cap_blocked)
+        accr = gate_row & (urow(2) <= p_acc_row)            # (1, G) bool
+        accf_row = accr.astype(f32)
+        acc_i_row = accr.astype(jnp.int32)
+
+        # ---- commits (per-g; acc read back as scalars) --------------------
+        # bool rows cannot be read as scalars on TPU - go through int32
+        ins_i = insert.astype(jnp.int32)
+        rem_i = remove.astype(jnp.int32)
+        wnew_i = w_new.astype(jnp.int32)
+        if has_res:
+            rfull_i = res_full.astype(jnp.int32)
+        for g in range(G):
+            acc = acc_i_row[0, g] > 0
+            accf = accf_row[0, g]
             if not skip_ampc:
-                amp_re_out[g] = ar + accf * d_re
-                amp_im_out[g] = ai + accf * d_im
+                amp_re_out[g] = amp_re_out[g] + accf * d_res[g]
+                amp_im_out[g] = amp_im_out[g] + accf * d_ims[g]
 
             if nA == 1:
                 A_new_g = A_old_g = A
@@ -984,18 +1006,18 @@ def _blockg_kernel(
                                 rescom_last[:, g:g + 1], rcv)
                 rescom_out[g] = rcv
 
-            acc_rows.append(accf)
-            ecomp_rows.append(jnp.stack(
-                [jnp.where(acc, e_recip_new - e_recip_old, 0.0),
-                 accf * (e_lj1 - e_lj0), accf * (e_c1 - e_c0),
-                 accf * (s_new[0, g] - s_old[0, g]),
-                 accf * (i_new_e[0, g] - i_old_e[0, g]),
-                 accf * delta_e, jnp.zeros((), f32), jnp.zeros((), f32)]))
+        # ---- lane-vectorized energy-component accumulation ----------------
+        zero2 = jnp.zeros((2, G), f32)
+        eng_delta = jnp.concatenate(
+            [jnp.where(accr, cross_row * c2piv, 0.0),
+             accf_row * (e_lj1_row - e_lj0_row),
+             accf_row * (e_c1_row - e_c0_row),
+             accf_row * (s_new - s_old),
+             accf_row * (i_new_e - i_old_e),
+             accf_row * delta_row, zero2], axis=0)          # (8, G)
+        eng_out[0:8, :] = eng_out[0:8, :] + eng_delta
 
-        accr = jnp.stack(acc_rows).reshape(1, G)            # (1, G)
-        eng_out[0:8, :] = eng_row + jnp.stack(ecomp_rows, axis=1)
-
-        accb = accr > 0
+        accb = accr
         if nA == 1:
             nmol_out[0:1, :] = (nmol_out[0:1, :]
                                 + jnp.where(accb & insert, 1, 0)

@@ -23,3 +23,14 @@ jax.config.update("jax_enable_x64", True)
 import sys  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# Persistent compilation cache: the suite re-compiles the same jitted
+# programs on every run (single-CPU box, XLA compiles dominate several
+# tests); cached executables cut repeat runs substantially. Safe to
+# delete the directory at any time.
+_cache_dir = os.environ.get("MANIAC_TEST_CACHE",
+                            os.path.expanduser("~/.cache/maniac-jax-tests"))
+if _cache_dir != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
