@@ -33,13 +33,22 @@ def use_pair_kernel(spec) -> bool:
 def group_size(spec) -> int:
     """Replicas per program for the grouped row-compacted kernel
     (kernels/stepg.py): default 16 in the Pallas regime (measured best on
-    v5e; G>=32 hits a Mosaic reshape limit), MANIAC_GROUP=N overrides
-    (0/1 disables). Requires the regular kernel regime, the 8-row LJ slab
-    layout (<=4 LJ-active atoms per molecule), and the replica count to be
-    divisible by G (callers fall back per batch otherwise)."""
+    v5e for the per-step kernel), MANIAC_GROUP=N overrides (0/1 disables).
+    Requires the regular kernel regime, the 8-row LJ slab layout (<=4
+    LJ-active atoms per molecule), and the replica count to be divisible
+    by G (callers fall back per batch otherwise)."""
     g = int(os.environ.get("MANIAC_GROUP", "16") or 16)
     if g <= 1 or not use_pair_kernel(spec) or 2 * spec.Lmax > 8:
         return 1
+    return g
+
+
+def blockg_group_size(spec) -> int:
+    """Replicas per whole-block program (kernels/blockg.py): default 64 -
+    measured best on v5e after the lane-vectorized Metropolis chain
+    (G=16: 0.805 ms/step, 32: 0.755, 64: 0.720; 128 exceeds the chip's
+    128 MB of physical VMEM). MANIAC_GROUP=N overrides."""
+    g = int(os.environ.get("MANIAC_GROUP", "64") or 64)
     return g
 
 

@@ -266,7 +266,7 @@ def resync_pallas_grouped(spec, states_g, *, interpret=False):
         in_specs=[vmem] * 12,
         out_specs=(vmem, vmem, vmem),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(nmol, eng, states_g.pos, spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel,
       spec.k_weights, spec.site_q.reshape(1, S),

@@ -231,9 +231,10 @@ def refresh_reported_energy(spec: SystemSpec, states: SimState) -> SimState:
 def resync_amplitudes_replicated(spec: SystemSpec, states: SimState) -> SimState:
     import os
 
-    from ..kernels import use_blockg, use_pair_kernel
+    from ..kernels import blockg_group_size, use_blockg, use_pair_kernel
     B = states.n_mol.shape[0]
-    G = int(os.environ.get("MANIAC_GROUP", "16") or 16)
+    G = (blockg_group_size(spec) if use_blockg(spec)
+         else int(os.environ.get("MANIAC_GROUP", "16") or 16))
     if ((use_pair_kernel(spec) or use_blockg(spec)) and G > 1
             and B % G == 0):
         # grouped resynthesis: the per-replica program was launch-overhead

@@ -48,13 +48,12 @@ def run_block_replicated(spec: SystemSpec, states: SimState, n_steps: int,
     mesh with zero collectives (chains are independent). With MANIAC_GROUP
     set, G replicas share each Pallas program (row-compacted grouped
     kernel); PRNG streams are identical either way."""
-    from ..kernels import group_size, use_blockg
+    from ..kernels import blockg_group_size, group_size, use_blockg
     from ..mc.driver import block_body_group
     B = states.n_mol.shape[0]
     G = group_size(spec)
     if use_blockg(spec):
-        import os
-        G = max(G, int(os.environ.get("MANIAC_GROUP", "16") or 16))
+        G = max(G, blockg_group_size(spec))
     if G > 1 and B % G == 0:
         states_g = jax.tree_util.tree_map(
             lambda x: x.reshape(B // G, G, *x.shape[1:]), states)
