@@ -21,8 +21,10 @@ echo "== stage 3: energy parity tests"
 python -m pytest tests/test_energy.py tests/test_oracle.py \
     tests/test_triclinic.py -q
 
-echo "== stage 4: full suite"
-python -m pytest tests/ -q
+echo "== stage 4: remaining unit suite (stages 2-3 files not re-run)"
+python -m pytest tests/ -q \
+    --ignore=tests/test_parsers.py --ignore=tests/test_energy.py \
+    --ignore=tests/test_oracle.py --ignore=tests/test_triclinic.py
 
 echo "== stage 5: end-to-end example"
 python examples/run_examples.py H2O-gcmc

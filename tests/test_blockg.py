@@ -120,7 +120,7 @@ def test_blockg_parity_two_active_species(tmp_path, monkeypatch):
     spec = sysm.spec
     assert spec.fw_split and spec.n_active == 2
     states = replicate(spec, sysm.state, 4)
-    st_b, st_x = _run_pair(spec, states, 60, monkeypatch, 4)
+    st_b, st_x = _run_pair(spec, states, 40, monkeypatch, 4)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),
@@ -178,8 +178,8 @@ def test_blockg_gcmc_physics(tmp_path, monkeypatch):
     states = replicate(spec, sysm.state, 4)
     monkeypatch.setenv("MANIAC_GROUP", "4")
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
-    for _ in range(4):
-        states = run_block_replicated(spec, states, 100, True)
+    for _ in range(3):
+        states = run_block_replicated(spec, states, 80, True)
         states = resync_amplitudes_replicated(spec, states)
     n = np.asarray(states.n_mol)[:, 1]
     assert np.all(n >= 0) and np.all(n <= 24)

@@ -216,7 +216,7 @@ def test_two_active_species_with_framework(tmp_path, monkeypatch):
     plain = _load(out, dtype=jnp.float64, capacity=12)
     monkeypatch.delenv("MANIAC_FWSPLIT")
     assert sysm.spec.fw_split and sysm.spec.n_active == 2
-    keys = jax.random.split(jax.random.PRNGKey(3), 50)
+    keys = jax.random.split(jax.random.PRNGKey(3), 36)
     st_s, st_p = sysm.state, plain.state
     step_s = jax.jit(lambda st, k: mc_step(sysm.spec, st, k))
     step_p = jax.jit(lambda st, k: mc_step(plain.spec, st, k))
@@ -239,7 +239,7 @@ def test_two_active_species_with_framework(tmp_path, monkeypatch):
     key = jax.random.PRNGKey(4)
     sk = sx = states
     flips = 0
-    for _ in range(40):
+    for _ in range(30):
         key, sub = jax.random.split(key)
         u = jax.random.uniform(sub, (B, N_UNIFORMS), dtype=spec.dtype)
         monkeypatch.setenv("MANIAC_PALLAS", "1")

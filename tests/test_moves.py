@@ -34,7 +34,7 @@ def _consistency_run(sysm, n_steps, seed=0, atol=1e-7):
     worst = 0.0
     for i in range(n_steps):
         state = step(state, keys[i])
-        if i % 10 == 9 or i == n_steps - 1:
+        if i % 20 == 19 or i == n_steps - 1:
             e, amp_re, amp_im = system_energy(spec, state)
             drift = float(jnp.abs(state.energy[E_TOT] - e[E_TOT]))
             amp_drift = float(jnp.max(jnp.abs(state.amp_re - amp_re)))
@@ -241,7 +241,7 @@ def test_mixed_size_swap_consistency(tmp_path):
                      cutoff=6.0, tol=1e-4, probs=(0.2, 0.1, 0.3, 0.4),
                      fug_w=500.0, fug_d=500.0)
     sysm = _load(str(tmp_path))
-    state, _ = _consistency_run(sysm, 120, seed=21)
+    state, _ = _consistency_run(sysm, 80, seed=21)
     c = np.asarray(state.counters)
     assert c[0, 4] > 0, "no swap trials"
     assert c[1].sum() > 0
