@@ -47,8 +47,21 @@ def blockg_group_size(spec) -> int:
     """Replicas per whole-block program (kernels/blockg.py): default 64 -
     measured best on v5e after the lane-vectorized Metropolis chain
     (G=16: 0.805 ms/step, 32: 0.755, 64: 0.720; 128 exceeds the chip's
-    128 MB of physical VMEM). MANIAC_GROUP=N overrides."""
-    g = int(os.environ.get("MANIAC_GROUP", "64") or 64)
+    128 MB of physical VMEM). Multi-species / reservoir programs carry
+    nA^2-sized tables and reservoir state, and large-S systems carry
+    bigger per-replica state, so G scales down against a rough VMEM
+    estimate rather than OOMing. MANIAC_GROUP=N overrides."""
+    env = os.environ.get("MANIAC_GROUP", "")
+    if env:
+        return int(env)
+    g = 32 if (spec.n_active > 1 or spec.has_reservoir) else 64
+    JzP, JxyP = spec.amp_shape
+    gb = spec.guest_base if spec.fw_split else 0
+    # per-replica VMEM: pos in/out, amps in/out, COMs, footprint one-hot
+    per_rep = (2 * 3 * spec.S + 4 * JzP * JxyP + 6 * (spec.Mtot + 1)
+               + 2 * spec.A_act * (spec.S - gb)) * 4
+    while g > 8 and g * per_rep > 40 * 1024 * 1024:
+        g //= 2
     return g
 
 

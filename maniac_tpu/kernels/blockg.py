@@ -206,6 +206,17 @@ def _blockg_kernel(
     E_sum_fq = side_sum_mat(FQ, Qmax)
     E_sum_fk = side_sum_mat(FK, Qmax)
 
+    # per-active-pair static row-selection patterns: with the per-step
+    # replica gating folded in (E_dyn in step_body), the multi-species
+    # guest-chunk LJ tables become ONE (GFL, nA*nA*8) x (nA*nA*8, 128)
+    # matmul per chunk instead of per-replica gated slices
+    if nA > 1:
+        P8 = nA * nA * 8
+        rr8 = jax.lax.broadcasted_iota(jnp.int32, (GFL, P8), 0)
+        cc8 = jax.lax.broadcasted_iota(jnp.int32, (GFL, P8), 1)
+        E_pid_stat = [(cc8 == p * 8 + rr8 % FL).astype(f32)
+                      for p in range(nA * nA)]
+
     fw_imask = tuple(ax != fw_axis for ax in range(3))
 
     # copy initial state into the aliased outputs / running rows
@@ -262,6 +273,12 @@ def _blockg_kernel(
             i_old = i1
             i_new = jnp.where(is_swap, i2, i1)
             pid_row = i_old * nA + i_new                    # LJ table block
+            # per-step dynamic row-selection matrix (see E_pid_stat)
+            E_dyn = jnp.zeros((GFL, nA * nA * 8), f32)
+            for p in range(nA * nA):
+                mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl,
+                               preferred_element_type=f32)  # (1, GFL)
+                E_dyn = E_dyn + E_pid_stat[p] * mrow[0, :][:, None]
         else:
             i_old = i_new = None
 
@@ -680,25 +697,12 @@ def _blockg_kernel(
                 sig2 = jnp.concatenate(
                     [sig2lj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
             else:
-                # Mosaic rejects dynamic sublane offsets it cannot prove
-                # 8-aligned; gate the nA*nA static 8-row blocks by the
-                # active-pair id instead (nA is tiny)
-                epsl, sig2l = [], []
-                for g in range(G):
-                    pid_g = pid_row[0, g]
-                    e_acc = s_acc = None
-                    for p in range(nA * nA):
-                        w = (pid_g == p).astype(f32)
-                        se = epslj_ref[p * 8:p * 8 + 8,
-                                       pl.ds(b, 128)][:FL, :] * w
-                        ss = sig2lj_ref[p * 8:p * 8 + 8,
-                                        pl.ds(b, 128)][:FL, :] * w
-                        e_acc = se if e_acc is None else e_acc + se
-                        s_acc = ss if s_acc is None else s_acc + ss
-                    epsl.append(e_acc)
-                    sig2l.append(s_acc)
-                eps = jnp.concatenate(epsl, axis=0)
-                sig2 = jnp.concatenate(sig2l, axis=0)
+                # one row-selection matmul per chunk (E_dyn folds both the
+                # per-replica active-pair id and the side/atom row layout)
+                eps = jnp.dot(E_dyn, epslj_ref[:, pl.ds(b, 128)],
+                              preferred_element_type=f32)   # (GFL, 128)
+                sig2 = jnp.dot(E_dyn, sig2lj_ref[:, pl.ds(b, 128)],
+                               preferred_element_type=f32)
             xL, yL, zL, keepL = expand_c(FL)
             r2 = pair_r2(ptlj, xL, yL, zL)
             inv_r2 = 1.0 / r2
@@ -742,21 +746,17 @@ def _blockg_kernel(
                             fwsig2_ref[side * Lmax:(side + 1) * Lmax,
                                        pl.ds(c0, WL)])
                     else:
-                        # static row blocks gated by the active-pair id
-                        # (Mosaic sublane alignment; see guest chunk)
-                        pid_g = pid_row[0, g]
-                        fe = fs = None
-                        for p in range(nA * nA):
-                            w = (pid_g == p).astype(f32)
-                            r0 = p * 8 + side * Lmax
-                            se = fweps_ref[r0:r0 + Lmax,
-                                           pl.ds(c0, WL)] * w
-                            ss = fwsig2_ref[r0:r0 + Lmax,
-                                            pl.ds(c0, WL)] * w
-                            fe = se if fe is None else fe + se
-                            fs = ss if fs is None else fs + ss
-                        feps.append(fe)
-                        fsig2.append(fs)
+                        # row-selection matmul per (g, side): E_dyn rows
+                        # g*FL + side*Lmax + j map to table row
+                        # pid_g*8 + side*Lmax + j
+                        r0 = g * FL + side * Lmax
+                        Eg_rows = E_dyn[r0:r0 + Lmax, :]
+                        feps.append(jnp.dot(
+                            Eg_rows, fweps_ref[:, pl.ds(c0, WL)],
+                            preferred_element_type=f32))
+                        fsig2.append(jnp.dot(
+                            Eg_rows, fwsig2_ref[:, pl.ds(c0, WL)],
+                            preferred_element_type=f32))
             r2f = pair_r2(ptlj, jnp.concatenate(fx, 0),
                           jnp.concatenate(fy, 0), jnp.concatenate(fz, 0),
                           fw_imask)
