@@ -52,39 +52,59 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if dtype_name == "f64" else jnp.float32
 
+    # persistent XLA compilation cache: first compile through the axon
+    # relay costs minutes (mixed: ~9 min); repeat bench runs with an
+    # unchanged program hit the disk cache instead (VERDICT r1 weak #5)
+    if os.environ.get("MANIAC_BENCH_COMPILE_CACHE", "1") != "0":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(tempfile.gettempdir(),
+                                       "maniac-xla-cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from maniac_tpu import load_system
     from maniac_tpu.mc.driver import resync_amplitudes_replicated
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.systems import (make_framework_mixed, make_triclinic_water,
                                     make_water_box, make_water_reservoir,
                                     make_zif_like)
+    from maniac_tpu.utils.setupcache import cached_spec_state
 
     t_setup = time.perf_counter()
-    with tempfile.TemporaryDirectory() as tmp:
-        res_file = None
-        if system == "zif":
-            make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
-        elif system == "mixed":
-            make_framework_mixed(tmp, n_cells=6, a=5.66, n_water=24,
-                                 n_dimer=12, cutoff=8.5, tol=1e-5,
-                                 probs=(0.25, 0.15, 0.4, 0.2))
-        elif system == "resv":
-            make_water_box(tmp, n_water=48, L=24.0, cutoff=8.0, tol=1e-5,
-                           probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
-            res_file = make_water_reservoir(tmp, n_water=96, L=24.0)
-        elif system == "tricl":
-            make_triclinic_water(tmp, n_water=24, L=22.0,
-                                 tilt=(2.0, 1.2, 0.8), cutoff=7.0, tol=1e-5,
-                                 probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
-        elif system == "bigS":
-            make_water_box(tmp, n_water=2000, L=40.0, cutoff=8.5, tol=1e-5,
-                           probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
-        else:
-            raise SystemExit(f"unknown MANIAC_BENCH_SYSTEM={system}")
-        sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
-                           f"{tmp}/parameters.inc", dtype=dtype,
-                           capacity=capacity, reservoir_file=res_file)
-    spec, state = sysm.spec, sysm.state
+
+    def build():
+        with tempfile.TemporaryDirectory() as tmp:
+            res_file = None
+            if system == "zif":
+                make_zif_like(tmp, n_cells=6, a=5.66, n_water=32,
+                              fugacity=30.0)
+            elif system == "mixed":
+                make_framework_mixed(tmp, n_cells=6, a=5.66, n_water=24,
+                                     n_dimer=12, cutoff=8.5, tol=1e-5,
+                                     probs=(0.25, 0.15, 0.4, 0.2))
+            elif system == "resv":
+                make_water_box(tmp, n_water=48, L=24.0, cutoff=8.0, tol=1e-5,
+                               probs=(0.3, 0.2, 0.5, 0.0), fugacity=4000.0)
+                res_file = make_water_reservoir(tmp, n_water=96, L=24.0)
+            elif system == "tricl":
+                make_triclinic_water(tmp, n_water=24, L=22.0,
+                                     tilt=(2.0, 1.2, 0.8), cutoff=7.0,
+                                     tol=1e-5, probs=(0.3, 0.2, 0.5, 0.0),
+                                     fugacity=4000.0)
+            elif system == "bigS":
+                make_water_box(tmp, n_water=2000, L=40.0, cutoff=8.5,
+                               tol=1e-5, probs=(0.3, 0.2, 0.5, 0.0),
+                               fugacity=4000.0)
+            else:
+                raise SystemExit(f"unknown MANIAC_BENCH_SYSTEM={system}")
+            sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
+                               f"{tmp}/parameters.inc", dtype=dtype,
+                               capacity=capacity, reservoir_file=res_file)
+        return sysm.spec, sysm.state
+
+    # bench builder params above are part of the key (bumped on change);
+    # maniac_tpu source changes invalidate via the cache's source hash
+    spec, state = cached_spec_state(
+        f"bench-v1|{system}|cap={capacity}|dtype={dtype_name}", build)
     states = replicate(spec, state, replicas)
     t_setup = time.perf_counter() - t_setup
 

@@ -23,12 +23,18 @@ def main():
     from maniac_tpu.systems import make_zif_like
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
 
-    with tempfile.TemporaryDirectory() as tmp:
-        make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
-        sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
-                           f"{tmp}/parameters.inc", dtype=jnp.float32,
-                           capacity=int(os.environ.get("PROF_CAP", "192")))
-    spec, state = sysm.spec, sysm.state
+    from maniac_tpu.utils.setupcache import cached_spec_state
+    cap = int(os.environ.get("PROF_CAP", "192"))
+
+    def build():
+        with tempfile.TemporaryDirectory() as tmp:
+            make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
+            sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
+                               f"{tmp}/parameters.inc", dtype=jnp.float32,
+                               capacity=cap)
+        return sysm.spec, sysm.state
+
+    spec, state = cached_spec_state(f"zif6-v1|cap={cap}|dtype=f32", build)
     states = replicate(spec, state, B)
 
     red = jax.jit(lambda l: jnp.sum(l.reshape(-1)[:8]))
