@@ -96,7 +96,8 @@ def _blockg_kernel(
         fw_on: bool, gbase: int, SG: int, NBG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
-        lj_atoms_ts: tuple, q_atoms_ts: tuple, ablate: str = ""):
+        lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
+        ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -628,16 +629,14 @@ def _blockg_kernel(
         exb = slot_new
 
         # ---- guest pair passes: loop over live chunks --------------------
+        # per-type loops (nA >= 2): each type's region is 128-aligned and
+        # capacity-padded, so a single scan to the global live end walks
+        # the dead padding between type regions (~0.14 ms/step on the
+        # two-active bench); instead each type gets its own fori_loop
+        # over only its live chunks (static base from sb_off_ts)
         if nA == 1:
             n_live_c = (jnp.max(nmol_out[0:1, :]) * A + 127) // 128
-        else:
-            live_end = jnp.zeros((), jnp.int32)
-            for tt in range(nA):
-                end_t = ((csti_ref[tt, _CI["SB"]] - cols0)
-                         + jnp.max(nmol_out[tt:tt + 1, :]) * A_ts[tt])
-                live_end = jnp.maximum(live_end, end_t)
-            n_live_c = (live_end + 127) // 128
-        n_live_c = jnp.minimum(n_live_c, GS // 128)
+            n_live_c = jnp.minimum(n_live_c, GS // 128)
 
         def pair_r2(pt, x1, y1, z1, imask=(True, True, True)):
             px = pt[0, :][:, None]
@@ -654,7 +653,8 @@ def _blockg_kernel(
                 dz = dz - ll[2] * jnp.round(dz * inv_l[2])
             return jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
 
-        def guest_chunk(ci, carry):
+        def make_guest_chunk(tt_hint):
+          def guest_chunk(ci, carry):
             ljacc, cacc = carry
             b = ci * 128
             midc = site_midx_ref[0, pl.ds(b, 128)]
@@ -669,6 +669,12 @@ def _blockg_kernel(
                                      jnp.full((128,), nmol_out[0, g],
                                               jnp.int32),
                                      0)
+                elif tt_hint is not None:
+                    # chunk lies inside type tt_hint's region: one select
+                    # (padding columns carry an invalid type id)
+                    nsel = jnp.where(styc == aids[tt_hint],
+                                     jnp.full((128,), nmol_out[tt_hint, g],
+                                              jnp.int32), 0)
                 else:
                     nsel = jnp.zeros((128,), jnp.int32)
                     for tt in range(nA):
@@ -720,14 +726,27 @@ def _blockg_kernel(
             cacc = cacc + jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
                                   keepdims=True)
             return (ljacc, cacc)
+          return guest_chunk
 
         if skip_guest:
             lj_rows = jnp.zeros((GFL, 1), f32)
             c_rows = jnp.zeros((GFQ, 1), f32)
-        else:
+        elif nA == 1:
             lj_rows, c_rows = jax.lax.fori_loop(
-                0, n_live_c, guest_chunk,
+                0, n_live_c, make_guest_chunk(None),
                 (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32)))
+        else:
+            gcarry = (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32))
+            for tt in range(nA):
+                lo_c = sb_off_ts[tt] // 128                 # static
+                reg_chunks = (sb_off_ts[tt + 1] - sb_off_ts[tt]) // 128 \
+                    if tt + 1 < nA else GS // 128 - lo_c
+                n_c_t = (jnp.max(nmol_out[tt:tt + 1, :]) * A_ts[tt]
+                         + 127) // 128
+                n_c_t = jnp.minimum(n_c_t, reg_chunks)
+                gcarry = jax.lax.fori_loop(
+                    lo_c, lo_c + n_c_t, make_guest_chunk(tt), gcarry)
+            lj_rows, c_rows = gcarry
 
         # ---- fw window passes --------------------------------------------
         if fw_on and not skip_fw:
@@ -1150,6 +1169,13 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         rescom = jnp.zeros((G, 3, MresP), f)
         resn_in = jnp.zeros((nA, G), jnp.int32)
 
+    # static per-type column offsets of the guest regions (128-aligned by
+    # the system.py base layout) for the per-type guest chunk loops
+    sb_off_ts = tuple(int(spec.site_base_list[r]) - (gb if spec.fw_split
+                                                     else 0) for r in aids)
+    assert all(o % 128 == 0 for o in sb_off_ts), sb_off_ts
+    assert all(b > a for a, b in zip(sb_off_ts, sb_off_ts[1:])), sb_off_ts
+
     import os
     kernel = functools.partial(
         _blockg_kernel, n_steps=n_steps, NU=N_UNIFORMS, G=G, S=S, A=A,
@@ -1158,6 +1184,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
         Jz2P=Jz2P, fw_axis=spec.fw_axis, nA=nA, A_ts=A_ts, aids=aids,
         has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
+        sb_off_ts=sb_off_ts,
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1

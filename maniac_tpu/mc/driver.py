@@ -235,6 +235,15 @@ def resync_amplitudes_replicated(spec: SystemSpec, states: SimState) -> SimState
     B = states.n_mol.shape[0]
     G = (blockg_group_size(spec) if use_blockg(spec)
          else int(os.environ.get("MANIAC_GROUP", "16") or 16))
+    # the grouped resync program carries per-type/reservoir operands the
+    # step kernel does not; at G=64 on multi-species systems it overflows
+    # scoped VMEM (116M > 100M) even when the step kernel fits, so its
+    # group size is decoupled (MANIAC_RESYNC_GROUP overrides)
+    env_rg = os.environ.get("MANIAC_RESYNC_GROUP", "")
+    if env_rg:
+        G = int(env_rg)
+    elif spec.n_active > 1 or spec.has_reservoir:
+        G = min(G, 32)
     if ((use_pair_kernel(spec) or use_blockg(spec)) and G > 1
             and B % G == 0):
         # grouped resynthesis: the per-replica program was launch-overhead
