@@ -71,12 +71,23 @@ def main() -> None:
 
     t_setup = time.perf_counter()
 
+    # fw-split tuning knobs (deck keywords; BASELINE.md perf matrix rows
+    # record the winning values): MANIAC_BENCH_FW_RCUT2 / FW_ALPHA2 /
+    # EWALD_ALPHA sweep the short-range window width vs far-field grid
+    # size tradeoff without a source edit
+    fw_kw = {}
+    for env, key in (("MANIAC_BENCH_FW_RCUT2", "fw_rcut2"),
+                     ("MANIAC_BENCH_FW_ALPHA2", "fw_alpha2"),
+                     ("MANIAC_BENCH_EWALD_ALPHA", "ewald_alpha")):
+        if os.environ.get(env):
+            fw_kw[key] = float(os.environ[env])
+
     def build():
         with tempfile.TemporaryDirectory() as tmp:
             res_file = None
             if system == "zif":
                 make_zif_like(tmp, n_cells=6, a=5.66, n_water=32,
-                              fugacity=30.0)
+                              fugacity=30.0, **fw_kw)
             elif system == "mixed":
                 make_framework_mixed(tmp, n_cells=6, a=5.66, n_water=24,
                                      n_dimer=12, cutoff=8.5, tol=1e-5,
@@ -104,7 +115,8 @@ def main() -> None:
     # bench builder params above are part of the key (bumped on change);
     # maniac_tpu source changes invalidate via the cache's source hash
     spec, state = cached_spec_state(
-        f"bench-v1|{system}|cap={capacity}|dtype={dtype_name}", build)
+        f"bench-v1|{system}|cap={capacity}|dtype={dtype_name}"
+        f"|fw={sorted(fw_kw.items())}", build)
     states = replicate(spec, state, replicas)
     t_setup = time.perf_counter() - t_setup
 

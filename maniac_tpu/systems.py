@@ -72,7 +72,8 @@ def _write_data(path, L, atoms, masses, n_types, tilt=None):
 
 def _write_deck(path, residues, nb_block=1, nb_step=0, temp=300.0,
                 tol=1e-5, cutoff=8.0, tstep=0.6, rstep=0.5,
-                probs=(0.5, 0.5, 0.0, 0.0), seed=12345, recal=False):
+                probs=(0.5, 0.5, 0.0, 0.0), seed=12345, recal=False,
+                **extra):
     with open(path, "w") as f:
         f.write("# maniac-tpu test deck\n")
         f.write(f"nb_block {nb_block}\nnb_step {nb_step}\n")
@@ -81,7 +82,12 @@ def _write_deck(path, residues, nb_block=1, nb_step=0, temp=300.0,
         f.write(f"translation_step {tstep}\nrotation_step_angle {rstep}\n")
         f.write(f"recalibrate_moves {'true' if recal else 'false'}\n")
         f.write(f"translation_proba {probs[0]}\nrotation_proba {probs[1]}\n")
-        f.write(f"insertion_deletion_proba {probs[2]}\nswap_proba {probs[3]}\n\n")
+        f.write(f"insertion_deletion_proba {probs[2]}\nswap_proba {probs[3]}\n")
+        # remaining keywords (ewald_alpha, fw_alpha2, fw_rcut2,
+        # framework_split, ...) pass straight through to the deck
+        for k, v in extra.items():
+            f.write(f"{k} {v}\n")
+        f.write("\n")
         for res in residues:
             f.write("begin_residue\n")
             f.write(f"  name {res['name']}\n")
