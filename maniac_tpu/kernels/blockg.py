@@ -91,7 +91,10 @@ def _blockg_kernel(
                          #   overflow rejections row 5, reservoir drops row 6
         resoff_out, rescom_out,
         resn_out,        # VMEM (nA, G) int32
-        *, n_steps: int, NU: int, G: int, S: int, A: int, Lmax: int,
+        # fw-window scratch (present iff fw_on): x/y/z/eps/sig2 (GFL, WL)
+        # + x/y/z/q (GFQ, WC) staging buffers written by direct row stores
+        *scratch_refs,
+        n_steps: int, NU: int, G: int, S: int, A: int, Lmax: int,
         Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, NBG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
@@ -749,57 +752,64 @@ def _blockg_kernel(
             lj_rows, c_rows = gcarry
 
         # ---- fw window passes --------------------------------------------
+        # Operand assembly goes through VMEM scratch written by direct row
+        # stores at STATIC offsets (one store per operand per (g, side))
+        # instead of per-(g, side) value lists + big concats: the pass is
+        # VMEM-traffic bound (docs/performance.md) and the concat path
+        # materialized every operand twice. Values are bit-identical.
         if fw_on and not skip_fw:
-            fx, fy, fz, feps, fsig2 = [], [], [], [], []
+            sfx, sfy, sfz, sfe, sfs, scx, scy, scz, scq = scratch_refs
             for g in range(G):
                 for side, st in ((0, stL0), (1, stL1)):
                     c0 = st[0, g] * 128
+                    r0 = g * FL + side * Lmax
                     blk = fwpq_ref[:, pl.ds(c0, WL)]
-                    fx.append(jnp.broadcast_to(blk[0:1, :], (Lmax, WL)))
-                    fy.append(jnp.broadcast_to(blk[1:2, :], (Lmax, WL)))
-                    fz.append(jnp.broadcast_to(blk[2:3, :], (Lmax, WL)))
+                    sfx[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[0:1, :],
+                                                            (Lmax, WL))
+                    sfy[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[1:2, :],
+                                                            (Lmax, WL))
+                    sfz[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[2:3, :],
+                                                            (Lmax, WL))
                     if nA == 1:
-                        feps.append(fweps_ref[side * Lmax:(side + 1) * Lmax,
-                                              pl.ds(c0, WL)])
-                        fsig2.append(
-                            fwsig2_ref[side * Lmax:(side + 1) * Lmax,
-                                       pl.ds(c0, WL)])
+                        sfe[r0:r0 + Lmax, :] = fweps_ref[
+                            side * Lmax:(side + 1) * Lmax, pl.ds(c0, WL)]
+                        sfs[r0:r0 + Lmax, :] = fwsig2_ref[
+                            side * Lmax:(side + 1) * Lmax, pl.ds(c0, WL)]
                     else:
                         # row-selection matmul per (g, side): E_dyn rows
                         # g*FL + side*Lmax + j map to table row
                         # pid_g*8 + side*Lmax + j
-                        r0 = g * FL + side * Lmax
                         Eg_rows = E_dyn[r0:r0 + Lmax, :]
-                        feps.append(jnp.dot(
+                        sfe[r0:r0 + Lmax, :] = jnp.dot(
                             Eg_rows, fweps_ref[:, pl.ds(c0, WL)],
-                            preferred_element_type=f32))
-                        fsig2.append(jnp.dot(
+                            preferred_element_type=f32)
+                        sfs[r0:r0 + Lmax, :] = jnp.dot(
                             Eg_rows, fwsig2_ref[:, pl.ds(c0, WL)],
-                            preferred_element_type=f32))
-            r2f = pair_r2(ptlj, jnp.concatenate(fx, 0),
-                          jnp.concatenate(fy, 0), jnp.concatenate(fz, 0),
-                          fw_imask)
-            sr2f = jnp.concatenate(fsig2, 0) / r2f
+                            preferred_element_type=f32)
+            r2f = pair_r2(ptlj, sfx[:, :], sfy[:, :], sfz[:, :], fw_imask)
+            sr2f = sfs[:, :] / r2f
             sr6f = sr2f * sr2f * sr2f
-            ljf = 4.0 * jnp.concatenate(feps, 0) * (sr6f * sr6f - sr6f)
+            ljf = 4.0 * sfe[:, :] * (sr6f * sr6f - sr6f)
             self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
             lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
                                         axis=1, keepdims=True)
 
-            cx, cy, cz, cq = [], [], [], []
             for g in range(G):
                 for side, st in ((0, stC0), (1, stC1)):
                     c0 = st[0, g] * 128
+                    r0 = g * FQ + side * Qmax
                     blk = fwpq_ref[:, pl.ds(c0, WC)]
-                    cx.append(jnp.broadcast_to(blk[0:1, :], (Qmax, WC)))
-                    cy.append(jnp.broadcast_to(blk[1:2, :], (Qmax, WC)))
-                    cz.append(jnp.broadcast_to(blk[2:3, :], (Qmax, WC)))
-                    cq.append(jnp.broadcast_to(blk[3:4, :], (Qmax, WC)))
-            r2c = pair_r2(ptq, jnp.concatenate(cx, 0),
-                          jnp.concatenate(cy, 0), jnp.concatenate(cz, 0),
-                          fw_imask)
+                    scx[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[0:1, :],
+                                                            (Qmax, WC))
+                    scy[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[1:2, :],
+                                                            (Qmax, WC))
+                    scz[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[2:3, :],
+                                                            (Qmax, WC))
+                    scq[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[3:4, :],
+                                                            (Qmax, WC))
+            r2c = pair_r2(ptq, scx[:, :], scy[:, :], scz[:, :], fw_imask)
             inv_rc = jax.lax.rsqrt(r2c)
-            coulf = (qw[0, :][:, None] * jnp.concatenate(cq, 0)
+            coulf = (qw[0, :][:, None] * scq[:, :]
                      * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
             c_rows = c_rows + jnp.sum(jnp.where(r2c < rc2sq2, coulf, 0.0),
                                       axis=1, keepdims=True)
@@ -1188,6 +1198,14 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
+    if spec.fw_split:
+        GFL_h = G * 2 * spec.Lmax
+        GFQ_h = G * 2 * spec.Qmax
+        scratch_shapes = (
+            [pltpu.VMEM((GFL_h, spec.fw_WL), f)] * 5
+            + [pltpu.VMEM((GFQ_h, spec.fw_WC), f)] * 4)
+    else:
+        scratch_shapes = []
     outs = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((G, 3, S), f),
@@ -1203,6 +1221,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         in_specs=[vmem] * 35,
         out_specs=(vmem,) * 10,
         input_output_aliases={29: 0, 30: 1, 31: 2, 32: 3, 33: 7, 34: 8},
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
