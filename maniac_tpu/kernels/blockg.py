@@ -100,7 +100,7 @@ def _blockg_kernel(
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
-        ablate: str = ""):
+        kmerge: bool = False, ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -222,6 +222,18 @@ def _blockg_kernel(
                       for p in range(nA * nA)]
 
     fw_imask = tuple(ax != fw_axis for ax in range(3))
+
+    # merged k-space cross/commit operands (see the d-matmul section):
+    # a (G*JzP, G) block-sum matrix and a G-tiled copy of the k weights
+    # turn 64 per-replica (JzP, JxyP) reductions + amp commits into one
+    # big elementwise pass + two small matmuls
+    dscr = scratch_refs[9 if fw_on else 0] if kmerge else None
+    if kmerge:
+        GJz = G * JzP
+        rz = jax.lax.broadcasted_iota(jnp.int32, (GJz, G), 0)
+        cz = jax.lax.broadcasted_iota(jnp.int32, (GJz, G), 1)
+        E_kz = (rz // JzP == cz).astype(f32)
+        kw_tiled = jnp.concatenate([kw_ref[:, :]] * G, axis=0)  # (GJz, JxyP)
 
     # copy initial state into the aliased outputs / running rows
     pos_out[...] = pos_ref[...]
@@ -758,7 +770,7 @@ def _blockg_kernel(
         # VMEM-traffic bound (docs/performance.md) and the concat path
         # materialized every operand twice. Values are bit-identical.
         if fw_on and not skip_fw:
-            sfx, sfy, sfz, sfe, sfs, scx, scy, scz, scq = scratch_refs
+            sfx, sfy, sfz, sfe, sfs, scx, scy, scz, scq = scratch_refs[:9]
             for g in range(G):
                 for side, st in ((0, stL0), (1, stL1)):
                     c0 = st[0, g] * 128
@@ -892,33 +904,60 @@ def _blockg_kernel(
                  for i in range(3)], axis=0)                # (3, G)
 
         # ---- per-replica k-space delta (d matmuls stay per-g) ------------
-        d_res, d_ims, cross_list = [], [], []
-        for g in range(G):
-            ar = amp_re_out[g]
-            ai = amp_im_out[g]
+        def d_both_of(g):
+            sl = slice(g * FK, (g + 1) * FK)
+            t_re = t_re_all[sl]
+            t_im = t_im_all[sl]
+            t_both = jnp.concatenate(
+                [jnp.concatenate([t_re, t_im], axis=1),
+                 jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
+            pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]],
+                                    axis=1)
+            return jnp.dot(pzT_g, t_both, preferred_element_type=f32)
+
+        if kmerge:
+            # per-g: ONE small matmul stored straight into the (GJz, 2JxyP)
+            # scratch; the 2*G cross reductions and 2*G amp commits become
+            # one big elementwise pass + two block-sum matmuls
+            for g in range(G):
+                if skip_kstruct:
+                    dscr[g * JzP:(g + 1) * JzP, :] = jnp.zeros(
+                        (JzP, 2 * JxyP_), f32)
+                else:
+                    dscr[g * JzP:(g + 1) * JzP, :] = d_both_of(g)
+            DRE = dscr[:, :JxyP_]
+            DIM = dscr[:, JxyP_:]
+            AR = jnp.reshape(amp_re_out[...], (GJz, JxyP_))
+            AI = jnp.reshape(amp_im_out[...], (GJz, JxyP_))
             if skip_kstruct:
-                d_re = jnp.zeros((JzP, JxyP_), f32)
-                d_im = jnp.zeros((JzP, JxyP_), f32)
-                cross = jnp.sum(kw_ref[:, :] * (ar * d_re + ai * d_im))
+                Xc = kw_tiled * (AR * DRE + AI * DIM)
             else:
-                sl = slice(g * FK, (g + 1) * FK)
-                t_re = t_re_all[sl]
-                t_im = t_im_all[sl]
-                t_both = jnp.concatenate(
-                    [jnp.concatenate([t_re, t_im], axis=1),
-                     jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
-                pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]],
-                                        axis=1)
-                d_both = jnp.dot(pzT_g, t_both, preferred_element_type=f32)
-                d_re = d_both[:, :JxyP_]
-                d_im = d_both[:, JxyP_:]
-                cross = jnp.sum(
-                    kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
-                                    + d_re * d_re + d_im * d_im))
-            d_res.append(d_re)
-            d_ims.append(d_im)
-            cross_list.append(cross)
-        cross_row = jnp.stack(cross_list).reshape(1, G)
+                Xc = kw_tiled * (2.0 * (AR * DRE + AI * DIM)
+                                 + DRE * DRE + DIM * DIM)
+            cross_vec = jnp.sum(Xc, axis=1, keepdims=True)   # (GJz, 1)
+            cross_row = jax.lax.dot_general(
+                cross_vec, E_kz, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                  # (1, G)
+        else:
+            d_res, d_ims, cross_list = [], [], []
+            for g in range(G):
+                ar = amp_re_out[g]
+                ai = amp_im_out[g]
+                if skip_kstruct:
+                    d_re = jnp.zeros((JzP, JxyP_), f32)
+                    d_im = jnp.zeros((JzP, JxyP_), f32)
+                    cross = jnp.sum(kw_ref[:, :] * (ar * d_re + ai * d_im))
+                else:
+                    d_both = d_both_of(g)
+                    d_re = d_both[:, :JxyP_]
+                    d_im = d_both[:, JxyP_:]
+                    cross = jnp.sum(
+                        kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
+                                        + d_re * d_re + d_im * d_im))
+                d_res.append(d_re)
+                d_ims.append(d_im)
+                cross_list.append(cross)
+            cross_row = jnp.stack(cross_list).reshape(1, G)
 
         # ---- e-sum rows + lane-vectorized Metropolis ---------------------
         def sumrow(rows, E):
@@ -962,10 +1001,20 @@ def _blockg_kernel(
         wnew_i = w_new.astype(jnp.int32)
         if has_res:
             rfull_i = res_full.astype(jnp.int32)
+        if kmerge and not skip_ampc:
+            # merged amp commit: accf expanded to (GJz, 1) via block-sum
+            # matrix; values identical to the per-g accf * d adds
+            accf_col = jax.lax.dot_general(
+                E_kz, accf_row, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)                  # (GJz, 1)
+            amp_re_out[...] = jnp.reshape(AR + accf_col * DRE,
+                                          (G, JzP, JxyP_))
+            amp_im_out[...] = jnp.reshape(AI + accf_col * DIM,
+                                          (G, JzP, JxyP_))
         for g in range(G):
             acc = acc_i_row[0, g] > 0
             accf = accf_row[0, g]
-            if not skip_ampc:
+            if not kmerge and not skip_ampc:
                 amp_re_out[g] = amp_re_out[g] + accf * d_res[g]
                 amp_im_out[g] = amp_im_out[g] + accf * d_ims[g]
 
@@ -1194,7 +1243,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
         Jz2P=Jz2P, fw_axis=spec.fw_axis, nA=nA, A_ts=A_ts, aids=aids,
         has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
-        sb_off_ts=sb_off_ts,
+        sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
@@ -1206,6 +1255,9 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
             + [pltpu.VMEM((GFQ_h, spec.fw_WC), f)] * 4)
     else:
         scratch_shapes = []
+    kmerge = (JzP % 8 == 0)
+    if kmerge:
+        scratch_shapes.append(pltpu.VMEM((G * JzP, 2 * JxyP), f))
     outs = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((G, 3, S), f),
