@@ -210,6 +210,27 @@ def _blockg_kernel(
     E_sum_fq = side_sum_mat(FQ, Qmax)
     E_sum_fk = side_sum_mat(FK, Qmax)
 
+    # vectorized guest-chunk constants: the chunk pass builds its (GF, 128)
+    # operands with matmuls against these instead of per-replica Python
+    # loops (G slice+broadcast+concat issues per operand; the kernel is
+    # issue-bound away from the MXU)
+    I_G = (jax.lax.broadcasted_iota(jnp.int32, (G, G), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (G, G), 1)).astype(f32)
+
+    def col_of(row):
+        # (1, G) -> (G, 1) without a relayout transpose
+        return jax.lax.dot_general(I_G, row, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    NK = GFL + GFQ
+    rk_ = jax.lax.broadcasted_iota(jnp.int32, (NK, G), 0)
+    ck_ = jax.lax.broadcasted_iota(jnp.int32, (NK, G), 1)
+    gk_ = jnp.where(rk_ < GFL, rk_ // FL, (rk_ - GFL) // FQ)
+    E_gchunk = (ck_ == gk_).astype(f32)                    # (NK, G)
+    rt8_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 0)
+    ct8_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 1)
+    E_tile_lj = (ct8_ == rt8_ % FL).astype(f32)            # (GFL, FL)
+
     # per-active-pair static row-selection patterns: with the per-step
     # replica gating folded in (E_dyn in step_body), the multi-species
     # guest-chunk LJ tables become ONE (GFL, nA*nA*8) x (nA*nA*8, 128)
@@ -642,6 +663,15 @@ def _blockg_kernel(
         # ---- exclusion scalars -------------------------------------------
         exa = jnp.where(w_old, mol_slot_old, Mtot + 1)      # (1, G)
         exb = slot_new
+        # per-replica COLUMNS for the vectorized chunk masks (values are
+        # small ints, exact in f32)
+        exa_c = col_of(exa.astype(f32))                     # (G, 1)
+        exb_c = col_of(exb.astype(f32))
+        if nA == 1:
+            ncol_ts = [col_of(nmol_out[0:1, :].astype(f32))]
+        else:
+            ncol_ts = [col_of(nmol_out[tt:tt + 1, :].astype(f32))
+                       for tt in range(nA)]
 
         # ---- guest pair passes: loop over live chunks --------------------
         # per-type loops (nA >= 2): each type's region is 128-aligned and
@@ -669,54 +699,39 @@ def _blockg_kernel(
             return jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
 
         def make_guest_chunk(tt_hint):
+          # vectorized across replica lanes: the live mask is ONE (G, 128)
+          # compare block, operands are built by one-hot matmuls against
+          # E_gchunk (no per-replica Python loops; each issue below is a
+          # whole-chunk op)
           def guest_chunk(ci, carry):
             ljacc, cacc = carry
             b = ci * 128
-            midc = site_midx_ref[0, pl.ds(b, 128)]
-            smoc = site_mol_ref[0, pl.ds(b, 128)]
-            styc = site_type_ref[0, pl.ds(b, 128)]
+            midf = site_midx_ref[0:1, pl.ds(b, 128)].astype(f32)  # (1,128)
+            smof = site_mol_ref[0:1, pl.ds(b, 128)].astype(f32)
+            styc = site_type_ref[0:1, pl.ds(b, 128)]
             sqc = site_q_ref[0:1, pl.ds(b, 128)]
-            keeps_c = []
-            pgs = []
-            for g in range(G):
-                if nA == 1:
-                    nsel = jnp.where(styc < 99,
-                                     jnp.full((128,), nmol_out[0, g],
-                                              jnp.int32),
-                                     0)
-                elif tt_hint is not None:
-                    # chunk lies inside type tt_hint's region: one select
-                    # (padding columns carry an invalid type id)
-                    nsel = jnp.where(styc == aids[tt_hint],
-                                     jnp.full((128,), nmol_out[tt_hint, g],
-                                              jnp.int32), 0)
-                else:
-                    nsel = jnp.zeros((128,), jnp.int32)
-                    for tt in range(nA):
-                        nsel = jnp.where(styc == aids[tt],
-                                         jnp.full((128,), nmol_out[tt, g],
-                                                  jnp.int32), nsel)
-                kg = ((midc < nsel) & (smoc != exa[0, g])
-                      & (smoc != exb[0, g]))
-                keeps_c.append(kg.astype(jnp.int32)[None, :])
-                pgs.append(pos_out[g, :, pl.ds(cols0 + b, 128)])
-
-            def expand_c(F):
-                ones = jnp.ones((F, 1), jnp.int32)
-                xs, ys, zs, ks = [], [], [], []
-                for g in range(G):
-                    xs.append(jnp.broadcast_to(pgs[g][0:1, :], (F, 128)))
-                    ys.append(jnp.broadcast_to(pgs[g][1:2, :], (F, 128)))
-                    zs.append(jnp.broadcast_to(pgs[g][2:3, :], (F, 128)))
-                    ks.append(keeps_c[g] * ones)
-                return (jnp.concatenate(xs, 0), jnp.concatenate(ys, 0),
-                        jnp.concatenate(zs, 0), jnp.concatenate(ks, 0))
-
+            excl = (smof != exa_c) & (smof != exb_c)        # (G, 128)
             if nA == 1:
-                eps = jnp.concatenate(
-                    [epslj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
-                sig2 = jnp.concatenate(
-                    [sig2lj_ref[:FL, pl.ds(b, 128)]] * G, axis=0)
+                kcol = (styc < 99) & (midf < ncol_ts[0]) & excl
+            else:
+                # chunk lies inside type tt_hint's region: one type compare
+                # (padding columns carry an invalid type id)
+                kcol = ((styc == aids[tt_hint])
+                        & (midf < ncol_ts[tt_hint]) & excl)
+            keepx = jnp.dot(E_gchunk, kcol.astype(f32),
+                            preferred_element_type=f32)     # (NK, 128)
+            keepL, keepQ = keepx[:GFL], keepx[GFL:]
+            xa = jnp.dot(E_gchunk, pos_out[:, 0, pl.ds(cols0 + b, 128)],
+                         preferred_element_type=f32)
+            ya = jnp.dot(E_gchunk, pos_out[:, 1, pl.ds(cols0 + b, 128)],
+                         preferred_element_type=f32)
+            za = jnp.dot(E_gchunk, pos_out[:, 2, pl.ds(cols0 + b, 128)],
+                         preferred_element_type=f32)
+            if nA == 1:
+                eps = jnp.dot(E_tile_lj, epslj_ref[:FL, pl.ds(b, 128)],
+                              preferred_element_type=f32)   # (GFL, 128)
+                sig2 = jnp.dot(E_tile_lj, sig2lj_ref[:FL, pl.ds(b, 128)],
+                               preferred_element_type=f32)
             else:
                 # one row-selection matmul per chunk (E_dyn folds both the
                 # per-replica active-pair id and the side/atom row layout)
@@ -724,8 +739,7 @@ def _blockg_kernel(
                               preferred_element_type=f32)   # (GFL, 128)
                 sig2 = jnp.dot(E_dyn, sig2lj_ref[:, pl.ds(b, 128)],
                                preferred_element_type=f32)
-            xL, yL, zL, keepL = expand_c(FL)
-            r2 = pair_r2(ptlj, xL, yL, zL)
+            r2 = pair_r2(ptlj, xa[:GFL], ya[:GFL], za[:GFL])
             inv_r2 = 1.0 / r2
             sr2 = sig2 * inv_r2
             sr6 = sr2 * sr2 * sr2
@@ -733,8 +747,7 @@ def _blockg_kernel(
             ljsel = (r2 < rc2) & (keepL > 0) & (ljw[0, :][:, None] > 0.0)
             ljacc = ljacc + jnp.sum(jnp.where(ljsel, ljv, 0.0), axis=1,
                                     keepdims=True)
-            xQ, yQ, zQ, keepQ = expand_c(FQ)
-            r2q = pair_r2(ptq, xQ, yQ, zQ)
+            r2q = pair_r2(ptq, xa[GFL:], ya[GFL:], za[GFL:])
             inv_r = jax.lax.rsqrt(r2q)
             coul = (qw[0, :][:, None] * sqc
                     * _erfc(alpha * (r2q * inv_r)) * inv_r)
