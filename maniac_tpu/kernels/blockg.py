@@ -84,6 +84,9 @@ def _blockg_kernel(
         pos_ref, com_ref, amp_re_ref, amp_im_ref,   # aliased state
         resoff_ref,      # VMEM (G, 3, SresP) reservoir offsets (aliased)
         rescom_ref,      # VMEM (G, 3, MresP) reservoir COMs (aliased)
+        fwcomb_ref,      # VMEM (4+4*Lmax, SG) stacked x/y/z/q + eps(2 sides)
+                         #   + sig2(2 sides) fw table (fw fast path; else
+                         #   (1, 128) dummy)
         pos_out, com_out, amp_re_out, amp_im_out,
         nmol_out,        # VMEM (nA, G) int32
         eng_out,         # VMEM (8, G)
@@ -231,6 +234,25 @@ def _blockg_kernel(
     ct8_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 1)
     E_tile_lj = (ct8_ == rt8_ % FL).astype(f32)            # (GFL, FL)
 
+    def row_of(col):
+        # (G, 1) -> (1, G) without a relayout transpose
+        return jax.lax.dot_general(col, I_G, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    # batched footprint-read / commit constants: per-replica iota planes
+    # and atom-placement one-hots (row g -> col g*A + a)
+    mi_G = jax.lax.broadcasted_iota(jnp.int32, (G, MP), 1).astype(f32)
+    si_G = (jax.lax.broadcasted_iota(jnp.int32, (G, GS), 1)
+            + cols0).astype(f32)
+    rpa_ = jax.lax.broadcasted_iota(jnp.int32, (G, GA), 0)
+    cpa_ = jax.lax.broadcasted_iota(jnp.int32, (G, GA), 1)
+    E_place = [(cpa_ == rpa_ * A + a).astype(f32) for a in range(A)]
+
+    def ext_col(row, a):
+        # (1, GA) footprint row -> (G, 1) column of atom a's values
+        return jax.lax.dot_general(E_place[a], row, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
     # per-active-pair static row-selection patterns: with the per-step
     # replica gating folded in (E_dyn in step_body), the multi-species
     # guest-chunk LJ tables become ONE (GFL, nA*nA*8) x (nA*nA*8, 128)
@@ -244,11 +266,35 @@ def _blockg_kernel(
 
     fw_imask = tuple(ax != fw_axis for ax in range(3))
 
+    fw_fast = fw_on and nA == 1 and Lmax == 1
+    if fw_fast:
+        # single-store staging constants: scratch rows are (g, side) pairs
+        # gs = 2g + side; the C-pass footprint layout (g, side, j) expands
+        # from them with one one-hot matmul per plane
+        odd2G = (jax.lax.broadcasted_iota(jnp.int32, (2 * G, 1), 0)
+                 % 2) == 1
+        rfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, 2 * G), 0)
+        cfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, 2 * G), 1)
+        E_fwC = (cfc_ == 2 * (rfc_ // FQ)
+                 + (rfc_ % FQ) // Qmax).astype(f32)
+    if fw_on:
+        # far-grid block-sum constant (see the jz-first far contraction):
+        # rows jx*JyB + jy -> col jx
+        Jy2_ = 2 * ky2 + 1
+        JyB_ = ((Jy2_ + 7) // 8) * 8
+        Jx2_ = kx2 + 1
+        Jx2P_ = ((Jx2_ + 7) // 8) * 8
+        Jxy2P_ = c2re_ref.shape[1]
+        rb_ = jax.lax.broadcasted_iota(jnp.int32, (Jxy2P_, Jx2P_), 0)
+        cb_ = jax.lax.broadcasted_iota(jnp.int32, (Jxy2P_, Jx2P_), 1)
+        E_bsum = (rb_ // JyB_ == cb_).astype(f32)
+
     # merged k-space cross/commit operands (see the d-matmul section):
     # a (G*JzP, G) block-sum matrix and a G-tiled copy of the k weights
     # turn 64 per-replica (JzP, JxyP) reductions + amp commits into one
     # big elementwise pass + two small matmuls
-    dscr = scratch_refs[9 if fw_on else 0] if kmerge else None
+    nfw_scr = 0 if not fw_on else (2 if fw_fast else 9)
+    dscr = scratch_refs[nfw_scr] if kmerge else None
     if kmerge:
         GJz = G * JzP
         rz = jax.lax.broadcasted_iota(jnp.int32, (GJz, G), 0)
@@ -389,33 +435,54 @@ def _blockg_kernel(
         start_last = SB_old + last * A_old_r
         slot_last = MB_old + last
 
-        # ---- per-replica COM + footprint reads (small one-hot matmuls) ---
-        comcols = []
-        fpcols = []
-        for g in range(G):
-            if skip_fpread:
-                comcols.append(jnp.zeros((3, 2), f32))
-                fpcols.append(jnp.zeros((3, 2 * A), f32))
-                continue
-            mi = jax.lax.broadcasted_iota(jnp.int32, (MP, 2), 0)
-            cisel = jnp.where(
-                jax.lax.broadcasted_iota(jnp.int32, (MP, 2), 1) == 0,
-                mol_slot_old[0, g], slot_last[0, g])
-            ohc = (mi == cisel).astype(f32)
-            comcols.append(jnp.dot(com_out[g], ohc,
-                                   preferred_element_type=f32))  # (3, 2)
-            si = jax.lax.broadcasted_iota(jnp.int32, (GS, 2 * A), 0) + cols0
-            ai = jax.lax.broadcasted_iota(jnp.int32, (GS, 2 * A), 1)
-            base_sel = jnp.where(ai < A, site_start_old[0, g],
-                                 start_last[0, g])
-            tgt = jnp.where(ai < A, ai, ai - A)
-            oh = ((si - base_sel) == tgt).astype(f32)
-            fpcols.append(jnp.dot(pos_out[g][:, cols0:], oh,
-                                  preferred_element_type=f32))   # (3, 2A)
-        com_old = jnp.concatenate([c[:, 0:1] for c in comcols], 1)  # (3, G)
-        com_last = jnp.concatenate([c[:, 1:2] for c in comcols], 1)
-        P_oldT = jnp.concatenate([c[:, :A] for c in fpcols], 1)    # (3, GA)
-        last_cols = jnp.concatenate([c[:, A:] for c in fpcols], 1)  # (3, GA)
+        # ---- COM + footprint reads (batched across replica lanes) --------
+        # selection masks are (G, cols) compare planes against per-replica
+        # columns; values come out of masked row-sums (exact: one nonzero
+        # term), then turn back to rows/footprint layouts via identity /
+        # placement matmuls - no per-replica loops
+        slot_old_c = col_of(mol_slot_old.astype(f32))       # (G, 1)
+        slot_last_c = col_of(slot_last.astype(f32))
+        sso_c = col_of(site_start_old.astype(f32))
+        ssl_c = col_of(start_last.astype(f32))
+        if skip_fpread:
+            com_old = jnp.zeros((3, G), f32)
+            com_last = jnp.zeros((3, G), f32)
+            P_oldT = jnp.zeros((3, GA), f32)
+            last_cols = jnp.zeros((3, GA), f32)
+        else:
+            mask_o = mi_G == slot_old_c                     # (G, MP)
+            mask_l = mi_G == slot_last_c
+            rows_o, rows_l = [], []
+            for i in range(3):
+                cg = com_out[:, i, :]                       # (G, MP)
+                rows_o.append(row_of(jnp.sum(
+                    jnp.where(mask_o, cg, 0.0), axis=1, keepdims=True)))
+                rows_l.append(row_of(jnp.sum(
+                    jnp.where(mask_l, cg, 0.0), axis=1, keepdims=True)))
+            com_old = jnp.concatenate(rows_o, 0)            # (3, G)
+            com_last = jnp.concatenate(rows_l, 0)
+            pmask_o = [si_G == sso_c + a for a in range(A)]  # (G, GS)
+            pmask_l = [si_G == ssl_c + a for a in range(A)]
+            prow_o, prow_l = [], []
+            for i in range(3):
+                pg = pos_out[:, i, cols0:]                  # (G, GS)
+                ro = jnp.zeros((1, GA), f32)
+                rl = jnp.zeros((1, GA), f32)
+                for a in range(A):
+                    vo = jnp.sum(jnp.where(pmask_o[a], pg, 0.0), axis=1,
+                                 keepdims=True)             # (G, 1)
+                    vl = jnp.sum(jnp.where(pmask_l[a], pg, 0.0), axis=1,
+                                 keepdims=True)
+                    ro = ro + jax.lax.dot_general(
+                        vo, E_place[a], (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)         # (1, GA)
+                    rl = rl + jax.lax.dot_general(
+                        vl, E_place[a], (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                prow_o.append(ro)
+                prow_l.append(rl)
+            P_oldT = jnp.concatenate(prow_o, 0)             # (3, GA)
+            last_cols = jnp.concatenate(prow_l, 0)
 
         com_old_exp = jnp.dot(com_old, E_exp,
                               preferred_element_type=f32)   # (3, GA)
@@ -435,24 +502,42 @@ def _blockg_kernel(
             res_last_start = RSB_new + res_last * A_new_r
             pop_slot = RMB_new + res_pick
             last_slot_res = RMB_new + res_last
-            rcols = []
-            rcomc = []
-            for g in range(G):
-                sri = jax.lax.broadcasted_iota(jnp.int32, (SresP, 2 * A), 0)
-                ari = jax.lax.broadcasted_iota(jnp.int32, (SresP, 2 * A), 1)
-                bsel = jnp.where(ari < A, res_src[0, g],
-                                 res_last_start[0, g])
-                tgt_r = jnp.where(ari < A, ari, ari - A)
-                ohr = ((sri - bsel) == tgt_r).astype(f32)
-                rcols.append(jnp.dot(resoff_out[g], ohr,
-                                     preferred_element_type=f32))  # (3, 2A)
-                mri = jax.lax.broadcasted_iota(jnp.int32, (MresP, 1), 0)
-                ohm = (mri == last_slot_res[0, g]).astype(f32)
-                rcomc.append(jnp.dot(rescom_out[g], ohm,
-                                     preferred_element_type=f32))  # (3, 1)
-            res_off_cols = jnp.concatenate([c[:, :A] for c in rcols], 1)
-            res_lastoff_cols = jnp.concatenate([c[:, A:] for c in rcols], 1)
-            rescom_last = jnp.concatenate(rcomc, 1)         # (3, G)
+            # batched reservoir reads (same masked row-sum pattern as the
+            # COM/footprint reads above)
+            rsrc_c = col_of(res_src.astype(f32))            # (G, 1)
+            rlast_c = col_of(res_last_start.astype(f32))
+            lslot_c = col_of(last_slot_res.astype(f32))
+            sri_G = jax.lax.broadcasted_iota(
+                jnp.int32, (G, SresP), 1).astype(f32)
+            mri_G = jax.lax.broadcasted_iota(
+                jnp.int32, (G, MresP), 1).astype(f32)
+            rmask_s = [sri_G == rsrc_c + a for a in range(A)]
+            rmask_l = [sri_G == rlast_c + a for a in range(A)]
+            rmask_m = mri_G == lslot_c                      # (G, MresP)
+            rrow_s, rrow_l, rrow_m = [], [], []
+            for i in range(3):
+                rg = resoff_out[:, i, :]                    # (G, SresP)
+                rs = jnp.zeros((1, GA), f32)
+                rl2 = jnp.zeros((1, GA), f32)
+                for a in range(A):
+                    vs = jnp.sum(jnp.where(rmask_s[a], rg, 0.0), axis=1,
+                                 keepdims=True)
+                    vl2 = jnp.sum(jnp.where(rmask_l[a], rg, 0.0), axis=1,
+                                  keepdims=True)
+                    rs = rs + jax.lax.dot_general(
+                        vs, E_place[a], (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    rl2 = rl2 + jax.lax.dot_general(
+                        vl2, E_place[a], (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                rrow_s.append(rs)
+                rrow_l.append(rl2)
+                rrow_m.append(row_of(jnp.sum(
+                    jnp.where(rmask_m, rescom_out[:, i, :], 0.0),
+                    axis=1, keepdims=True)))
+            res_off_cols = jnp.concatenate(rrow_s, 0)       # (3, GA)
+            res_lastoff_cols = jnp.concatenate(rrow_l, 0)
+            rescom_last = jnp.concatenate(rrow_m, 0)        # (3, G)
             off_src = jnp.where(insert_exp > 0, res_off_cols, off_old)
         else:
             if nA == 1:
@@ -782,7 +867,41 @@ def _blockg_kernel(
         # instead of per-(g, side) value lists + big concats: the pass is
         # VMEM-traffic bound (docs/performance.md) and the concat path
         # materialized every operand twice. Values are bit-identical.
-        if fw_on and not skip_fw:
+        if fw_on and not skip_fw and fw_fast:
+            # fast staging (nA==1, Lmax==1): ONE slice + ONE strided store
+            # per (g, side) from the stacked x/y/z/q/eps/sig2 table; the
+            # row layout (g, side) == the LJ footprint layout at Lmax==1,
+            # so the LJ pass reads the scratch planes directly, and the
+            # C-pass (g, side, j) operands expand via one matmul per plane
+            sfc, scc = scratch_refs[0], scratch_refs[1]
+            for g in range(G):
+                for side, st in ((0, stL0), (1, stL1)):
+                    sfc[:, 2 * g + side, :] = fwcomb_ref[
+                        :, pl.ds(st[0, g] * 128, WL)]
+            epsf = jnp.where(odd2G, sfc[5], sfc[4])         # (2G, WL)
+            sig2f = jnp.where(odd2G, sfc[7], sfc[6])
+            r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
+            sr2f = sig2f / r2f
+            sr6f = sr2f * sr2f * sr2f
+            ljf = 4.0 * epsf * (sr6f * sr6f - sr6f)
+            self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
+            lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
+                                        axis=1, keepdims=True)
+            for g in range(G):
+                for side, st in ((0, stC0), (1, stC1)):
+                    scc[:, 2 * g + side, :] = fwpq_ref[
+                        :, pl.ds(st[0, g] * 128, WC)]
+            xCf = jnp.dot(E_fwC, scc[0], preferred_element_type=f32)
+            yCf = jnp.dot(E_fwC, scc[1], preferred_element_type=f32)
+            zCf = jnp.dot(E_fwC, scc[2], preferred_element_type=f32)
+            qCf = jnp.dot(E_fwC, scc[3], preferred_element_type=f32)
+            r2c = pair_r2(ptq, xCf, yCf, zCf, fw_imask)
+            inv_rc = jax.lax.rsqrt(r2c)
+            coulf = (qw[0, :][:, None] * qCf
+                     * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
+            c_rows = c_rows + jnp.sum(jnp.where(r2c < rc2sq2, coulf, 0.0),
+                                      axis=1, keepdims=True)
+        elif fw_on and not skip_fw:
             sfx, sfy, sfz, sfe, sfs, scx, scy, scz, scq = scratch_refs[:9]
             for g in range(G):
                 for side, st in ((0, stL0), (1, stL1)):
@@ -871,30 +990,46 @@ def _blockg_kernel(
         t_im_all = xe[:GFK] * ye[GFK:] + xe[GFK:] * ye[:GFK]
 
         if fw_on and not skip_far:
-            px2 = jnp.concatenate(
-                [jnp.concatenate([rex[j] * qwk for j in range(kx2 + 1)], 0),
-                 jnp.concatenate([imx[j] * qwk for j in range(kx2 + 1)], 0)],
-                axis=1)
+            # jz-first contraction (docs/performance.md): MZ = c2 ? pz via
+            # four (Jz2P)-contraction matmuls oriented (Jxy2P, GFK), then a
+            # per-jx-block y reduction with ONE block-sum matmul. This
+            # avoids the old path's two (2*GFK, Jxy2P) x/y one-hot
+            # expansions and their (GFK, Jxy2P) products entirely. The far
+            # grid lays columns out jx*JyB + jy with JyB 8-aligned
+            # (fwsplit.py) so the tiled y tables line up with MZ rows.
+            Jy2, JyB, Jx2, Jx2P, Jxy2P = Jy2_, JyB_, Jx2_, Jx2P_, Jxy2P_
             py2T_re, py2T_im = _signed_table(rey[:ky2 + 1], imy[:ky2 + 1],
-                                             ky2)
-            py2 = jnp.concatenate([py2T_re, py2T_im], axis=1)
+                                             ky2, pad_to=JyB)  # (JyB, GFK)
             pz2T_re, pz2T_im = _signed_table(rez[:kz2 + 1], imz[:kz2 + 1],
                                              kz2, pad_to=Jz2P)
-            xe2 = dotT(px2, ex2_ref[:, :])
-            ye2 = dotT(py2, ey2_ref[:, :])
-            t2_re = xe2[:GFK] * ye2[:GFK] - xe2[GFK:] * ye2[GFK:]
-            t2_im = xe2[:GFK] * ye2[GFK:] + xe2[GFK:] * ye2[:GFK]
 
-            def dotL(a, b):
-                return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+            def dotZ(a, b):
+                return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                            preferred_element_type=f32)
 
-            c_re = c2re_ref[:, :]
+            c_re = c2re_ref[:, :]                           # (Jz2P, Jxy2P)
             c_im = c2im_ref[:, :]
-            M1 = dotL(c_re, t2_re) + dotL(c_im, t2_im)
-            M2 = dotL(c_im, t2_re) - dotL(c_re, t2_im)
-            efar = jnp.sum(pz2T_re * M1 + pz2T_im * M2, axis=0,
-                           keepdims=True) + fw_d0 * qwk    # (1, GFK)
+            MZ1 = dotZ(c_re, pz2T_re) + dotZ(c_im, pz2T_im)  # (Jxy2P, GFK)
+            MZ2 = dotZ(c_im, pz2T_re) - dotZ(c_re, pz2T_im)
+            pad2 = Jxy2P - Jx2 * JyB
+            yparts_re = [py2T_re] * Jx2
+            yparts_im = [py2T_im] * Jx2
+            if pad2 > 0:
+                zpad = jnp.zeros((pad2, GFK), f32)
+                yparts_re = yparts_re + [zpad]
+                yparts_im = yparts_im + [zpad]
+            YR = jnp.concatenate(yparts_re, axis=0)         # (Jxy2P, GFK)
+            YI = jnp.concatenate(yparts_im, axis=0)
+            P1 = MZ1 * YR + MZ2 * YI
+            P2 = MZ2 * YR - MZ1 * YI
+            R1 = dotZ(E_bsum, P1)                           # (Jx2P, GFK)
+            R2 = dotZ(E_bsum, P2)
+            xpad = ([jnp.zeros((Jx2P - Jx2, GFK), f32)]
+                    if Jx2P > Jx2 else [])
+            XR = jnp.concatenate(rex[:Jx2] + xpad, axis=0)  # (Jx2P, GFK)
+            XI = jnp.concatenate(imx[:Jx2] + xpad, axis=0)
+            efar = (jnp.sum(XR * R1 + XI * R2, axis=0, keepdims=True)
+                    + fw_d0) * qwk                          # (1, GFK)
         elif fw_on:
             efar = jnp.zeros((1, GFK), f32)
 
@@ -1005,15 +1140,8 @@ def _blockg_kernel(
         gate_row = valid & (~cap_blocked)
         accr = gate_row & (urow(2) <= p_acc_row)            # (1, G) bool
         accf_row = accr.astype(f32)
-        acc_i_row = accr.astype(jnp.int32)
 
-        # ---- commits (per-g; acc read back as scalars) --------------------
-        # bool rows cannot be read as scalars on TPU - go through int32
-        ins_i = insert.astype(jnp.int32)
-        rem_i = remove.astype(jnp.int32)
-        wnew_i = w_new.astype(jnp.int32)
-        if has_res:
-            rfull_i = res_full.astype(jnp.int32)
+        # ---- commits (batched strided per-coordinate selects) -------------
         if kmerge and not skip_ampc:
             # merged amp commit: accf expanded to (GJz, 1) via block-sum
             # matrix; values identical to the per-g accf * d adds
@@ -1024,78 +1152,79 @@ def _blockg_kernel(
                                           (G, JzP, JxyP_))
             amp_im_out[...] = jnp.reshape(AI + accf_col * DIM,
                                           (G, JzP, JxyP_))
-        for g in range(G):
-            acc = acc_i_row[0, g] > 0
-            accf = accf_row[0, g]
-            if not kmerge and not skip_ampc:
-                amp_re_out[g] = amp_re_out[g] + accf * d_res[g]
-                amp_im_out[g] = amp_im_out[g] + accf * d_ims[g]
+        else:
+            if not skip_ampc:
+                for g in range(G):
+                    accf = accf_row[0, g]
+                    amp_re_out[g] = amp_re_out[g] + accf * d_res[g]
+                    amp_im_out[g] = amp_im_out[g] + accf * d_ims[g]
 
-            if nA == 1:
-                A_new_g = A_old_g = A
-            else:
-                A_new_g = A_new_r[0, g]
-                A_old_g = A_old_r[0, g]
-            s_idx = (jax.lax.broadcasted_iota(jnp.int32, (1, GS), 1)[0, :]
-                     + cols0)
-            do_write = acc & (wnew_i[0, g] > 0)
-            do_compact = acc & (rem_i[0, g] > 0)
-            rel_new = s_idx - site_start_new[0, g]
-            rel_old = s_idx - site_start_old[0, g]
-            in_new = do_write & (rel_new >= 0) & (rel_new < A_new_g)
-            in_old = do_compact & (rel_old >= 0) & (rel_old < A_old_g)
-            if skip_pos:
-                in_new = in_new & (s_idx < 0)
-                in_old = in_old & (s_idx < 0)
-            out = pos_out[g][:, cols0:]
+        dw_col = col_of((accr & w_new).astype(f32)) > 0     # (G, 1)
+        dc_col = col_of((accr & remove).astype(f32)) > 0
+        ssn_c = col_of(site_start_new.astype(f32))
+        if nA == 1:
+            Anew_c = float(A)
+            Aold_c = float(A)
+        else:
+            Anew_c = col_of(A_new_r.astype(f32))
+            Aold_c = col_of(A_old_r.astype(f32))
+        rel_new_G = si_G - ssn_c                            # (G, GS)
+        rel_old_G = si_G - sso_c
+        in_new_G = dw_col & (rel_new_G >= 0) & (rel_new_G < Anew_c)
+        in_old_G = dc_col & (rel_old_G >= 0) & (rel_old_G < Aold_c)
+        if skip_pos:
+            in_new_G = in_new_G & (si_G < 0)
+            in_old_G = in_old_G & (si_G < 0)
+        for i in range(3):
+            cur = pos_out[:, i, cols0:]                     # (G, GS)
             for a in range(A):
-                sel_o = ((rel_old == a) & in_old)[None, :]
-                out = jnp.where(sel_o, last_cols[:, g * A + a][:, None],
-                                out)
+                cur = jnp.where((rel_old_G == a) & in_old_G,
+                                ext_col(last_cols[i:i + 1, :], a), cur)
             for a in range(A):
-                sel_n = ((rel_new == a) & in_new)[None, :]
-                out = jnp.where(sel_n, P_newT[:, g * A + a][:, None], out)
-            pos_out[g, :, cols0:] = out
+                cur = jnp.where((rel_new_G == a) & in_new_G,
+                                ext_col(P_newT[i:i + 1, :], a), cur)
+            pos_out[:, i, cols0:] = cur
 
-            mi2 = jax.lax.broadcasted_iota(jnp.int32, (1, MP), 1)[0, :]
-            comv = com_out[g]
-            comv = jnp.where((do_compact & (mi2 == mol_slot_old[0, g]))
-                             [None, :], com_last[:, g:g + 1], comv)
-            comv = jnp.where((do_write & (mi2 == slot_new[0, g]))[None, :],
-                             com_new[:, g:g + 1], comv)
-            com_out[g] = comv
+        slotn_c = col_of(slot_new.astype(f32))
+        m_cmp = dc_col & (mi_G == slot_old_c)               # (G, MP)
+        m_wr = dw_col & (mi_G == slotn_c)
+        for i in range(3):
+            cv = com_out[:, i, :]
+            cv = jnp.where(m_cmp, col_of(com_last[i:i + 1, :]), cv)
+            cv = jnp.where(m_wr, col_of(com_new[i:i + 1, :]), cv)
+            com_out[:, i, :] = cv
 
-            if has_res:
-                # pop the sampled reservoir molecule on accepted insertion;
-                # push the removed molecule on accepted deletion (a full
-                # reservoir drops it, counted in cnt row 6)
-                do_pop = acc & (ins_i[0, g] > 0)
-                do_push = acc & (rem_i[0, g] > 0) & (rfull_i[0, g] == 0)
-                sr = jax.lax.broadcasted_iota(jnp.int32, (1, SresP),
-                                              1)[0, :]
-                rel_pop = sr - res_src[0, g]
-                rel_push = sr - push_start[0, g]
-                in_pop = do_pop & (rel_pop >= 0) & (rel_pop < A_new_g)
-                in_push = do_push & (rel_push >= 0) & (rel_push < A_old_g)
-                rout = resoff_out[g]
+        if has_res:
+            # pop the sampled reservoir molecule on accepted insertion;
+            # push the removed molecule on accepted deletion (a full
+            # reservoir drops it, counted in cnt row 6)
+            dpop_col = col_of((accr & insert).astype(f32)) > 0
+            dpush_col = col_of(
+                (accr & remove & (~res_full)).astype(f32)) > 0
+            push_c = col_of(push_start.astype(f32))
+            pushs_c = col_of(push_slot.astype(f32))
+            pops_c = col_of(pop_slot.astype(f32))
+            rel_pop_G = sri_G - rsrc_c                      # (G, SresP)
+            rel_push_G = sri_G - push_c
+            in_pop_G = dpop_col & (rel_pop_G >= 0) & (rel_pop_G < Anew_c)
+            in_push_G = dpush_col & (rel_push_G >= 0) & (rel_push_G < Aold_c)
+            for i in range(3):
+                rcur = resoff_out[:, i, :]
                 for a in range(A):
-                    sel_p = ((rel_push == a) & in_push)[None, :]
-                    rout = jnp.where(sel_p, off_old[:, g * A + a][:, None],
-                                     rout)
+                    rcur = jnp.where((rel_push_G == a) & in_push_G,
+                                     ext_col(off_old[i:i + 1, :], a), rcur)
                 for a in range(A):
-                    sel_c = ((rel_pop == a) & in_pop)[None, :]
-                    rout = jnp.where(
-                        sel_c, res_lastoff_cols[:, g * A + a][:, None],
-                        rout)
-                resoff_out[g] = rout
-                mr = jax.lax.broadcasted_iota(jnp.int32, (1, MresP),
-                                              1)[0, :]
-                rcv = rescom_out[g]
-                rcv = jnp.where((do_push & (mr == push_slot[0, g]))[None, :],
-                                res_pos[:, g:g + 1], rcv)
-                rcv = jnp.where((do_pop & (mr == pop_slot[0, g]))[None, :],
-                                rescom_last[:, g:g + 1], rcv)
-                rescom_out[g] = rcv
+                    rcur = jnp.where(
+                        (rel_pop_G == a) & in_pop_G,
+                        ext_col(res_lastoff_cols[i:i + 1, :], a), rcur)
+                resoff_out[:, i, :] = rcur
+            m_push = dpush_col & (mri_G == pushs_c)
+            m_pop = dpop_col & (mri_G == pops_c)
+            for i in range(3):
+                rcv = rescom_out[:, i, :]
+                rcv = jnp.where(m_push, col_of(res_pos[i:i + 1, :]), rcv)
+                rcv = jnp.where(m_pop, col_of(rescom_last[i:i + 1, :]), rcv)
+                rescom_out[:, i, :] = rcv
 
         # ---- lane-vectorized energy-component accumulation ----------------
         zero2 = jnp.zeros((2, G), f32)
@@ -1260,13 +1389,24 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
-    if spec.fw_split:
+    fw_fast = spec.fw_split and nA == 1 and spec.Lmax == 1
+    if fw_fast:
+        FLh = 2 * spec.Lmax
+        fwcomb = jnp.concatenate(
+            [spec.fw_pq_g, spec.fw_eps_g[:FLh], spec.fw_sig2_g[:FLh]],
+            axis=0)                                        # (4+2*FLh, SG)
+        scratch_shapes = [
+            pltpu.VMEM((4 + 2 * FLh, 2 * G, spec.fw_WL), f),
+            pltpu.VMEM((4, 2 * G, spec.fw_WC), f)]
+    elif spec.fw_split:
+        fwcomb = jnp.zeros((1, 128), f)
         GFL_h = G * 2 * spec.Lmax
         GFQ_h = G * 2 * spec.Qmax
         scratch_shapes = (
             [pltpu.VMEM((GFL_h, spec.fw_WL), f)] * 5
             + [pltpu.VMEM((GFQ_h, spec.fw_WC), f)] * 4)
     else:
+        fwcomb = jnp.zeros((1, 128), f)
         scratch_shapes = []
     kmerge = (JzP % 8 == 0)
     if kmerge:
@@ -1283,7 +1423,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
                    jax.ShapeDtypeStruct((G, 3, SresP), f),
                    jax.ShapeDtypeStruct((G, 3, MresP), f),
                    jax.ShapeDtypeStruct((nA, G), jnp.int32)),
-        in_specs=[vmem] * 35,
+        in_specs=[vmem] * 36,
         out_specs=(vmem,) * 10,
         input_output_aliases={29: 0, 30: 1, 31: 2, 32: 3, 33: 7, 34: 8},
         scratch_shapes=scratch_shapes,
@@ -1306,5 +1446,5 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
       states_g.rot_step.astype(f).reshape(1, G),
       resn_in,
       states_g.pos, states_g.com, states_g.amp_re, states_g.amp_im,
-      resoff, rescom)
+      resoff, rescom, fwcomb)
     return outs

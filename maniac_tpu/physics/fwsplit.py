@@ -91,16 +91,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _amps_on_grid(phase, q, kmaxs, shape):
+def _amps_on_grid(phase, q, kmaxs, shape, yb: int = 0):
     """sum_s q_s e^{i 2 pi n.frac_s} on a dense half-space grid laid out
-    (JzP, JxyP) with cols jx*Jy + jy (the ewald.py convention). phase:
-    (N, 3) complex e^{2 pi i frac}; returns (re, im) f64 arrays."""
+    (JzP, JxyP) with cols jx*JyB + jy (JyB=Jy: the ewald.py convention;
+    yb > Jy: jx-blocks padded to yb cols with dead modes - the far grid
+    uses yb=round_up(Jy,8) so the kernel can slice per-jx sublane blocks).
+    phase: (N, 3) complex e^{2 pi i frac}; returns (re, im) f64 arrays."""
     kxm, kym, kzm = kmaxs
     Jx, Jy, Jz = kxm + 1, 2 * kym + 1, 2 * kzm + 1
-    Jxy = Jx * Jy
+    JyB = max(yb, Jy)
+    Jxy = Jx * JyB
     JzP, JxyP = shape
     px = phase[:, 0][:, None] ** np.arange(Jx)[None, :]
-    py = phase[:, 1][:, None] ** (np.arange(Jy)[None, :] - kym)
+    py = np.zeros((q.size, JyB), dtype=complex)
+    py[:, :Jy] = phase[:, 1][:, None] ** (np.arange(Jy)[None, :] - kym)
     pz = phase[:, 2][:, None] ** (np.arange(Jz)[None, :] - kzm)
     a_xy = np.einsum("sx,sy->sxy", px, py).reshape(q.size, Jxy)
     A = pz.T @ (q[:, None] * a_xy)                     # (Jz, Jxy) complex
@@ -246,14 +250,20 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
         return FwSplitSetup(False, "far-field grid too large")
 
     Jx, Jy, Jz = int(kmax2[0]) + 1, 2 * int(kmax2[1]) + 1, 2 * int(kmax2[2]) + 1
-    Jxy = Jx * Jy
+    # columns laid out jx*JyB + jy with each jx block 8-row-padded: the
+    # whole-block kernel contracts jz first (MZ = c2 ? pz) and then slices
+    # per-jx SUBLANE blocks of the (Jxy2P, GFK)-oriented result, which
+    # Mosaic only supports at multiple-of-8 offsets; the pad modes carry
+    # coefficient 0 everywhere so every path sums them harmlessly
+    JyB = _round_up(Jy, 8)
+    Jxy = Jx * JyB
     Jz2P, Jxy2P = _round_up(Jz, 8), _round_up(Jxy, 128)
     g_jz, g_jxy = np.meshgrid(np.arange(Jz2P), np.arange(Jxy2P), indexing="ij")
     g_jz, g_jxy = g_jz.ravel(), g_jxy.ravel()
-    real = (g_jz < Jz) & (g_jxy < Jxy)
+    real = (g_jz < Jz) & (g_jxy < Jxy) & (g_jxy % JyB < Jy)
     n_int = np.zeros((Jz2P * Jxy2P, 3), dtype=np.int64)
-    n_int[real, 0] = g_jxy[real] // Jy
-    n_int[real, 1] = (g_jxy[real] % Jy) - int(kmax2[1])
+    n_int[real, 0] = g_jxy[real] // JyB
+    n_int[real, 1] = (g_jxy[real] % JyB) - int(kmax2[1])
     n_int[real, 2] = g_jz[real] - int(kmax2[2])
     k_cart = TWOPI * (n_int @ recip_rows)
     ksq = np.sum(k_cart * k_cart, axis=1)
@@ -276,7 +286,7 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
     phase = np.exp(2j * PI * frac[is_orig])            # (Nf, 3)
     qs = qf[is_orig]
     A2_re, A2_im = _amps_on_grid(phase, qs, tuple(int(k) for k in kmax2),
-                                 (Jz2P, Jxy2P))
+                                 (Jz2P, Jxy2P), yb=JyB)
 
     coef2 = coef.reshape(Jz2P, Jxy2P)
     c2_re = coef2 * A2_re
@@ -290,10 +300,11 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
 
     ex2 = np.zeros((Jx, Jxy2P))
     ey2 = np.zeros((Jy, Jxy2P))
-    gx = np.arange(Jxy) // Jy
-    gy = np.arange(Jxy) % Jy
-    ex2[gx, np.arange(Jxy)] = 1.0
-    ey2[gy, np.arange(Jxy)] = 1.0
+    gx = np.arange(Jxy) // JyB
+    gy = np.arange(Jxy) % JyB
+    live = gy < Jy
+    ex2[gx[live], np.arange(Jxy)[live]] = 1.0
+    ey2[gy[live], np.arange(Jxy)[live]] = 1.0
 
     Q_fw = float(np.sum(qs))
     d0 = COULOMB_K * PI * (1.0 / alpha ** 2 - 1.0 / a2 ** 2) * Q_fw / box.volume
