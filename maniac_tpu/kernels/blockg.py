@@ -112,6 +112,10 @@ def _blockg_kernel(
     skip_pos = "pos" in ablate
     skip_fpread = "fpread" in ablate
     skip_ampc = "ampc" in ablate
+    skip_intra = "intra" in ablate
+    skip_prop = "prop" in ablate
+    skip_ktab = "ktab" in ablate
+    skip_ft = "ft" in ablate
     FL, FQ = 2 * Lmax, 2 * Qmax
     FK = ((FQ + 7) // 8) * 8
     JxyP_ = kw_ref.shape[1]
@@ -502,42 +506,29 @@ def _blockg_kernel(
             res_last_start = RSB_new + res_last * A_new_r
             pop_slot = RMB_new + res_pick
             last_slot_res = RMB_new + res_last
-            # batched reservoir reads (same masked row-sum pattern as the
-            # COM/footprint reads above)
-            rsrc_c = col_of(res_src.astype(f32))            # (G, 1)
-            rlast_c = col_of(res_last_start.astype(f32))
-            lslot_c = col_of(last_slot_res.astype(f32))
-            sri_G = jax.lax.broadcasted_iota(
-                jnp.int32, (G, SresP), 1).astype(f32)
-            mri_G = jax.lax.broadcasted_iota(
-                jnp.int32, (G, MresP), 1).astype(f32)
-            rmask_s = [sri_G == rsrc_c + a for a in range(A)]
-            rmask_l = [sri_G == rlast_c + a for a in range(A)]
-            rmask_m = mri_G == lslot_c                      # (G, MresP)
-            rrow_s, rrow_l, rrow_m = [], [], []
-            for i in range(3):
-                rg = resoff_out[:, i, :]                    # (G, SresP)
-                rs = jnp.zeros((1, GA), f32)
-                rl2 = jnp.zeros((1, GA), f32)
-                for a in range(A):
-                    vs = jnp.sum(jnp.where(rmask_s[a], rg, 0.0), axis=1,
-                                 keepdims=True)
-                    vl2 = jnp.sum(jnp.where(rmask_l[a], rg, 0.0), axis=1,
-                                  keepdims=True)
-                    rs = rs + jax.lax.dot_general(
-                        vs, E_place[a], (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32)
-                    rl2 = rl2 + jax.lax.dot_general(
-                        vl2, E_place[a], (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32)
-                rrow_s.append(rs)
-                rrow_l.append(rl2)
-                rrow_m.append(row_of(jnp.sum(
-                    jnp.where(rmask_m, rescom_out[:, i, :], 0.0),
-                    axis=1, keepdims=True)))
-            res_off_cols = jnp.concatenate(rrow_s, 0)       # (3, GA)
-            res_lastoff_cols = jnp.concatenate(rrow_l, 0)
-            rescom_last = jnp.concatenate(rrow_m, 0)        # (3, G)
+            # reservoir reads stay per-replica: batched strided reads of
+            # the (G, 3, SresP) reservoir refs compile and pass single-
+            # program, but CRASH the TPU worker under the multi-program
+            # vmapped launch (16 programs, B=1024) - found on hardware,
+            # invisible to interpret-mode tests
+            rcols = []
+            rcomc = []
+            for g in range(G):
+                sri = jax.lax.broadcasted_iota(jnp.int32, (SresP, 2 * A), 0)
+                ari = jax.lax.broadcasted_iota(jnp.int32, (SresP, 2 * A), 1)
+                bsel = jnp.where(ari < A, res_src[0, g],
+                                 res_last_start[0, g])
+                tgt_r = jnp.where(ari < A, ari, ari - A)
+                ohr = ((sri - bsel) == tgt_r).astype(f32)
+                rcols.append(jnp.dot(resoff_out[g], ohr,
+                                     preferred_element_type=f32))  # (3, 2A)
+                mri = jax.lax.broadcasted_iota(jnp.int32, (MresP, 1), 0)
+                ohm = (mri == last_slot_res[0, g]).astype(f32)
+                rcomc.append(jnp.dot(rescom_out[g], ohm,
+                                     preferred_element_type=f32))  # (3, 1)
+            res_off_cols = jnp.concatenate([c[:, :A] for c in rcols], 1)
+            res_lastoff_cols = jnp.concatenate([c[:, A:] for c in rcols], 1)
+            rescom_last = jnp.concatenate(rcomc, 1)         # (3, G)
             off_src = jnp.where(insert_exp > 0, res_off_cols, off_old)
         else:
             if nA == 1:
@@ -552,71 +543,79 @@ def _blockg_kernel(
             off_src = jnp.where(insert_exp > 0, templ_sel, off_old)
 
         # ---- rotation rows ----------------------------------------------
-        axis_r = uint(urow(10), jnp.int32(3))
-        theta = jnp.where(is_rot, (urow(9) - 0.5) * rot_ref[0:1, :], 0.0)
-        c_, s_ = jnp.cos(theta), jnp.sin(theta)
-        one = jnp.ones((1, G), f32)
-        zero = jnp.zeros((1, G), f32)
-
-        def sel3(a0, a1, a2):
-            return jnp.where(axis_r == 0, a0,
-                             jnp.where(axis_r == 1, a1, a2))
-
-        rax = ((sel3(one, c_, c_), sel3(zero, zero, -s_),
-                sel3(zero, s_, zero)),
-               (sel3(zero, zero, s_), sel3(c_, one, c_),
-                sel3(-s_, zero, zero)),
-               (sel3(zero, -s_, zero), sel3(s_, zero, zero),
-                sel3(c_, c_, one)))
-        if has_res:
-            # reservoir geometry is used as-is: theta is already gated to
-            # rotations only, so inserts see the identity matrix
-            rm_rows = jnp.concatenate(
-                [rax[i][j] for i in range(3) for j in range(3)], axis=0)
+        if skip_prop:
+            com_new = com_old
+            com_new_exp = com_old_exp
+            P_newT = P_oldT
         else:
-            a_ = jnp.sqrt(1.0 - urow(15))
-            b_ = jnp.sqrt(urow(15))
-            t2_, t3_ = TWOPI * urow(16), TWOPI * urow(17)
-            qw_, qx_ = a_ * jnp.sin(t2_), a_ * jnp.cos(t2_)
-            qy_, qz_ = b_ * jnp.sin(t3_), b_ * jnp.cos(t3_)
-            runi = ((1 - 2 * (qy_ * qy_ + qz_ * qz_),
-                     2 * (qx_ * qy_ - qw_ * qz_),
-                     2 * (qx_ * qz_ + qw_ * qy_)),
-                    (2 * (qx_ * qy_ + qw_ * qz_),
-                     1 - 2 * (qx_ * qx_ + qz_ * qz_),
-                     2 * (qy_ * qz_ - qw_ * qx_)),
-                    (2 * (qx_ * qz_ - qw_ * qy_),
-                     2 * (qy_ * qz_ + qw_ * qx_),
-                     1 - 2 * (qx_ * qx_ + qy_ * qy_)))
-            rm_rows = jnp.concatenate(
-                [jnp.where(insert, runi[i][j], rax[i][j])
-                 for i in range(3) for j in range(3)], axis=0)  # (9, G)
-        rm_exp = jnp.dot(rm_rows, E_exp,
-                         preferred_element_type=f32)        # (9, GA)
+            axis_r = uint(urow(10), jnp.int32(3))
+            theta = jnp.where(is_rot, (urow(9) - 0.5) * rot_ref[0:1, :],
+                              0.0)
+            c_, s_ = jnp.cos(theta), jnp.sin(theta)
+            one = jnp.ones((1, G), f32)
+            zero = jnp.zeros((1, G), f32)
 
-        # ---- new COM rows -----------------------------------------------
-        com_new_rows = []
-        for i in range(3):
-            lo_i, L_i = cf(_CF["LO"] + i), cf(_CF["L"] + i)
-            ud = urow(3 + i) - 0.5
-            # identical formula to physics/pbc.py::wrap_into_box
-            tr_i = lo_i + jnp.mod(
-                com_old[i:i + 1, :] + ud * trans_ref[0:1, :] - lo_i, L_i)
-            ins_i = lo_i + (cf(_CF["H"] + 3 * i) * urow(6)
-                            + cf(_CF["H"] + 3 * i + 1) * urow(7)
-                            + cf(_CF["H"] + 3 * i + 2) * urow(8))
-            com_new_rows.append(jnp.where(
-                is_trans, tr_i,
-                jnp.where(is_create, ins_i, com_old[i:i + 1, :])))
-        com_new = jnp.concatenate(com_new_rows, axis=0)     # (3, G)
-        com_new_exp = jnp.dot(com_new, E_exp,
-                              preferred_element_type=f32)   # (3, GA)
-        P_newT = jnp.concatenate(
-            [com_new_exp[i:i + 1, :]
-             + rm_exp[3 * i + 0:3 * i + 1, :] * off_src[0:1, :]
-             + rm_exp[3 * i + 1:3 * i + 2, :] * off_src[1:2, :]
-             + rm_exp[3 * i + 2:3 * i + 3, :] * off_src[2:3, :]
-             for i in range(3)], axis=0)                    # (3, GA)
+            def sel3(a0, a1, a2):
+                return jnp.where(axis_r == 0, a0,
+                                 jnp.where(axis_r == 1, a1, a2))
+
+            rax = ((sel3(one, c_, c_), sel3(zero, zero, -s_),
+                    sel3(zero, s_, zero)),
+                   (sel3(zero, zero, s_), sel3(c_, one, c_),
+                    sel3(-s_, zero, zero)),
+                   (sel3(zero, -s_, zero), sel3(s_, zero, zero),
+                    sel3(c_, c_, one)))
+            if has_res:
+                # reservoir geometry is used as-is: theta is already gated
+                # to rotations only, so inserts see the identity matrix
+                rm_rows = jnp.concatenate(
+                    [rax[i][j] for i in range(3) for j in range(3)],
+                    axis=0)
+            else:
+                a_ = jnp.sqrt(1.0 - urow(15))
+                b_ = jnp.sqrt(urow(15))
+                t2_, t3_ = TWOPI * urow(16), TWOPI * urow(17)
+                qw_, qx_ = a_ * jnp.sin(t2_), a_ * jnp.cos(t2_)
+                qy_, qz_ = b_ * jnp.sin(t3_), b_ * jnp.cos(t3_)
+                runi = ((1 - 2 * (qy_ * qy_ + qz_ * qz_),
+                         2 * (qx_ * qy_ - qw_ * qz_),
+                         2 * (qx_ * qz_ + qw_ * qy_)),
+                        (2 * (qx_ * qy_ + qw_ * qz_),
+                         1 - 2 * (qx_ * qx_ + qz_ * qz_),
+                         2 * (qy_ * qz_ - qw_ * qx_)),
+                        (2 * (qx_ * qz_ - qw_ * qy_),
+                         2 * (qy_ * qz_ + qw_ * qx_),
+                         1 - 2 * (qx_ * qx_ + qy_ * qy_)))
+                rm_rows = jnp.concatenate(
+                    [jnp.where(insert, runi[i][j], rax[i][j])
+                     for i in range(3) for j in range(3)], axis=0)  # (9, G)
+            rm_exp = jnp.dot(rm_rows, E_exp,
+                             preferred_element_type=f32)    # (9, GA)
+
+            # ---- new COM rows -------------------------------------------
+            com_new_rows = []
+            for i in range(3):
+                lo_i, L_i = cf(_CF["LO"] + i), cf(_CF["L"] + i)
+                ud = urow(3 + i) - 0.5
+                # identical formula to physics/pbc.py::wrap_into_box
+                tr_i = lo_i + jnp.mod(
+                    com_old[i:i + 1, :] + ud * trans_ref[0:1, :] - lo_i,
+                    L_i)
+                ins_i = lo_i + (cf(_CF["H"] + 3 * i) * urow(6)
+                                + cf(_CF["H"] + 3 * i + 1) * urow(7)
+                                + cf(_CF["H"] + 3 * i + 2) * urow(8))
+                com_new_rows.append(jnp.where(
+                    is_trans, tr_i,
+                    jnp.where(is_create, ins_i, com_old[i:i + 1, :])))
+            com_new = jnp.concatenate(com_new_rows, axis=0)  # (3, G)
+            com_new_exp = jnp.dot(com_new, E_exp,
+                                  preferred_element_type=f32)  # (3, GA)
+            P_newT = jnp.concatenate(
+                [com_new_exp[i:i + 1, :]
+                 + rm_exp[3 * i + 0:3 * i + 1, :] * off_src[0:1, :]
+                 + rm_exp[3 * i + 1:3 * i + 2, :] * off_src[1:2, :]
+                 + rm_exp[3 * i + 2:3 * i + 3, :] * off_src[2:3, :]
+                 for i in range(3)], axis=0)                # (3, GA)
 
         # ---- intra + self (batched atom extraction) ----------------------
         def intra(PT, gate_row, idx):
@@ -645,8 +644,12 @@ def _blockg_kernel(
                         qq * (_erfc(alpha * ri) - 1.0) / ri, 0.0)
             return jnp.where(gate_row, acc * coulomb_k, 0.0)
 
-        i_old_e = intra(P_oldT, remove & valid, i_old)
-        i_new_e = intra(P_newT, insert, i_new)
+        if skip_intra:
+            i_old_e = jnp.zeros((1, G), f32)
+            i_new_e = jnp.zeros((1, G), f32)
+        else:
+            i_old_e = intra(P_oldT, remove & valid, i_old)
+            i_new_e = intra(P_newT, insert, i_new)
         s_old = jnp.where(remove, self_old, 0.0)
         s_new = jnp.where(insert, self_new, 0.0)
         e_rest_old = s_old + i_old_e                        # (1, G)
@@ -654,7 +657,13 @@ def _blockg_kernel(
 
         # ---- footprint operands (static-matrix extraction) ---------------
         # old side occupies cols with side==0, new side side==1:
-        if nA == 1:
+        if skip_ft:
+            ptlj = jnp.zeros((3, GFL), f32)
+            ptq = jnp.zeros((3, GFQ), f32)
+            ptk = jnp.zeros((3, GFK), f32)
+            qpat_q = jnp.zeros((1, GFQ), f32)
+            qpat_k = jnp.zeros((1, GFK), f32)
+        elif nA == 1:
             ptlj = jnp.where(side_fl,
                              jnp.dot(P_newT, E_lj_ts[0],
                                      preferred_element_type=f32),
@@ -972,9 +981,17 @@ def _blockg_kernel(
         nx = max(kx, kx2 if fw_on else 0)
         ny = max(ky, ky2 if fw_on else 0)
         nz = max(kz, kz2 if fw_on else 0)
-        rex, imx = _powers(cA[0:1, :], sA[0:1, :], nx)
-        rey, imy = _powers(cA[1:2, :], sA[1:2, :], ny)
-        rez, imz = _powers(cA[2:3, :], sA[2:3, :], nz)
+        if skip_ktab:
+            rex = [cA[0:1, :]] * (nx + 1)
+            imx = [sA[0:1, :]] * (nx + 1)
+            rey = [cA[1:2, :]] * (ny + 1)
+            imy = [sA[1:2, :]] * (ny + 1)
+            rez = [cA[2:3, :]] * (nz + 1)
+            imz = [sA[2:3, :]] * (nz + 1)
+        else:
+            rex, imx = _powers(cA[0:1, :], sA[0:1, :], nx)
+            rey, imy = _powers(cA[1:2, :], sA[1:2, :], ny)
+            rez, imz = _powers(cA[2:3, :], sA[2:3, :], nz)
         wkrow = wkk
         pxT = jnp.concatenate(
             [jnp.concatenate([rex[j] * wkrow for j in range(kx + 1)], 0),
@@ -1197,34 +1214,47 @@ def _blockg_kernel(
         if has_res:
             # pop the sampled reservoir molecule on accepted insertion;
             # push the removed molecule on accepted deletion (a full
-            # reservoir drops it, counted in cnt row 6)
-            dpop_col = col_of((accr & insert).astype(f32)) > 0
-            dpush_col = col_of(
-                (accr & remove & (~res_full)).astype(f32)) > 0
-            push_c = col_of(push_start.astype(f32))
-            pushs_c = col_of(push_slot.astype(f32))
-            pops_c = col_of(pop_slot.astype(f32))
-            rel_pop_G = sri_G - rsrc_c                      # (G, SresP)
-            rel_push_G = sri_G - push_c
-            in_pop_G = dpop_col & (rel_pop_G >= 0) & (rel_pop_G < Anew_c)
-            in_push_G = dpush_col & (rel_push_G >= 0) & (rel_push_G < Aold_c)
-            for i in range(3):
-                rcur = resoff_out[:, i, :]
+            # reservoir drops it, counted in cnt row 6). Per-replica, not
+            # batched: see the reservoir-read note above (strided reservoir
+            # ref access crashes the multi-program launch on hardware).
+            acc_i_row = accr.astype(jnp.int32)
+            ins_i = insert.astype(jnp.int32)
+            rem_i = remove.astype(jnp.int32)
+            rfull_i = res_full.astype(jnp.int32)
+            for g in range(G):
+                acc = acc_i_row[0, g] > 0
+                if nA == 1:
+                    A_new_g = A_old_g = A
+                else:
+                    A_new_g = A_new_r[0, g]
+                    A_old_g = A_old_r[0, g]
+                do_pop = acc & (ins_i[0, g] > 0)
+                do_push = acc & (rem_i[0, g] > 0) & (rfull_i[0, g] == 0)
+                sr = jax.lax.broadcasted_iota(jnp.int32, (1, SresP),
+                                              1)[0, :]
+                rel_pop = sr - res_src[0, g]
+                rel_push = sr - push_start[0, g]
+                in_pop = do_pop & (rel_pop >= 0) & (rel_pop < A_new_g)
+                in_push = do_push & (rel_push >= 0) & (rel_push < A_old_g)
+                rout = resoff_out[g]
                 for a in range(A):
-                    rcur = jnp.where((rel_push_G == a) & in_push_G,
-                                     ext_col(off_old[i:i + 1, :], a), rcur)
+                    sel_p = ((rel_push == a) & in_push)[None, :]
+                    rout = jnp.where(sel_p, off_old[:, g * A + a][:, None],
+                                     rout)
                 for a in range(A):
-                    rcur = jnp.where(
-                        (rel_pop_G == a) & in_pop_G,
-                        ext_col(res_lastoff_cols[i:i + 1, :], a), rcur)
-                resoff_out[:, i, :] = rcur
-            m_push = dpush_col & (mri_G == pushs_c)
-            m_pop = dpop_col & (mri_G == pops_c)
-            for i in range(3):
-                rcv = rescom_out[:, i, :]
-                rcv = jnp.where(m_push, col_of(res_pos[i:i + 1, :]), rcv)
-                rcv = jnp.where(m_pop, col_of(rescom_last[i:i + 1, :]), rcv)
-                rescom_out[:, i, :] = rcv
+                    sel_c = ((rel_pop == a) & in_pop)[None, :]
+                    rout = jnp.where(
+                        sel_c, res_lastoff_cols[:, g * A + a][:, None],
+                        rout)
+                resoff_out[g] = rout
+                mr = jax.lax.broadcasted_iota(jnp.int32, (1, MresP),
+                                              1)[0, :]
+                rcv = rescom_out[g]
+                rcv = jnp.where((do_push & (mr == push_slot[0, g]))[None, :],
+                                res_pos[:, g:g + 1], rcv)
+                rcv = jnp.where((do_pop & (mr == pop_slot[0, g]))[None, :],
+                                rescom_last[:, g:g + 1], rcv)
+                rescom_out[g] = rcv
 
         # ---- lane-vectorized energy-component accumulation ----------------
         zero2 = jnp.zeros((2, G), f32)
