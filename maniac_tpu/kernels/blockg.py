@@ -257,6 +257,40 @@ def _blockg_kernel(
         return jax.lax.dot_general(E_place[a], row, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
+    # intra pair constants: the A*(A-1)/2 intra-molecular pairs vectorized
+    # into lanes (col p*G + g), instead of a per-pair loop of (1, G) ops
+    PAIRS = tuple((a, b) for a in range(A) for b in range(a + 1, A))
+    NPAIR = len(PAIRS)
+    if NPAIR:
+        PGI = NPAIR * G
+        rr_p = jax.lax.broadcasted_iota(jnp.int32, (GA, PGI), 0)
+        cc_p = jax.lax.broadcasted_iota(jnp.int32, (GA, PGI), 1)
+        a_sel = jnp.full((GA, PGI), -1, jnp.int32)
+        b_sel = jnp.full((GA, PGI), -1, jnp.int32)
+        for p, (pa, pb) in enumerate(PAIRS):
+            inp = (cc_p // G) == p
+            a_sel = jnp.where(inp, pa, a_sel)
+            b_sel = jnp.where(inp, pb, b_sel)
+        gmatch_p = (rr_p // A) == (cc_p % G)
+        E_pa = (gmatch_p & ((rr_p % A) == a_sel)).astype(f32)
+        E_pb = (gmatch_p & ((rr_p % A) == b_sel)).astype(f32)
+        rs_p = jax.lax.broadcasted_iota(jnp.int32, (PGI, G), 0)
+        cs_p = jax.lax.broadcasted_iota(jnp.int32, (PGI, G), 1)
+        E_psum = ((rs_p % G) == cs_p).astype(f32)
+        qq_pat_ts = []
+        for t in range(nA):
+            qq_t = jnp.zeros((1, PGI), f32)
+            for p, (pa, pb) in enumerate(PAIRS):
+                qq_t = jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (1, PGI), 1)
+                    // G == p, qrow_ref[t, pa] * qrow_ref[t, pb], qq_t)
+            qq_pat_ts.append(qq_t)
+        if nA > 1:
+            # per-replica row -> (1, PGI) expansion (col p*G + g <- g)
+            E_gp = ((jax.lax.broadcasted_iota(jnp.int32, (G, PGI), 0)
+                     == jax.lax.broadcasted_iota(jnp.int32, (G, PGI), 1)
+                     % G)).astype(f32)
+
     # per-active-pair static row-selection patterns: with the per-step
     # replica gating folded in (E_dyn in step_body), the multi-species
     # guest-chunk LJ tables become ONE (GFL, nA*nA*8) x (nA*nA*8, 128)
@@ -270,6 +304,15 @@ def _blockg_kernel(
 
     fw_imask = tuple(ax != fw_axis for ax in range(3))
 
+    if fw_on:
+        # fw window-start constants: block-max sort coords as a column
+        # (identity contraction, no relayout) + a ones row for the count
+        ib1_ = jax.lax.broadcasted_iota(jnp.int32, (NBG, NBG), 0)
+        ib2_ = jax.lax.broadcasted_iota(jnp.int32, (NBG, NBG), 1)
+        fwbm_col = jax.lax.dot_general(
+            (ib1_ == ib2_).astype(f32), fwbm_ref[0:1, :],
+            (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (NBG, 1)
+        ones_nb = jnp.ones((1, NBG), f32)
     fw_fast = fw_on and nA == 1 and Lmax == 1
     if fw_fast:
         # single-store staging constants: scratch rows are (g, side) pairs
@@ -617,31 +660,30 @@ def _blockg_kernel(
                  + rm_exp[3 * i + 2:3 * i + 3, :] * off_src[2:3, :]
                  for i in range(3)], axis=0)                # (3, GA)
 
-        # ---- intra + self (batched atom extraction) ----------------------
+        # ---- intra + self (all pairs vectorized into lanes) ---------------
         def intra(PT, gate_row, idx):
-            X = jnp.dot(PT, E_atom, preferred_element_type=f32)  # (3, A*G)
-            acc = jnp.zeros((1, G), f32)
-            for a in range(A):
-                for b in range(a + 1, A):
-                    dxs = []
-                    for i in range(3):
-                        d = (X[i:i + 1, a * G:(a + 1) * G]
-                             - X[i:i + 1, b * G:(b + 1) * G])
-                        d = d - ll[i] * jnp.round(d * inv_l[i])
-                        dxs.append(d)
-                    ri2 = jnp.maximum(dxs[0] * dxs[0] + dxs[1] * dxs[1]
-                                      + dxs[2] * dxs[2], _R2_FLOOR)
-                    ri = jnp.sqrt(ri2)
-                    qq = qrow_ref[0, a] * qrow_ref[0, b]
-                    if nA > 1:
-                        qq = jnp.full((1, G), qq, f32)
-                        for tt in range(1, nA):
-                            qq = jnp.where(idx == tt,
-                                           qrow_ref[tt, a] * qrow_ref[tt, b],
-                                           qq)
-                    acc = acc + jnp.where(
-                        ri2 > 1e-16,
-                        qq * (_erfc(alpha * ri) - 1.0) / ri, 0.0)
+            if NPAIR == 0:
+                return jnp.zeros((1, G), f32)
+            XA = jnp.dot(PT, E_pa, preferred_element_type=f32)  # (3, PGI)
+            XB = jnp.dot(PT, E_pb, preferred_element_type=f32)
+            ds = []
+            for i in range(3):
+                d = XA[i:i + 1, :] - XB[i:i + 1, :]
+                d = d - ll[i] * jnp.round(d * inv_l[i])
+                ds.append(d)
+            ri2 = jnp.maximum(ds[0] * ds[0] + ds[1] * ds[1]
+                              + ds[2] * ds[2], _R2_FLOOR)
+            ri = jnp.sqrt(ri2)
+            qq = qq_pat_ts[0]
+            if nA > 1:
+                idx_pg = jnp.dot(idx.astype(f32), E_gp,
+                                 preferred_element_type=f32)  # (1, PGI)
+                for tt in range(1, nA):
+                    qq = jnp.where(idx_pg == tt, qq_pat_ts[tt], qq)
+            vals = jnp.where(ri2 > 1e-16,
+                             qq * (_erfc(alpha * ri) - 1.0) / ri, 0.0)
+            acc = jnp.dot(vals, E_psum,
+                          preferred_element_type=f32)       # (1, G)
             return jnp.where(gate_row, acc * coulomb_k, 0.0)
 
         if skip_intra:
@@ -740,7 +782,7 @@ def _blockg_kernel(
                         - jnp.where(side_fk, 0.0,
                                     gx(wof, Eg_fk) * livef))
 
-        # ---- fw window starts (vectorized over lanes) --------------------
+        # ---- fw window starts (one compare plane + count matmul each) ----
         if fw_on:
             zo = com_old[fw_axis:fw_axis + 1, :]            # (1, G)
             zn = com_new[fw_axis:fw_axis + 1, :]
@@ -749,9 +791,9 @@ def _blockg_kernel(
                                (zn, cstg_ref[0, 3], WL),
                                (zo, cstg_ref[0, 4], WC),
                                (zn, cstg_ref[0, 4], WC)):
-                cnt = jnp.zeros((1, G), jnp.int32)
-                for nb in range(NBG):
-                    cnt = cnt + (fwbm_ref[0, nb] < zc - rcw).astype(jnp.int32)
+                below = (fwbm_col < (zc - rcw)).astype(f32)  # (NBG, G)
+                cnt = jnp.dot(ones_nb, below,
+                              preferred_element_type=f32).astype(jnp.int32)
                 starts.append(jnp.clip(cnt, 0, NBG - W // 128))
             stL0, stL1, stC0, stC1 = starts
         # ---- exclusion scalars -------------------------------------------
@@ -989,9 +1031,22 @@ def _blockg_kernel(
             rez = [cA[2:3, :]] * (nz + 1)
             imz = [sA[2:3, :]] * (nz + 1)
         else:
-            rex, imx = _powers(cA[0:1, :], sA[0:1, :], nx)
-            rey, imy = _powers(cA[1:2, :], sA[1:2, :], ny)
-            rez, imz = _powers(cA[2:3, :], sA[2:3, :], nz)
+            # ONE stacked recurrence for all three axes: each power step is
+            # 6 ops on (3, GFK) instead of 3x6 on (1, GFK) rows (the three
+            # single-row chains wasted 7/8 of the sublanes and measured
+            # ~0.1 ms/step at nmax=32); per-element values are bit-identical
+            nmax = max(nx, ny, nz)
+            re3 = [jnp.ones_like(cA)]
+            im3 = [jnp.zeros_like(sA)]
+            for _ in range(nmax):
+                re3.append(re3[-1] * cA - im3[-1] * sA)
+                im3.append(re3[-2] * sA + im3[-1] * cA)
+            rex = [r[0:1, :] for r in re3]
+            imx = [r[0:1, :] for r in im3]
+            rey = [r[1:2, :] for r in re3]
+            imy = [r[1:2, :] for r in im3]
+            rez = [r[2:3, :] for r in re3]
+            imz = [r[2:3, :] for r in im3]
         wkrow = wkk
         pxT = jnp.concatenate(
             [jnp.concatenate([rex[j] * wkrow for j in range(kx + 1)], 0),

@@ -165,8 +165,14 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
     lo_ax = float(box.bounds[axis, 0])
     hi_ax = lo_ax + L_ax
 
-    rc2 = float(rcut2) if rcut2 else min(float(cutoff),
-                                         max(5.0, 0.72 * float(cutoff)))
+    # Default short-pass cutoff = the LJ cutoff: the Coulomb window then
+    # coincides with the (already-paid) LJ window width while alpha2 -
+    # and with it the far-field grid extent (kmax2 ~ alpha2) - drops by
+    # ~1/0.72. Measured on the flagship bench: rcut2 0.72c -> c is
+    # 1.471M -> 1.576M steps/s (kmax2 32 -> 27, far pass + phase powers
+    # shrink; docs/performance.md). Accuracy is alpha2-invariant by
+    # construction (a2 = _ERFC_DECAY / rc2 keeps erfc(a2 rc2) ~ 5e-10).
+    rc2 = float(rcut2) if rcut2 else max(5.0, float(cutoff))
     a2 = float(alpha2) if alpha2 else _ERFC_DECAY / rc2
     if a2 <= float(alpha):
         return FwSplitSetup(False, "alpha2 <= alpha (split pointless)")

@@ -40,23 +40,45 @@ def timeit(fn, *args, n=5, warmup=1):
 def main():
     B = int(os.environ.get("PROF_B", "1024"))
     NS = int(os.environ.get("PROF_STEPS", "50"))
+    system = os.environ.get("PROF_SYSTEM", "zif")
     from maniac_tpu import load_system
-    from maniac_tpu.systems import make_zif_like
+    from maniac_tpu.systems import (make_framework_mixed, make_water_box,
+                                    make_water_reservoir, make_zif_like)
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.mc.driver import resync_amplitudes_replicated
 
     from maniac_tpu.utils.setupcache import cached_spec_state
-    cap = int(os.environ.get("PROF_CAP", "512"))
+    cap_default = {"bigS": 2500}.get(system, 512)
+    cap = int(os.environ.get("PROF_CAP", str(cap_default)))
 
     def build():
         with tempfile.TemporaryDirectory() as tmp:
-            make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
+            res_file = None
+            if system == "zif":
+                make_zif_like(tmp, n_cells=6, a=5.66, n_water=32,
+                              fugacity=30.0)
+            elif system == "mixed":
+                make_framework_mixed(tmp, n_cells=6, a=5.66, n_water=24,
+                                     n_dimer=12, cutoff=8.5, tol=1e-5,
+                                     probs=(0.25, 0.15, 0.4, 0.2))
+            elif system == "resv":
+                make_water_box(tmp, n_water=48, L=24.0, cutoff=8.0,
+                               tol=1e-5, probs=(0.3, 0.2, 0.5, 0.0),
+                               fugacity=4000.0)
+                res_file = make_water_reservoir(tmp, n_water=96, L=24.0)
+            elif system == "bigS":
+                make_water_box(tmp, n_water=2000, L=40.0, cutoff=8.5,
+                               tol=1e-5, probs=(0.3, 0.2, 0.5, 0.0),
+                               fugacity=4000.0)
+            else:
+                raise SystemExit(f"unknown PROF_SYSTEM={system}")
             sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                                f"{tmp}/parameters.inc", dtype=jnp.float32,
-                               capacity=cap)
+                               capacity=cap, reservoir_file=res_file)
         return sysm.spec, sysm.state
 
-    spec, state = cached_spec_state(f"zif6-v1|cap={cap}|dtype=f32", build)
+    spec, state = cached_spec_state(
+        f"qt-v2|{system}|cap={cap}|dtype=f32", build)
     states = replicate(spec, state, B)
     print(f"# B={B} S={spec.S} K={spec.K} kmax={spec.kmax_xyz} "
           f"dev={jax.devices()[0]}")
