@@ -103,7 +103,7 @@ def _blockg_kernel(
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
-        kmerge: bool = False, ablate: str = ""):
+        kmerge: bool = False, onewin: bool = False, ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -340,7 +340,8 @@ def _blockg_kernel(
     # a (G*JzP, G) block-sum matrix and a G-tiled copy of the k weights
     # turn 64 per-replica (JzP, JxyP) reductions + amp commits into one
     # big elementwise pass + two small matmuls
-    nfw_scr = 0 if not fw_on else (2 if fw_fast else 9)
+    onewin = onewin and fw_fast
+    nfw_scr = 0 if not fw_on else ((1 if onewin else 2) if fw_fast else 9)
     dscr = scratch_refs[nfw_scr] if kmerge else None
     if kmerge:
         GJz = G * JzP
@@ -786,16 +787,22 @@ def _blockg_kernel(
         if fw_on:
             zo = com_old[fw_axis:fw_axis + 1, :]            # (1, G)
             zn = com_new[fw_axis:fw_axis + 1, :]
+            want = ((zo, cstg_ref[0, 3], WL), (zn, cstg_ref[0, 3], WL))
+            if not onewin:
+                want += ((zo, cstg_ref[0, 4], WC), (zn, cstg_ref[0, 4], WC))
             starts = []
-            for zc, rcw, W in ((zo, cstg_ref[0, 3], WL),
-                               (zn, cstg_ref[0, 3], WL),
-                               (zo, cstg_ref[0, 4], WC),
-                               (zn, cstg_ref[0, 4], WC)):
+            for zc, rcw, W in want:
                 below = (fwbm_col < (zc - rcw)).astype(f32)  # (NBG, G)
                 cnt = jnp.dot(ones_nb, below,
                               preferred_element_type=f32).astype(jnp.int32)
                 starts.append(jnp.clip(cnt, 0, NBG - W // 128))
-            stL0, stL1, stC0, stC1 = starts
+            if onewin:
+                # rcw_lj == rcw_c and WL == WC: one window serves both
+                # passes (the rcut2 default makes this the common case)
+                stL0, stL1 = starts
+                stC0, stC1 = stL0, stL1
+            else:
+                stL0, stL1, stC0, stC1 = starts
         # ---- exclusion scalars -------------------------------------------
         exa = jnp.where(w_old, mol_slot_old, Mtot + 1)      # (1, G)
         exb = slot_new
@@ -924,7 +931,8 @@ def _blockg_kernel(
             # row layout (g, side) == the LJ footprint layout at Lmax==1,
             # so the LJ pass reads the scratch planes directly, and the
             # C-pass (g, side, j) operands expand via one matmul per plane
-            sfc, scc = scratch_refs[0], scratch_refs[1]
+            sfc = scratch_refs[0]
+            scc = sfc if onewin else scratch_refs[1]
             for g in range(G):
                 for side, st in ((0, stL0), (1, stL1)):
                     sfc[:, 2 * g + side, :] = fwcomb_ref[
@@ -938,10 +946,12 @@ def _blockg_kernel(
             self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
             lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
                                         axis=1, keepdims=True)
-            for g in range(G):
-                for side, st in ((0, stC0), (1, stC1)):
-                    scc[:, 2 * g + side, :] = fwpq_ref[
-                        :, pl.ds(st[0, g] * 128, WC)]
+            if not onewin:
+                # distinct Coulomb window: stage its x/y/z/q separately
+                for g in range(G):
+                    for side, st in ((0, stC0), (1, stC1)):
+                        scc[:, 2 * g + side, :] = fwpq_ref[
+                            :, pl.ds(st[0, g] * 128, WC)]
             xCf = jnp.dot(E_fwC, scc[0], preferred_element_type=f32)
             yCf = jnp.dot(E_fwC, scc[1], preferred_element_type=f32)
             zCf = jnp.dot(E_fwC, scc[2], preferred_element_type=f32)
@@ -1471,6 +1481,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         Jz2P=Jz2P, fw_axis=spec.fw_axis, nA=nA, A_ts=A_ts, aids=aids,
         has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
         sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0),
+        onewin=bool(getattr(spec, "fw_onewin", False)),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
@@ -1480,9 +1491,9 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         fwcomb = jnp.concatenate(
             [spec.fw_pq_g, spec.fw_eps_g[:FLh], spec.fw_sig2_g[:FLh]],
             axis=0)                                        # (4+2*FLh, SG)
-        scratch_shapes = [
-            pltpu.VMEM((4 + 2 * FLh, 2 * G, spec.fw_WL), f),
-            pltpu.VMEM((4, 2 * G, spec.fw_WC), f)]
+        scratch_shapes = [pltpu.VMEM((4 + 2 * FLh, 2 * G, spec.fw_WL), f)]
+        if not getattr(spec, "fw_onewin", False):
+            scratch_shapes.append(pltpu.VMEM((4, 2 * G, spec.fw_WC), f))
     elif spec.fw_split:
         fwcomb = jnp.zeros((1, 128), f)
         GFL_h = G * 2 * spec.Lmax

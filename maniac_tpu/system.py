@@ -71,7 +71,8 @@ def _round_up(x: int, m: int) -> int:
                       "dtype_name", "has_reservoir", "res_cap_list",
                       "kmax_xyz", "amp_shape", "F_pack", "Lmax", "Qmax",
                       "fw_split", "S_frozen", "guest_base", "fw_SG",
-                      "fw_WL", "fw_WC", "fw_axis", "kmax2_xyz", "amp2_shape",
+                      "fw_WL", "fw_WC", "fw_onewin", "fw_axis",
+                      "kmax2_xyz", "amp2_shape",
                       "site_base_list", "lj_idx_list", "q_idx_list"])
 @dataclass(frozen=True)
 class SystemSpec:
@@ -209,6 +210,9 @@ class SystemSpec:
     fw_SG: int                # ghost table width
     fw_WL: int                # LJ window cols
     fw_WC: int                # Coulomb window cols
+    fw_onewin: bool           # LJ and Coulomb windows coincide (same half-
+                              # width AND padded width): kernels may stage
+                              # one shared window slice per (g, side)
     fw_axis: int              # sort axis
     kmax2_xyz: tuple
     amp2_shape: tuple         # (Jz2P, Jxy2P)
@@ -561,7 +565,10 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         Lmax=Lmax, Qmax=Qmax,
         fw_split=bool(fws.enabled), S_frozen=int(fws.S_frozen),
         guest_base=int(fws.guest_base), fw_SG=int(fws.SG),
-        fw_WL=int(fws.WL), fw_WC=int(fws.WC), fw_axis=int(fws.axis),
+        fw_WL=int(fws.WL), fw_WC=int(fws.WC),
+        fw_onewin=bool(fws.enabled and fws.WL == fws.WC
+                       and fws.rcw_lj == fws.rcw_c),
+        fw_axis=int(fws.axis),
         kmax2_xyz=tuple(fws.kmax2), amp2_shape=tuple(fws.amp2_shape),
         site_base_list=tuple(base_list),
         lj_idx_list=tuple(tuple(x) for x in lj_idx),
