@@ -116,6 +116,7 @@ def _blockg_kernel(
     skip_prop = "prop" in ablate
     skip_ktab = "ktab" in ablate
     skip_ft = "ft" in ablate
+    force_rej = "rej" in ablate
     FL, FQ = 2 * Lmax, 2 * Qmax
     FK = ((FQ + 7) // 8) * 8
     JxyP_ = kw_ref.shape[1]
@@ -1221,6 +1222,12 @@ def _blockg_kernel(
         p_acc_row = jnp.minimum(1.0, pref_row * jnp.exp(-delta_row * inv_t))
         gate_row = valid & (~cap_blocked)
         accr = gate_row & (urow(2) <= p_acc_row)            # (1, G) bool
+        if force_rej:
+            # attribution mode: reject every move at runtime (the compare
+            # is opaque to the compiler, so no commit work is DCE'd) so
+            # populations - and therefore per-section cost - stay fixed
+            # across MANIAC_KABLATE variants
+            accr = accr & (urow(2) < -1.0)
         accf_row = accr.astype(f32)
 
         # ---- commits (batched strided per-coordinate selects) -------------

@@ -32,6 +32,10 @@ def _source_hash() -> str:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha256()
         for dirpath, _, names in sorted(os.walk(root)):
+            # kernels/ and mc/ never run during system construction; a
+            # kernel-tuning edit must not invalidate the built (spec, state)
+            if os.path.basename(dirpath) in ("kernels", "mc", "parallel"):
+                continue
             for n in sorted(names):
                 if n.endswith(".py"):
                     with open(os.path.join(dirpath, n), "rb") as f:

@@ -47,10 +47,15 @@ def main():
         return timeit(lambda s: run_block_replicated(spec, s, NS, False),
                       states)
 
-    base = run("")
-    print(f"base:     {base/NS*1e3:8.3f} ms/step", flush=True)
+    # all runs force-reject every move ("rej" gate): ablating an energy
+    # section otherwise changes accept decisions, so populations - and the
+    # cost of the population-dependent passes - diverge between variants
+    live = run("")
+    base = run("rej")
+    print(f"live:     {live/NS*1e3:8.3f} ms/step", flush=True)
+    print(f"base(rej):{base/NS*1e3:8.3f} ms/step", flush=True)
     for ab in ablations:
-        t = run(ab)
+        t = run(f"rej,{ab}")
         print(f"-{ab:8s} {t/NS*1e3:8.3f} ms/step  (section ~"
               f"{(base-t)/NS*1e3:6.3f} ms)", flush=True)
 
