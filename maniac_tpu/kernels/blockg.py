@@ -48,6 +48,16 @@ from .step import _erfc, _powers, _signed_table
 
 _R2_FLOOR = 1e-18
 
+
+def _ds128(start, size):
+    """Dynamic lane slice whose start is 128-aligned by construction.
+
+    Every dynamic column offset in this kernel is a block index * 128
+    (guest chunks, fw window starts); the multiple_of hint lets Mosaic
+    emit aligned vreg copies instead of lane-rotation sequences.
+    """
+    return pl.ds(pl.multiple_of(start, 128), size)
+
 # const row layout (1, 48) f32
 _CF = dict(INVL=0, L=3, ALPHA=6, RC2=7, CK=8, INVT=9, C2PIV=10, PCUM=11,
            VOL=15, LO=16, H=19, TRANS=28, ROT=29, ALPHA2=30, RC2SQ2=31,
@@ -247,8 +257,7 @@ def _blockg_kernel(
     # batched footprint-read / commit constants: per-replica iota planes
     # and atom-placement one-hots (row g -> col g*A + a)
     mi_G = jax.lax.broadcasted_iota(jnp.int32, (G, MP), 1).astype(f32)
-    si_G = (jax.lax.broadcasted_iota(jnp.int32, (G, GS), 1)
-            + cols0).astype(f32)
+    lane_G = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1).astype(f32)
     rpa_ = jax.lax.broadcasted_iota(jnp.int32, (G, GA), 0)
     cpa_ = jax.lax.broadcasted_iota(jnp.int32, (G, GA), 1)
     E_place = [(cpa_ == rpa_ * A + a).astype(f32) for a in range(A)]
@@ -493,6 +502,18 @@ def _blockg_kernel(
         slot_last_c = col_of(slot_last.astype(f32))
         sso_c = col_of(site_start_old.astype(f32))
         ssl_c = col_of(start_last.astype(f32))
+
+        def live_chunk_ranges():
+            # per-type chunk ranges covering every site column a step can
+            # touch: reads end at (nmax-1)*A_t + A, the insert write at
+            # min(nmax, cap-1)*A_t + A; nmax*A_t + A bounds both
+            for tt in range(nA):
+                lo_c = sb_off_ts[tt] // 128 if nA > 1 else 0
+                reg_c = ((sb_off_ts[tt + 1] - sb_off_ts[tt]) // 128
+                         if tt + 1 < nA else GS // 128 - lo_c)
+                ns_t = jnp.max(nmol_out[tt:tt + 1, :]) * A_ts[tt] + A
+                n_c_t = jnp.minimum((ns_t + 127) // 128, reg_c)
+                yield tt, lo_c, n_c_t
         if skip_fpread:
             com_old = jnp.zeros((3, G), f32)
             com_last = jnp.zeros((3, G), f32)
@@ -510,23 +531,47 @@ def _blockg_kernel(
                     jnp.where(mask_l, cg, 0.0), axis=1, keepdims=True)))
             com_old = jnp.concatenate(rows_o, 0)            # (3, G)
             com_last = jnp.concatenate(rows_l, 0)
-            pmask_o = [si_G == sso_c + a for a in range(A)]  # (G, GS)
-            pmask_l = [si_G == ssl_c + a for a in range(A)]
+            # footprint reads: only the live prefix of each type's site
+            # region can contain [sso, sso+A) / [ssl, ssl+A), so the masked
+            # chunk sums run over ceil((nmax*A_t + A)/128) chunks instead
+            # of the whole (G, GS) capacity plane - O(occupancy), not
+            # O(capacity), matching the reference's molecule loops
+            # (src/energy_utils.f90)
+
+            def fp_chunk(ci, carry):
+                vos, vls = carry
+                b = ci * 128
+                sic = lane_G + jnp.float32(cols0) + b.astype(f32)
+                rel_o = sic - sso_c                         # (G, 128)
+                rel_l = sic - ssl_c
+                vos2, vls2 = [], []
+                for i in range(3):
+                    pg = pos_out[:, i, _ds128(cols0 + b, 128)]
+                    for a in range(A):
+                        vos2.append(vos[i * A + a] + jnp.sum(
+                            jnp.where(rel_o == a, pg, 0.0), axis=1,
+                            keepdims=True))                 # (G, 1)
+                        vls2.append(vls[i * A + a] + jnp.sum(
+                            jnp.where(rel_l == a, pg, 0.0), axis=1,
+                            keepdims=True))
+                return (tuple(vos2), tuple(vls2))
+
+            z3a = tuple(jnp.zeros((G, 1), f32) for _ in range(3 * A))
+            fpc = (z3a, z3a)
+            for tt, lo_c, n_c_t in live_chunk_ranges():
+                fpc = jax.lax.fori_loop(lo_c, lo_c + n_c_t,
+                                        fp_chunk, fpc)
+            vos, vls = fpc
             prow_o, prow_l = [], []
             for i in range(3):
-                pg = pos_out[:, i, cols0:]                  # (G, GS)
                 ro = jnp.zeros((1, GA), f32)
                 rl = jnp.zeros((1, GA), f32)
                 for a in range(A):
-                    vo = jnp.sum(jnp.where(pmask_o[a], pg, 0.0), axis=1,
-                                 keepdims=True)             # (G, 1)
-                    vl = jnp.sum(jnp.where(pmask_l[a], pg, 0.0), axis=1,
-                                 keepdims=True)
                     ro = ro + jax.lax.dot_general(
-                        vo, E_place[a], (((0,), (0,)), ((), ())),
+                        vos[i * A + a], E_place[a], (((0,), (0,)), ((), ())),
                         preferred_element_type=f32)         # (1, GA)
                     rl = rl + jax.lax.dot_general(
-                        vl, E_place[a], (((0,), (0,)), ((), ())),
+                        vls[i * A + a], E_place[a], (((0,), (0,)), ((), ())),
                         preferred_element_type=f32)
                 prow_o.append(ro)
                 prow_l.append(rl)
@@ -850,10 +895,10 @@ def _blockg_kernel(
           def guest_chunk(ci, carry):
             ljacc, cacc = carry
             b = ci * 128
-            midf = site_midx_ref[0:1, pl.ds(b, 128)].astype(f32)  # (1,128)
-            smof = site_mol_ref[0:1, pl.ds(b, 128)].astype(f32)
-            styc = site_type_ref[0:1, pl.ds(b, 128)]
-            sqc = site_q_ref[0:1, pl.ds(b, 128)]
+            midf = site_midx_ref[0:1, _ds128(b, 128)].astype(f32)  # (1,128)
+            smof = site_mol_ref[0:1, _ds128(b, 128)].astype(f32)
+            styc = site_type_ref[0:1, _ds128(b, 128)]
+            sqc = site_q_ref[0:1, _ds128(b, 128)]
             excl = (smof != exa_c) & (smof != exb_c)        # (G, 128)
             if nA == 1:
                 kcol = (styc < 99) & (midf < ncol_ts[0]) & excl
@@ -865,23 +910,23 @@ def _blockg_kernel(
             keepx = jnp.dot(E_gchunk, kcol.astype(f32),
                             preferred_element_type=f32)     # (NK, 128)
             keepL, keepQ = keepx[:GFL], keepx[GFL:]
-            xa = jnp.dot(E_gchunk, pos_out[:, 0, pl.ds(cols0 + b, 128)],
+            xa = jnp.dot(E_gchunk, pos_out[:, 0, _ds128(cols0 + b, 128)],
                          preferred_element_type=f32)
-            ya = jnp.dot(E_gchunk, pos_out[:, 1, pl.ds(cols0 + b, 128)],
+            ya = jnp.dot(E_gchunk, pos_out[:, 1, _ds128(cols0 + b, 128)],
                          preferred_element_type=f32)
-            za = jnp.dot(E_gchunk, pos_out[:, 2, pl.ds(cols0 + b, 128)],
+            za = jnp.dot(E_gchunk, pos_out[:, 2, _ds128(cols0 + b, 128)],
                          preferred_element_type=f32)
             if nA == 1:
-                eps = jnp.dot(E_tile_lj, epslj_ref[:FL, pl.ds(b, 128)],
+                eps = jnp.dot(E_tile_lj, epslj_ref[:FL, _ds128(b, 128)],
                               preferred_element_type=f32)   # (GFL, 128)
-                sig2 = jnp.dot(E_tile_lj, sig2lj_ref[:FL, pl.ds(b, 128)],
+                sig2 = jnp.dot(E_tile_lj, sig2lj_ref[:FL, _ds128(b, 128)],
                                preferred_element_type=f32)
             else:
                 # one row-selection matmul per chunk (E_dyn folds both the
                 # per-replica active-pair id and the side/atom row layout)
-                eps = jnp.dot(E_dyn, epslj_ref[:, pl.ds(b, 128)],
+                eps = jnp.dot(E_dyn, epslj_ref[:, _ds128(b, 128)],
                               preferred_element_type=f32)   # (GFL, 128)
-                sig2 = jnp.dot(E_dyn, sig2lj_ref[:, pl.ds(b, 128)],
+                sig2 = jnp.dot(E_dyn, sig2lj_ref[:, _ds128(b, 128)],
                                preferred_element_type=f32)
             r2 = pair_r2(ptlj, xa[:GFL], ya[:GFL], za[:GFL])
             inv_r2 = 1.0 / r2
@@ -937,7 +982,7 @@ def _blockg_kernel(
             for g in range(G):
                 for side, st in ((0, stL0), (1, stL1)):
                     sfc[:, 2 * g + side, :] = fwcomb_ref[
-                        :, pl.ds(st[0, g] * 128, WL)]
+                        :, _ds128(st[0, g] * 128, WL)]
             epsf = jnp.where(odd2G, sfc[5], sfc[4])         # (2G, WL)
             sig2f = jnp.where(odd2G, sfc[7], sfc[6])
             r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
@@ -952,7 +997,7 @@ def _blockg_kernel(
                 for g in range(G):
                     for side, st in ((0, stC0), (1, stC1)):
                         scc[:, 2 * g + side, :] = fwpq_ref[
-                            :, pl.ds(st[0, g] * 128, WC)]
+                            :, _ds128(st[0, g] * 128, WC)]
             xCf = jnp.dot(E_fwC, scc[0], preferred_element_type=f32)
             yCf = jnp.dot(E_fwC, scc[1], preferred_element_type=f32)
             zCf = jnp.dot(E_fwC, scc[2], preferred_element_type=f32)
@@ -969,7 +1014,7 @@ def _blockg_kernel(
                 for side, st in ((0, stL0), (1, stL1)):
                     c0 = st[0, g] * 128
                     r0 = g * FL + side * Lmax
-                    blk = fwpq_ref[:, pl.ds(c0, WL)]
+                    blk = fwpq_ref[:, _ds128(c0, WL)]
                     sfx[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[0:1, :],
                                                             (Lmax, WL))
                     sfy[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[1:2, :],
@@ -978,19 +1023,19 @@ def _blockg_kernel(
                                                             (Lmax, WL))
                     if nA == 1:
                         sfe[r0:r0 + Lmax, :] = fweps_ref[
-                            side * Lmax:(side + 1) * Lmax, pl.ds(c0, WL)]
+                            side * Lmax:(side + 1) * Lmax, _ds128(c0, WL)]
                         sfs[r0:r0 + Lmax, :] = fwsig2_ref[
-                            side * Lmax:(side + 1) * Lmax, pl.ds(c0, WL)]
+                            side * Lmax:(side + 1) * Lmax, _ds128(c0, WL)]
                     else:
                         # row-selection matmul per (g, side): E_dyn rows
                         # g*FL + side*Lmax + j map to table row
                         # pid_g*8 + side*Lmax + j
                         Eg_rows = E_dyn[r0:r0 + Lmax, :]
                         sfe[r0:r0 + Lmax, :] = jnp.dot(
-                            Eg_rows, fweps_ref[:, pl.ds(c0, WL)],
+                            Eg_rows, fweps_ref[:, _ds128(c0, WL)],
                             preferred_element_type=f32)
                         sfs[r0:r0 + Lmax, :] = jnp.dot(
-                            Eg_rows, fwsig2_ref[:, pl.ds(c0, WL)],
+                            Eg_rows, fwsig2_ref[:, _ds128(c0, WL)],
                             preferred_element_type=f32)
             r2f = pair_r2(ptlj, sfx[:, :], sfy[:, :], sfz[:, :], fw_imask)
             sr2f = sfs[:, :] / r2f
@@ -1004,7 +1049,7 @@ def _blockg_kernel(
                 for side, st in ((0, stC0), (1, stC1)):
                     c0 = st[0, g] * 128
                     r0 = g * FQ + side * Qmax
-                    blk = fwpq_ref[:, pl.ds(c0, WC)]
+                    blk = fwpq_ref[:, _ds128(c0, WC)]
                     scx[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[0:1, :],
                                                             (Qmax, WC))
                     scy[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[1:2, :],
@@ -1257,22 +1302,38 @@ def _blockg_kernel(
         else:
             Anew_c = col_of(A_new_r.astype(f32))
             Aold_c = col_of(A_old_r.astype(f32))
-        rel_new_G = si_G - ssn_c                            # (G, GS)
-        rel_old_G = si_G - sso_c
-        in_new_G = dw_col & (rel_new_G >= 0) & (rel_new_G < Anew_c)
-        in_old_G = dc_col & (rel_old_G >= 0) & (rel_old_G < Aold_c)
-        if skip_pos:
-            in_new_G = in_new_G & (si_G < 0)
-            in_old_G = in_old_G & (si_G < 0)
-        for i in range(3):
-            cur = pos_out[:, i, cols0:]                     # (G, GS)
-            for a in range(A):
-                cur = jnp.where((rel_old_G == a) & in_old_G,
-                                ext_col(last_cols[i:i + 1, :], a), cur)
-            for a in range(A):
-                cur = jnp.where((rel_new_G == a) & in_new_G,
-                                ext_col(P_newT[i:i + 1, :], a), cur)
-            pos_out[:, i, cols0:] = cur
+        # position commits: same live-prefix chunk ranges as the footprint
+        # reads - only chunks below the occupancy bound can hold the old
+        # (backfilled) or new site columns. Per-atom write values are
+        # extracted once; the chunk loop is pure compare/select/store.
+        old_cols_ia = [[ext_col(last_cols[i:i + 1, :], a) for a in range(A)]
+                       for i in range(3)]                   # (G, 1) each
+        new_cols_ia = [[ext_col(P_newT[i:i + 1, :], a) for a in range(A)]
+                       for i in range(3)]
+
+        def commit_chunk(ci, zero):
+            b = ci * 128
+            sic = lane_G + jnp.float32(cols0) + b.astype(f32)
+            rel_new = sic - ssn_c                           # (G, 128)
+            rel_old = sic - sso_c
+            in_new = dw_col & (rel_new >= 0) & (rel_new < Anew_c)
+            in_old = dc_col & (rel_old >= 0) & (rel_old < Aold_c)
+            if skip_pos:
+                in_new = in_new & (sic < 0)
+                in_old = in_old & (sic < 0)
+            for i in range(3):
+                cur = pos_out[:, i, _ds128(cols0 + b, 128)]
+                for a in range(A):
+                    cur = jnp.where((rel_old == a) & in_old,
+                                    old_cols_ia[i][a], cur)
+                for a in range(A):
+                    cur = jnp.where((rel_new == a) & in_new,
+                                    new_cols_ia[i][a], cur)
+                pos_out[:, i, _ds128(cols0 + b, 128)] = cur
+            return zero
+
+        for tt, lo_c, n_c_t in live_chunk_ranges():
+            jax.lax.fori_loop(lo_c, lo_c + n_c_t, commit_chunk, 0)
 
         slotn_c = col_of(slot_new.astype(f32))
         m_cmp = dc_col & (mi_G == slot_old_c)               # (G, MP)

@@ -47,7 +47,9 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
     amp_im_out[:, :] = fw_im_ref[:, :]
 
     def chunk_body(ci, _):
-        sl = pl.ds(lo + ci * CH, CH)                        # ref slices only
+        # CH==128 chunks start 128-aligned: hint Mosaic (lane-aligned copy)
+        st = lo + ci * CH
+        sl = pl.ds(pl.multiple_of(st, 128) if CH % 128 == 0 else st, CH)
         pos_c = pos_ref[:, sl]                              # (3, CH)
         midx = site_midx_ref[0:1, sl][0, :]
         stype = site_type_ref[0:1, sl][0, :]
@@ -166,7 +168,9 @@ def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
     n_ch = (S - lo) // CH
 
     def chunk_body(ci, _):
-        sl = pl.ds(lo + ci * CH, CH)
+        # CH==128 chunks start 128-aligned: hint Mosaic (lane-aligned copy)
+        st = lo + ci * CH
+        sl = pl.ds(pl.multiple_of(st, 128) if CH % 128 == 0 else st, CH)
         midx = site_midx_ref[0:1, sl][0, :]
         stype = site_type_ref[0:1, sl][0, :]
         sq = site_q_ref[0:1, sl][0, :]

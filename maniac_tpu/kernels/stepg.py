@@ -47,6 +47,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _ds128(start, size):
+    """Dynamic lane slice with a 128-aligned start (chunk/window blocks).
+
+    The multiple_of hint lets Mosaic emit aligned vreg copies instead of
+    lane-rotation sequences for the dynamic column offset.
+    """
+    return pl.ds(pl.multiple_of(start, 128), size)
+
 from ..constants import COULOMB_K, TWOPI
 from .step import _erfc, _powers, _signed_table
 
@@ -141,10 +150,10 @@ def _stepg_kernel(
     def guest_chunk(ci, carry):
         ljacc, cacc = carry
         b = ci * 128                        # guest-relative (sliced tables)
-        midc = site_midx_ref[0, pl.ds(b, 128)]
-        styc = site_type_ref[0, pl.ds(b, 128)]
-        smoc = site_mol_ref[0, pl.ds(b, 128)]
-        sqc = site_q_ref[0:1, pl.ds(b, 128)]
+        midc = site_midx_ref[0, _ds128(b, 128)]
+        styc = site_type_ref[0, _ds128(b, 128)]
+        smoc = site_mol_ref[0, _ds128(b, 128)]
+        sqc = site_q_ref[0:1, _ds128(b, 128)]
         keeps_c = []
         pgs = []
         for g in range(G):
@@ -156,7 +165,7 @@ def _stepg_kernel(
                   & (smoc != iscal_ref[g, 1]))
             keeps_c.append(kg.astype(jnp.int32)[None, :])
             # pos_ref is the FULL (3, S) array - absolute column offset
-            pgs.append(pos_ref[g, :, pl.ds(cols0 + b, 128)])  # (3, 128)
+            pgs.append(pos_ref[g, :, _ds128(cols0 + b, 128)])  # (3, 128)
 
         def expand_c(F):
             ones = jnp.ones((F, 1), jnp.int32)
@@ -172,8 +181,8 @@ def _stepg_kernel(
         epsl, sig2l = [], []
         for g in range(G):
             if nA == 1:
-                epsl.append(epslj_ref[0:8, pl.ds(b, 128)][:FL, :])
-                sig2l.append(sig2lj_ref[0:8, pl.ds(b, 128)][:FL, :])
+                epsl.append(epslj_ref[0:8, _ds128(b, 128)][:FL, :])
+                sig2l.append(sig2lj_ref[0:8, _ds128(b, 128)][:FL, :])
             else:
                 # Mosaic rejects dynamic sublane offsets it cannot prove
                 # 8-aligned; gate the nA*nA static 8-row blocks by the
@@ -183,9 +192,9 @@ def _stepg_kernel(
                 for p in range(nA * nA):
                     w = (pid_g == p).astype(f32)
                     se = epslj_ref[p * 8:p * 8 + 8,
-                                   pl.ds(b, 128)][:FL, :] * w
+                                   _ds128(b, 128)][:FL, :] * w
                     ss = sig2lj_ref[p * 8:p * 8 + 8,
-                                    pl.ds(b, 128)][:FL, :] * w
+                                    _ds128(b, 128)][:FL, :] * w
                     e_acc = se if e_acc is None else e_acc + se
                     s_acc = ss if s_acc is None else s_acc + ss
                 epsl.append(e_acc)
@@ -224,15 +233,15 @@ def _stepg_kernel(
         for g in range(G):
             for side in range(2):
                 c0 = iscal_ref[g, i_w + side] * 128
-                blk = fwpq_ref[:, pl.ds(c0, WL)]            # (4, WL)
+                blk = fwpq_ref[:, _ds128(c0, WL)]            # (4, WL)
                 fx.append(jnp.broadcast_to(blk[0:1, :], (Lmax, WL)))
                 fy.append(jnp.broadcast_to(blk[1:2, :], (Lmax, WL)))
                 fz.append(jnp.broadcast_to(blk[2:3, :], (Lmax, WL)))
                 if nA == 1:
                     feps.append(fweps_ref[side * Lmax:(side + 1) * Lmax,
-                                          pl.ds(c0, WL)])
+                                          _ds128(c0, WL)])
                     fsig2.append(fwsig2_ref[side * Lmax:(side + 1) * Lmax,
-                                            pl.ds(c0, WL)])
+                                            _ds128(c0, WL)])
                 else:
                     # static row blocks gated by the active-pair id (see
                     # the guest-chunk note on Mosaic sublane alignment)
@@ -241,8 +250,8 @@ def _stepg_kernel(
                     for p in range(nA * nA):
                         w = (pid_g == p).astype(f32)
                         r0 = p * 8 + side * Lmax
-                        se = fweps_ref[r0:r0 + Lmax, pl.ds(c0, WL)] * w
-                        ss = fwsig2_ref[r0:r0 + Lmax, pl.ds(c0, WL)] * w
+                        se = fweps_ref[r0:r0 + Lmax, _ds128(c0, WL)] * w
+                        ss = fwsig2_ref[r0:r0 + Lmax, _ds128(c0, WL)] * w
                         fe = se if fe is None else fe + se
                         fs = ss if fs is None else fs + ss
                     feps.append(fe)
@@ -266,7 +275,7 @@ def _stepg_kernel(
         for g in range(G):
             for side in range(2):
                 c0 = iscal_ref[g, i_w + 2 + side] * 128
-                blk = fwpq_ref[:, pl.ds(c0, WC)]            # (4, WC)
+                blk = fwpq_ref[:, _ds128(c0, WC)]            # (4, WC)
                 cx.append(jnp.broadcast_to(blk[0:1, :], (Qmax, WC)))
                 cy.append(jnp.broadcast_to(blk[1:2, :], (Qmax, WC)))
                 cz.append(jnp.broadcast_to(blk[2:3, :], (Qmax, WC)))
