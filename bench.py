@@ -62,7 +62,6 @@ def main() -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from maniac_tpu import load_system
-    from maniac_tpu.mc.driver import resync_amplitudes_replicated
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.systems import (make_framework_mixed, make_triclinic_water,
                                     make_water_box, make_water_reservoir,
@@ -132,10 +131,8 @@ def main() -> None:
     resync = dtype_name != "f64"  # f32 runs bound amplitude drift per block
 
     def one_block(st):
-        st = run_block_replicated(spec, st, steps_per_block, False)
-        if resync:
-            st = resync_amplitudes_replicated(spec, st)
-        return st
+        # resync fused into the block program: one relay dispatch per block
+        return run_block_replicated(spec, st, steps_per_block, False, resync)
 
     # compile + warmup (excluded from timing)
     t_compile = time.perf_counter()
@@ -143,18 +140,11 @@ def main() -> None:
     sync(states)
     t_compile = time.perf_counter() - t_compile
 
-    # measure the MC scan and the resync separately (per-phase timings)
+    # per-phase timing: one fused block (scan + in-program resync)
     t0 = time.perf_counter()
-    st2 = run_block_replicated(spec, states, steps_per_block, False)
+    st2 = one_block(states)
     sync(st2)
     t_scan = time.perf_counter() - t0
-    if resync:
-        t0 = time.perf_counter()
-        st3 = resync_amplitudes_replicated(spec, st2)
-        sync(st3)
-        t_resync = time.perf_counter() - t0
-    else:
-        t_resync = 0.0
 
     t0 = time.perf_counter()
     for _ in range(n_blocks):
@@ -177,7 +167,7 @@ def main() -> None:
         f" S={spec.S} K={spec.K} capacity={capacity}\n"
         f"# phases: setup={t_setup:.2f}s compile={t_compile:.2f}s "
         f"scan={t_scan / steps_per_block * 1e3:.3f}ms/step "
-        f"resync={t_resync * 1e3:.1f}ms/block\n"
+        f"(resync fused in-program)\n"
         f"# per-step estimates: VPU {vpu_ops / step_t / 1e12:.2f} Tops/s, "
         f"HBM {hbm_bytes / step_t / 1e9:.0f} GB/s "
         f"(floor ~{hbm_bytes / 800e9 * 1e3:.2f} ms vs {step_t * 1e3:.2f} ms)\n"

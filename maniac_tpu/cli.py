@@ -137,20 +137,23 @@ def _run(args, outdir: str, logger, dtype) -> int:
 
     total_steps = 0
     for block in range(start_block + 1, deck.nb_block + 1):
+        f32 = spec.dtype == np.float32
         if replicated:
+            # f32: the amplitude resync is fused into the block program
+            # (one relay dispatch per block); it bounds incremental A(k)
+            # drift at block granularity (DIVERGENCES #13)
             state = run_block_replicated(spec, state, deck.nb_step,
-                                         deck.recalibrate_moves)
+                                         deck.recalibrate_moves, f32)
         else:
             state = run_block(spec, state, deck.nb_step,
                               deck.recalibrate_moves)
-        if spec.dtype == np.float32:
-            # bound incremental A(k) drift at block granularity AND make the
-            # REPORTED energy rows exact: the reference's energy.dat is a
-            # fresh value every block (src/write_utils.f90:94-188), so f32
-            # runs fold one from-scratch recompute into the per-block
-            # output path (replica 0 only when replicated; DIVERGENCES #13)
+        if f32:
+            # make the REPORTED energy rows exact: the reference's
+            # energy.dat is a fresh value every block
+            # (src/write_utils.f90:94-188), so f32 runs fold one
+            # from-scratch recompute into the per-block output path
+            # (replica 0 only when replicated)
             if replicated:
-                state = resync_amplitudes_replicated(spec, state)
                 state = refresh_reported_energy(spec, state)
             else:
                 state = resync(spec, state)

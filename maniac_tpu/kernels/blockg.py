@@ -330,9 +330,14 @@ def _blockg_kernel(
         # from them with one one-hot matmul per plane
         odd2G = (jax.lax.broadcasted_iota(jnp.int32, (2 * G, 1), 0)
                  % 2) == 1
-        rfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, 2 * G), 0)
-        cfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, 2 * G), 1)
-        E_fwC = (cfc_ == 2 * (rfc_ // FQ)
+        # per-atom operand selector: footprint row g*FQ + side*Qmax + j
+        # -> col j*2G + 2g + side. ONE (4, GFQ) x (GFQ, Qmax*2G) matmul
+        # yields every atom's x/y/z/qw in the scratch (g, side) layout, so
+        # the C pass loops j over the staged window planes directly instead
+        # of expanding them to (GFQ, WC) with 4 one-hot matmuls
+        rfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, Qmax * 2 * G), 0)
+        cfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, Qmax * 2 * G), 1)
+        E_fwJ = (cfc_ == (rfc_ % Qmax) * 2 * G + 2 * (rfc_ // FQ)
                  + (rfc_ % FQ) // Qmax).astype(f32)
     if fw_on:
         # far-grid block-sum constant (see the jz-first far contraction):
@@ -998,16 +1003,19 @@ def _blockg_kernel(
                     for side, st in ((0, stC0), (1, stC1)):
                         scc[:, 2 * g + side, :] = fwpq_ref[
                             :, _ds128(st[0, g] * 128, WC)]
-            xCf = jnp.dot(E_fwC, scc[0], preferred_element_type=f32)
-            yCf = jnp.dot(E_fwC, scc[1], preferred_element_type=f32)
-            zCf = jnp.dot(E_fwC, scc[2], preferred_element_type=f32)
-            qCf = jnp.dot(E_fwC, scc[3], preferred_element_type=f32)
-            r2c = pair_r2(ptq, xCf, yCf, zCf, fw_imask)
-            inv_rc = jax.lax.rsqrt(r2c)
-            coulf = (qw[0, :][:, None] * qCf
-                     * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
-            c_rows = c_rows + jnp.sum(jnp.where(r2c < rc2sq2, coulf, 0.0),
-                                      axis=1, keepdims=True)
+            pqw_j = jnp.dot(jnp.concatenate([ptq, qw], 0), E_fwJ,
+                            preferred_element_type=f32)     # (4, Qmax*2G)
+            cfw_acc = jnp.zeros((2 * G, WL if onewin else WC), f32)
+            for j in range(Qmax):
+                blkj = pqw_j[:, j * 2 * G:(j + 1) * 2 * G]  # (4, 2G)
+                r2c = pair_r2(blkj[0:3], scc[0], scc[1], scc[2], fw_imask)
+                inv_rc = jax.lax.rsqrt(r2c)
+                coulf = (blkj[3, :][:, None] * scc[3]
+                         * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
+                cfw_acc = cfw_acc + jnp.where(r2c < rc2sq2, coulf, 0.0)
+            # (2G, 1) fw C accumulator: rows are (g, side) pairs, summed
+            # into e_c rows with the Lmax==1 side matrix (E_sum_fl)
+            cfw_rows = jnp.sum(cfw_acc, axis=1, keepdims=True)
         elif fw_on and not skip_fw:
             sfx, sfy, sfz, sfe, sfs, scx, scy, scz, scq = scratch_refs[:9]
             for g in range(G):
@@ -1244,6 +1252,10 @@ def _blockg_kernel(
         e_lj1_row = sumrow(lj_rows, E_sum_fl[1])
         e_c0_row = sumrow(c_rows, E_sum_fq[0]) * coulomb_k
         e_c1_row = sumrow(c_rows, E_sum_fq[1]) * coulomb_k
+        if fw_on and not skip_fw and fw_fast:
+            # fast-path fw C contribution lives in (g, side) rows
+            e_c0_row = e_c0_row + sumrow(cfw_rows, E_sum_fl[0]) * coulomb_k
+            e_c1_row = e_c1_row + sumrow(cfw_rows, E_sum_fl[1]) * coulomb_k
         if fw_on:
             e_c0_row = e_c0_row + jnp.dot(efar, E_sum_fk[0],
                                           preferred_element_type=f32)

@@ -24,6 +24,23 @@ from ..constants import COULOMB_K, TWOPI
 from .step import _powers, _signed_table
 
 
+def _live_regions(spec, lo: int, CH: int):
+    """Per-type (lo_chunk, capacity_chunks, A_t, type_id) tuples covering
+    [lo, S), CH-aligned; returns None if some region base/size is not a
+    CH multiple (caller falls back to CH=128, which always aligns)."""
+    bases = list(spec.site_base_list) + [spec.S]
+    regs = []
+    for r in range(spec.R):
+        b0, b1 = bases[r], bases[r + 1]
+        if b1 <= lo or b1 == b0:
+            continue
+        if b0 < lo or (b0 - lo) % CH or (b1 - b0) % CH:
+            return None
+        regs.append(((b0 - lo) // CH, (b1 - b0) // CH,
+                     int(spec.A_list[r]), r))
+    return tuple(regs)
+
+
 def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
                    eng_ref,        # VMEM (1, 8) f32 running energy components
                    pos_ref,        # VMEM (3, S)
@@ -39,7 +56,7 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
                    amp_re_out, amp_im_out,
                    eng_out,        # (1, 8): energy with E_RECIP/E_TOT fixed
                    *, R: int, S: int, CH: int, kx: int, ky: int, kz: int,
-                   JzP: int, lo: int):
+                   JzP: int, lo: int, regions: tuple):
     f32 = jnp.float32
     # the frozen framework's contribution is constant - start from it and
     # synthesize only the mutable guest columns [lo, S)
@@ -89,7 +106,13 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
         amp_im_out[:, :] = amp_im_out[:, :] + d_both[:, JXY:]
         return 0
 
-    jax.lax.fori_loop(0, (S - lo) // CH, chunk_body, 0)
+    # only the live molecule prefix of each type region carries nonzero
+    # weights (w masks midx >= n), so the synthesis loops stop at the
+    # occupancy bound per region - bit-identical (skipped chunks add 0.0)
+    for lo_c, reg_c, A_t, r in regions:
+        nmax = jnp.max(nmol_ref[:, r])
+        n_c = jnp.minimum((nmax * A_t + CH - 1) // CH, reg_c)
+        jax.lax.fori_loop(lo_c, lo_c + n_c, chunk_body, 0)
 
     # eng slot 7 carries C * 2pi / V (a traced spec constant)
     e_recip = jnp.sum(kw_ref[:, :] * (amp_re_out[:, :] ** 2
@@ -116,11 +139,15 @@ def resync_pallas(spec, state, *, interpret=False):
     lo = spec.guest_base if spec.fw_split else 0
     # chunk must divide the synthesized range AND be a multiple of 128
     # (lane-aligned dynamic ref slices; bases/S are 128-aligned)
-    CH = 128
+    CH, regions = 128, None
     for c in (512, 384, 256):
         if (S - lo) % c == 0:
-            CH = c
-            break
+            regions = _live_regions(spec, lo, c)
+            if regions is not None:
+                CH = c
+                break
+    if regions is None:
+        regions = _live_regions(spec, lo, 128)
 
     nmol = jnp.zeros((1, 8), jnp.int32).at[0, :spec.R + 1].set(state.n_mol)
     eng = jnp.zeros((1, 8), f).at[0, :6].set(state.energy)
@@ -128,7 +155,7 @@ def resync_pallas(spec, state, *, interpret=False):
 
     kernel = functools.partial(
         _resync_kernel, R=spec.R, S=S, CH=CH, kx=kx, ky=ky, kz=kz, JzP=JzP,
-        lo=lo)
+        lo=lo, regions=regions)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re, amp_im, eng2 = pl.pallas_call(
         kernel,
@@ -155,7 +182,7 @@ def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
                     amp_im_out,
                     eng_out,        # VMEM (G, 8)
                     *, G: int, R: int, S: int, CH: int, kx: int, ky: int,
-                    kz: int, JzP: int, lo: int):
+                    kz: int, JzP: int, lo: int, regions: tuple):
     """Grouped resynthesis: G replicas per program. The per-chunk phase
     tables are built for ALL replicas at once on (1, G*CH) rows (the
     per-replica version was launch-overhead bound at B=1024); only the
@@ -165,7 +192,7 @@ def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
         amp_re_out[g] = fw_re_ref[:, :]
         amp_im_out[g] = fw_im_ref[:, :]
 
-    n_ch = (S - lo) // CH
+
 
     def chunk_body(ci, _):
         # CH==128 chunks start 128-aligned: hint Mosaic (lane-aligned copy)
@@ -220,7 +247,13 @@ def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
             amp_im_out[g] = amp_im_out[g] + d_both[:, JXY:]
         return 0
 
-    jax.lax.fori_loop(0, n_ch, chunk_body, 0)
+    # only the live molecule prefix of each type region carries nonzero
+    # weights (w masks midx >= n), so the synthesis loops stop at the
+    # occupancy bound per region - bit-identical (skipped chunks add 0.0)
+    for lo_c, reg_c, A_t, r in regions:
+        nmax = jnp.max(nmol_ref[:, r])
+        n_c = jnp.minimum((nmax * A_t + CH - 1) // CH, reg_c)
+        jax.lax.fori_loop(lo_c, lo_c + n_c, chunk_body, 0)
 
     rows = []
     for g in range(G):
@@ -247,11 +280,15 @@ def resync_pallas_grouped(spec, states_g, *, interpret=False):
     S = spec.S
     kx, ky, kz = spec.kmax_xyz
     lo = spec.guest_base if spec.fw_split else 0
-    CH = 128
+    CH, regions = 128, None
     for c in (256,):
         if (S - lo) % c == 0:
-            CH = c
-            break
+            regions = _live_regions(spec, lo, c)
+            if regions is not None:
+                CH = c
+                break
+    if regions is None:
+        regions = _live_regions(spec, lo, 128)
 
     nmol = jnp.zeros((G, 8), jnp.int32).at[:, :spec.R + 1].set(
         states_g.n_mol)
@@ -260,7 +297,7 @@ def resync_pallas_grouped(spec, states_g, *, interpret=False):
 
     kernel = functools.partial(
         _resyncg_kernel, G=G, R=spec.R, S=S, CH=CH, kx=kx, ky=ky, kz=kz,
-        JzP=JzP, lo=lo)
+        JzP=JzP, lo=lo, regions=regions)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re, amp_im, eng2 = pl.pallas_call(
         kernel,

@@ -227,8 +227,11 @@ def refresh_reported_energy(spec: SystemSpec, states: SimState) -> SimState:
         amp_im=states.amp_im.at[0].set(st0.amp_im))
 
 
-@jax.jit
-def resync_amplitudes_replicated(spec: SystemSpec, states: SimState) -> SimState:
+def resync_replicated_body(spec: SystemSpec, states: SimState) -> SimState:
+    """Trace-time body of the replicated resync (shared by the standalone
+    jit below and run_block_replicated's fused tail - one relay dispatch
+    per block instead of two; the axon dispatch overhead was ~2x the
+    resync's device time)."""
     import os
 
     from ..kernels import blockg_group_size, use_blockg, use_pair_kernel
@@ -260,6 +263,12 @@ def resync_amplitudes_replicated(spec: SystemSpec, states: SimState) -> SimState
         return jax.tree_util.tree_map(
             lambda x: x.reshape(B, *x.shape[2:]), out)
     return jax.vmap(lambda st: resync_amplitudes_body(spec, st))(states)
+
+
+@jax.jit
+def resync_amplitudes_replicated(spec: SystemSpec,
+                                 states: SimState) -> SimState:
+    return resync_replicated_body(spec, states)
 
 
 def drift_report(spec: SystemSpec, state: SimState) -> dict:

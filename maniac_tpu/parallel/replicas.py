@@ -40,16 +40,18 @@ def perturb_activity(spec: SystemSpec, activities) -> SystemSpec:
         activities, dtype=spec.dtype))
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def run_block_replicated(spec: SystemSpec, states: SimState, n_steps: int,
-                         recalibrate: bool) -> SimState:
+                         recalibrate: bool, resync: bool = False) -> SimState:
     """One block over all replicas. All replicas advance in lockstep in one
     fused program; with sharded inputs XLA partitions the batch across the
     mesh with zero collectives (chains are independent). With MANIAC_GROUP
     set, G replicas share each Pallas program (row-compacted grouped
-    kernel); PRNG streams are identical either way."""
+    kernel); PRNG streams are identical either way. resync=True appends the
+    per-block amplitude resynthesis to the same program - one relay
+    dispatch per block instead of two."""
     from ..kernels import blockg_group_size, group_size, use_blockg
-    from ..mc.driver import block_body_group
+    from ..mc.driver import block_body_group, resync_replicated_body
     B = states.n_mol.shape[0]
     G = group_size(spec)
     if use_blockg(spec):
@@ -59,9 +61,14 @@ def run_block_replicated(spec: SystemSpec, states: SimState, n_steps: int,
             lambda x: x.reshape(B // G, G, *x.shape[1:]), states)
         out = jax.vmap(lambda st: block_body_group(
             spec, st, n_steps, recalibrate))(states_g)
-        return jax.tree_util.tree_map(
+        out = jax.tree_util.tree_map(
             lambda x: x.reshape(B, *x.shape[2:]), out)
-    return jax.vmap(lambda st: block_body(spec, st, n_steps, recalibrate))(states)
+    else:
+        out = jax.vmap(
+            lambda st: block_body(spec, st, n_steps, recalibrate))(states)
+    if resync:
+        out = resync_replicated_body(spec, out)
+    return out
 
 
 @partial(jax.jit, static_argnums=(2, 3))
