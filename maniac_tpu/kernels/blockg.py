@@ -127,6 +127,15 @@ def _blockg_kernel(
     skip_ktab = "ktab" in ablate
     skip_ft = "ft" in ablate
     force_rej = "rej" in ablate
+    # fine-grained glue gates; only meaningful combined with 'rej' (they
+    # corrupt energies/decisions, which 'rej' makes side-effect-free)
+    skip_win = "win" in ablate      # fw window start count matmuls
+    skip_com = "com" in ablate      # COM commit selects/stores
+    skip_met = "met" in ablate      # Metropolis prefactor/exp chain
+    skip_cnt = "cnt" in ablate      # counter update
+    skip_eng = "eng" in ablate      # energy-component accumulation
+    skip_stage = "stage" in ablate  # fw window staging stores only
+    skip_fwmath = "fwmath" in ablate  # fw LJ/C elementwise only
     FL, FQ = 2 * Lmax, 2 * Qmax
     FK = ((FQ + 7) // 8) * 8
     JxyP_ = kw_ref.shape[1]
@@ -835,7 +844,10 @@ def _blockg_kernel(
                                     gx(wof, Eg_fk) * livef))
 
         # ---- fw window starts (one compare plane + count matmul each) ----
-        if fw_on:
+        if fw_on and skip_win:
+            z0i = jnp.zeros((1, G), jnp.int32)
+            stL0 = stL1 = stC0 = stC1 = z0i
+        elif fw_on:
             zo = com_old[fw_axis:fw_axis + 1, :]            # (1, G)
             zn = com_new[fw_axis:fw_axis + 1, :]
             want = ((zo, cstg_ref[0, 3], WL), (zn, cstg_ref[0, 3], WL))
@@ -984,19 +996,21 @@ def _blockg_kernel(
             # C-pass (g, side, j) operands expand via one matmul per plane
             sfc = scratch_refs[0]
             scc = sfc if onewin else scratch_refs[1]
-            for g in range(G):
-                for side, st in ((0, stL0), (1, stL1)):
-                    sfc[:, 2 * g + side, :] = fwcomb_ref[
-                        :, _ds128(st[0, g] * 128, WL)]
-            epsf = jnp.where(odd2G, sfc[5], sfc[4])         # (2G, WL)
-            sig2f = jnp.where(odd2G, sfc[7], sfc[6])
-            r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
-            sr2f = sig2f / r2f
-            sr6f = sr2f * sr2f * sr2f
-            ljf = 4.0 * epsf * (sr6f * sr6f - sr6f)
-            self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
-            lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
-                                        axis=1, keepdims=True)
+            if not skip_stage:
+                for g in range(G):
+                    for side, st in ((0, stL0), (1, stL1)):
+                        sfc[:, 2 * g + side, :] = fwcomb_ref[
+                            :, _ds128(st[0, g] * 128, WL)]
+            if not skip_fwmath:
+                epsf = jnp.where(odd2G, sfc[5], sfc[4])     # (2G, WL)
+                sig2f = jnp.where(odd2G, sfc[7], sfc[6])
+                r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
+                sr2f = sig2f / r2f
+                sr6f = sr2f * sr2f * sr2f
+                ljf = 4.0 * epsf * (sr6f * sr6f - sr6f)
+                self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
+                lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
+                                            axis=1, keepdims=True)
             if not onewin:
                 # distinct Coulomb window: stage its x/y/z/q separately
                 for g in range(G):
@@ -1006,7 +1020,7 @@ def _blockg_kernel(
             pqw_j = jnp.dot(jnp.concatenate([ptq, qw], 0), E_fwJ,
                             preferred_element_type=f32)     # (4, Qmax*2G)
             cfw_acc = jnp.zeros((2 * G, WL if onewin else WC), f32)
-            for j in range(Qmax):
+            for j in ([] if skip_fwmath else range(Qmax)):
                 blkj = pqw_j[:, j * 2 * G:(j + 1) * 2 * G]  # (4, 2G)
                 r2c = pair_r2(blkj[0:3], scc[0], scc[1], scc[2], fw_imask)
                 inv_rc = jax.lax.rsqrt(r2c)
@@ -1277,6 +1291,8 @@ def _blockg_kernel(
         pref_row = pref_row * jnp.where(
             remove, nf_old / (act_old_row * cf(_CF["VOL"])), 1.0)
         p_acc_row = jnp.minimum(1.0, pref_row * jnp.exp(-delta_row * inv_t))
+        if skip_met:
+            p_acc_row = jnp.zeros((1, G), f32)  # DCEs the pref/exp chain
         gate_row = valid & (~cap_blocked)
         accr = gate_row & (urow(2) <= p_acc_row)            # (1, G) bool
         if force_rej:
@@ -1348,13 +1364,14 @@ def _blockg_kernel(
             jax.lax.fori_loop(lo_c, lo_c + n_c_t, commit_chunk, 0)
 
         slotn_c = col_of(slot_new.astype(f32))
-        m_cmp = dc_col & (mi_G == slot_old_c)               # (G, MP)
-        m_wr = dw_col & (mi_G == slotn_c)
-        for i in range(3):
-            cv = com_out[:, i, :]
-            cv = jnp.where(m_cmp, col_of(com_last[i:i + 1, :]), cv)
-            cv = jnp.where(m_wr, col_of(com_new[i:i + 1, :]), cv)
-            com_out[:, i, :] = cv
+        if not skip_com:
+            m_cmp = dc_col & (mi_G == slot_old_c)           # (G, MP)
+            m_wr = dw_col & (mi_G == slotn_c)
+            for i in range(3):
+                cv = com_out[:, i, :]
+                cv = jnp.where(m_cmp, col_of(com_last[i:i + 1, :]), cv)
+                cv = jnp.where(m_wr, col_of(com_new[i:i + 1, :]), cv)
+                com_out[:, i, :] = cv
 
         if has_res:
             # pop the sampled reservoir molecule on accepted insertion;
@@ -1410,7 +1427,8 @@ def _blockg_kernel(
              accf_row * (s_new - s_old),
              accf_row * (i_new_e - i_old_e),
              accf_row * delta_row, zero2], axis=0)          # (8, G)
-        eng_out[0:8, :] = eng_out[0:8, :] + eng_delta
+        if not skip_eng:
+            eng_out[0:8, :] = eng_out[0:8, :] + eng_delta
 
         accb = accr
         if nA == 1:
@@ -1448,7 +1466,8 @@ def _blockg_kernel(
         if has_res:
             drop16 = jnp.broadcast_to(accb & remove & res_full, (16, G))
             inc = inc + ((cm == 6) & drop16).astype(f32)
-        cnt_out[:, :] = cnt_out[:, :] + inc
+        if not skip_cnt:
+            cnt_out[:, :] = cnt_out[:, :] + inc
         return carry
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)

@@ -64,11 +64,15 @@ def _data_fields(spec) -> list:
 
 
 def run_block_sharded(mesh: Mesh, spec: SystemSpec, states: SimState,
-                      n_steps: int, recalibrate: bool) -> SimState:
+                      n_steps: int, recalibrate: bool,
+                      resync: bool = False) -> SimState:
     """One block over mesh-sharded replicas. The vmapped program's batch axis
-    is already sharded via the input placement; jit propagates it."""
+    is already sharded via the input placement; jit propagates it. resync
+    fuses the per-block amplitude resynthesis into the same program (still
+    collective-free: replicas are independent)."""
     with mesh:
-        return run_block_replicated(spec, states, n_steps, recalibrate)
+        return run_block_replicated(spec, states, n_steps, recalibrate,
+                                    resync)
 
 
 def gather_mean_population(states: SimState, R: int) -> jnp.ndarray:

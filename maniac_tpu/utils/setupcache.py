@@ -32,11 +32,14 @@ def _source_hash() -> str:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha256()
         for dirpath, _, names in sorted(os.walk(root)):
-            # kernels/ and mc/ never run during system construction; a
-            # kernel-tuning edit must not invalidate the built (spec, state)
+            # kernels/mc/parallel/cli never run during system construction;
+            # a kernel- or driver-tuning edit must not invalidate the built
+            # (spec, state) pairs
             if os.path.basename(dirpath) in ("kernels", "mc", "parallel"):
                 continue
             for n in sorted(names):
+                if n == "cli.py":
+                    continue
                 if n.endswith(".py"):
                     with open(os.path.join(dirpath, n), "rb") as f:
                         h.update(f.read())

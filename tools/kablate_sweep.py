@@ -21,7 +21,8 @@ def main():
     system = os.environ.get("PROF_SYSTEM", "zif")
     ablations = sys.argv[1:] or ["guest", "fw", "far", "kspace", "kstruct",
                                  "pos", "fpread", "ampc", "intra", "prop",
-                                 "ktab", "ft"]
+                                 "ktab", "ft", "win", "com", "met", "cnt",
+                                 "eng", "stage", "fwmath"]
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.utils.setupcache import cached_spec_state
     import quick_time as qt
