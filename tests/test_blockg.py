@@ -187,3 +187,26 @@ def test_blockg_gcmc_physics(tmp_path, monkeypatch):
     # all move classes were exercised and some insertions/deletions landed
     assert c[:, 0, :4].sum(axis=0).min() > 0        # trials of T/R/C/D
     assert c[:, 1, 0].sum() > 0 and c[:, 1, 1].sum() > 0
+
+
+def test_blockg_parity_chunk_boundary(tmp_path, monkeypatch):
+    """Live-prefix chunk bound: populations straddle a 128-site-column
+    boundary (A=4, N around 31-33 -> 124-132 live sites), with ongoing
+    creates/deletes crossing it. The footprint-read / commit / resync
+    chunk loops must stay exact at the crossing (an off-by-one in the
+    ceil((n*A + A)/128) bound would silently corrupt positions)."""
+    make_water_box(str(tmp_path), n_water=31, L=22.0, cutoff=7.0, tol=1e-4,
+                   probs=(0.2, 0.1, 0.7, 0.0), fugacity=30000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=40)
+    spec = sysm.spec
+    assert spec.cap_list[-1] * 4 > 128  # region really spans >1 chunk
+    states = replicate(spec, sysm.state, 4)
+    st_b, st_x = _run_pair(spec, states, 80, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
+    # both creations and deletions were accepted during the run
+    cnt = np.asarray(st_b.counters).sum(0)  # (2, 5): [trials, accepts]
+    assert cnt[1, 2] > 0 and cnt[1, 3] > 0
