@@ -1213,25 +1213,27 @@ def _blockg_kernel(
                                     axis=1)
             return jnp.dot(pzT_g, t_both, preferred_element_type=f32)
 
-        if kmerge:
+        if kmerge and skip_kstruct:
+            # gate removes the d stores AND the cross elementwise/reduction
+            # (zero-const DRE/DIM lets the compiler fold the whole section)
+            DRE = jnp.zeros((GJz, JxyP_), f32)
+            DIM = jnp.zeros((GJz, JxyP_), f32)
+            cross_row = jnp.zeros((1, G), f32)
+            # still needed by the (unskipped) amp commit; DCE'd with ampc
+            AR = jnp.reshape(amp_re_out[...], (GJz, JxyP_))
+            AI = jnp.reshape(amp_im_out[...], (GJz, JxyP_))
+        elif kmerge:
             # per-g: ONE small matmul stored straight into the (GJz, 2JxyP)
             # scratch; the 2*G cross reductions and 2*G amp commits become
             # one big elementwise pass + two block-sum matmuls
             for g in range(G):
-                if skip_kstruct:
-                    dscr[g * JzP:(g + 1) * JzP, :] = jnp.zeros(
-                        (JzP, 2 * JxyP_), f32)
-                else:
-                    dscr[g * JzP:(g + 1) * JzP, :] = d_both_of(g)
+                dscr[g * JzP:(g + 1) * JzP, :] = d_both_of(g)
             DRE = dscr[:, :JxyP_]
             DIM = dscr[:, JxyP_:]
             AR = jnp.reshape(amp_re_out[...], (GJz, JxyP_))
             AI = jnp.reshape(amp_im_out[...], (GJz, JxyP_))
-            if skip_kstruct:
-                Xc = kw_tiled * (AR * DRE + AI * DIM)
-            else:
-                Xc = kw_tiled * (2.0 * (AR * DRE + AI * DIM)
-                                 + DRE * DRE + DIM * DIM)
+            Xc = kw_tiled * (2.0 * (AR * DRE + AI * DIM)
+                             + DRE * DRE + DIM * DIM)
             cross_vec = jnp.sum(Xc, axis=1, keepdims=True)   # (GJz, 1)
             cross_row = jax.lax.dot_general(
                 cross_vec, E_kz, (((0,), (0,)), ((), ())),
@@ -1346,9 +1348,6 @@ def _blockg_kernel(
             rel_old = sic - sso_c
             in_new = dw_col & (rel_new >= 0) & (rel_new < Anew_c)
             in_old = dc_col & (rel_old >= 0) & (rel_old < Aold_c)
-            if skip_pos:
-                in_new = in_new & (sic < 0)
-                in_old = in_old & (sic < 0)
             for i in range(3):
                 cur = pos_out[:, i, _ds128(cols0 + b, 128)]
                 for a in range(A):
@@ -1360,8 +1359,9 @@ def _blockg_kernel(
                 pos_out[:, i, _ds128(cols0 + b, 128)] = cur
             return zero
 
-        for tt, lo_c, n_c_t in live_chunk_ranges():
-            jax.lax.fori_loop(lo_c, lo_c + n_c_t, commit_chunk, 0)
+        if not skip_pos:
+            for tt, lo_c, n_c_t in live_chunk_ranges():
+                jax.lax.fori_loop(lo_c, lo_c + n_c_t, commit_chunk, 0)
 
         slotn_c = col_of(slot_new.astype(f32))
         if not skip_com:
