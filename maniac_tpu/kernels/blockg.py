@@ -136,6 +136,7 @@ def _blockg_kernel(
     skip_eng = "eng" in ablate      # energy-component accumulation
     skip_stage = "stage" in ablate  # fw window staging stores only
     skip_fwmath = "fwmath" in ablate  # fw LJ/C elementwise only
+    skip_phase = "phase" in ablate  # phase powers + k structure tables
     FL, FQ = 2 * Lmax, 2 * Qmax
     FK = ((FQ + 7) // 8) * 8
     JxyP_ = kw_ref.shape[1]
@@ -1092,52 +1093,67 @@ def _blockg_kernel(
                                        preferred_element_type=f32)
 
         # ---- shared phase tables + far field (same as stepg) -------------
-        if skip_kstruct and skip_far:
+        if skip_phase:
+            # gate the whole phase/structure-factor build: zero tables with
+            # the right shapes for the d-matmul and far sections downstream
+            nxp = max(kx, kx2 if fw_on else 0)
+            nyp = max(ky, ky2 if fw_on else 0)
+            nzp = max(kz, kz2 if fw_on else 0)
+            z1 = jnp.zeros((1, GFK), f32)
+            rex = imx = [z1] * (nxp + 1)
+            rey = imy = [z1] * (nyp + 1)
+            rez = imz = [z1] * (nzp + 1)
+            pzT_re = jnp.zeros((JzP, GFK), f32)
+            pzT_im = jnp.zeros((JzP, GFK), f32)
+            t_re_all = jnp.zeros((GFK, JxyP_), f32)
+            t_im_all = jnp.zeros((GFK, JxyP_), f32)
+        elif skip_kstruct and skip_far:
             th_all = jnp.dot(h2pi_ref[:, :], ptk * 0.0,
                              preferred_element_type=f32)
         else:
             th_all = jnp.dot(h2pi_ref[:, :], ptk, preferred_element_type=f32)
-        cA, sA = jnp.cos(th_all), jnp.sin(th_all)
-        nx = max(kx, kx2 if fw_on else 0)
-        ny = max(ky, ky2 if fw_on else 0)
-        nz = max(kz, kz2 if fw_on else 0)
-        if skip_ktab:
-            rex = [cA[0:1, :]] * (nx + 1)
-            imx = [sA[0:1, :]] * (nx + 1)
-            rey = [cA[1:2, :]] * (ny + 1)
-            imy = [sA[1:2, :]] * (ny + 1)
-            rez = [cA[2:3, :]] * (nz + 1)
-            imz = [sA[2:3, :]] * (nz + 1)
-        else:
-            # ONE stacked recurrence for all three axes: each power step is
-            # 6 ops on (3, GFK) instead of 3x6 on (1, GFK) rows (the three
-            # single-row chains wasted 7/8 of the sublanes and measured
-            # ~0.1 ms/step at nmax=32); per-element values are bit-identical
-            nmax = max(nx, ny, nz)
-            re3 = [jnp.ones_like(cA)]
-            im3 = [jnp.zeros_like(sA)]
-            for _ in range(nmax):
-                re3.append(re3[-1] * cA - im3[-1] * sA)
-                im3.append(re3[-2] * sA + im3[-1] * cA)
-            rex = [r[0:1, :] for r in re3]
-            imx = [r[0:1, :] for r in im3]
-            rey = [r[1:2, :] for r in re3]
-            imy = [r[1:2, :] for r in im3]
-            rez = [r[2:3, :] for r in re3]
-            imz = [r[2:3, :] for r in im3]
-        wkrow = wkk
-        pxT = jnp.concatenate(
-            [jnp.concatenate([rex[j] * wkrow for j in range(kx + 1)], 0),
-             jnp.concatenate([imx[j] * wkrow for j in range(kx + 1)], 0)],
-            axis=1)
-        pyT_re, pyT_im = _signed_table(rey[:ky + 1], imy[:ky + 1], ky)
-        pyT = jnp.concatenate([pyT_re, pyT_im], axis=1)
-        pzT_re, pzT_im = _signed_table(rez[:kz + 1], imz[:kz + 1], kz,
-                                       pad_to=JzP)
-        xe = dotT(pxT, ex_ref[:, :])
-        ye = dotT(pyT, ey_ref[:, :])
-        t_re_all = xe[:GFK] * ye[:GFK] - xe[GFK:] * ye[GFK:]
-        t_im_all = xe[:GFK] * ye[GFK:] + xe[GFK:] * ye[:GFK]
+        if not skip_phase:
+            cA, sA = jnp.cos(th_all), jnp.sin(th_all)
+            nx = max(kx, kx2 if fw_on else 0)
+            ny = max(ky, ky2 if fw_on else 0)
+            nz = max(kz, kz2 if fw_on else 0)
+            if skip_ktab:
+                rex = [cA[0:1, :]] * (nx + 1)
+                imx = [sA[0:1, :]] * (nx + 1)
+                rey = [cA[1:2, :]] * (ny + 1)
+                imy = [sA[1:2, :]] * (ny + 1)
+                rez = [cA[2:3, :]] * (nz + 1)
+                imz = [sA[2:3, :]] * (nz + 1)
+            else:
+                # ONE stacked recurrence for all three axes: each power step is
+                # 6 ops on (3, GFK) instead of 3x6 on (1, GFK) rows (the three
+                # single-row chains wasted 7/8 of the sublanes and measured
+                # ~0.1 ms/step at nmax=32); per-element values are bit-identical
+                nmax = max(nx, ny, nz)
+                re3 = [jnp.ones_like(cA)]
+                im3 = [jnp.zeros_like(sA)]
+                for _ in range(nmax):
+                    re3.append(re3[-1] * cA - im3[-1] * sA)
+                    im3.append(re3[-2] * sA + im3[-1] * cA)
+                rex = [r[0:1, :] for r in re3]
+                imx = [r[0:1, :] for r in im3]
+                rey = [r[1:2, :] for r in re3]
+                imy = [r[1:2, :] for r in im3]
+                rez = [r[2:3, :] for r in re3]
+                imz = [r[2:3, :] for r in im3]
+            wkrow = wkk
+            pxT = jnp.concatenate(
+                [jnp.concatenate([rex[j] * wkrow for j in range(kx + 1)], 0),
+                 jnp.concatenate([imx[j] * wkrow for j in range(kx + 1)], 0)],
+                axis=1)
+            pyT_re, pyT_im = _signed_table(rey[:ky + 1], imy[:ky + 1], ky)
+            pyT = jnp.concatenate([pyT_re, pyT_im], axis=1)
+            pzT_re, pzT_im = _signed_table(rez[:kz + 1], imz[:kz + 1], kz,
+                                           pad_to=JzP)
+            xe = dotT(pxT, ex_ref[:, :])
+            ye = dotT(pyT, ey_ref[:, :])
+            t_re_all = xe[:GFK] * ye[:GFK] - xe[GFK:] * ye[GFK:]
+            t_im_all = xe[:GFK] * ye[GFK:] + xe[GFK:] * ye[:GFK]
 
         if fw_on and not skip_far:
             # jz-first contraction (docs/performance.md): MZ = c2 ? pz via

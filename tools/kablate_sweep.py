@@ -22,7 +22,7 @@ def main():
     ablations = sys.argv[1:] or ["guest", "fw", "far", "kspace", "kstruct",
                                  "pos", "fpread", "ampc", "intra", "prop",
                                  "ktab", "ft", "win", "com", "met", "cnt",
-                                 "eng", "stage", "fwmath"]
+                                 "eng", "stage", "fwmath", "phase"]
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.utils.setupcache import cached_spec_state
     import quick_time as qt
