@@ -336,10 +336,7 @@ def _blockg_kernel(
     fw_fast = fw_on and nA == 1 and Lmax == 1
     if fw_fast:
         # single-store staging constants: scratch rows are (g, side) pairs
-        # gs = 2g + side; the C-pass footprint layout (g, side, j) expands
-        # from them with one one-hot matmul per plane
-        odd2G = (jax.lax.broadcasted_iota(jnp.int32, (2 * G, 1), 0)
-                 % 2) == 1
+        # gs = 2g + side.
         # per-atom operand selector: footprint row g*FQ + side*Qmax + j
         # -> col j*2G + 2g + side. ONE (4, GFQ) x (GFQ, Qmax*2G) matmul
         # yields every atom's x/y/z/qw in the scratch (g, side) layout, so
@@ -1002,16 +999,34 @@ def _blockg_kernel(
                     for side, st in ((0, stL0), (1, stL1)):
                         sfc[:, 2 * g + side, :] = fwcomb_ref[
                             :, _ds128(st[0, g] * 128, WL)]
-            if not skip_fwmath:
-                epsf = jnp.where(odd2G, sfc[5], sfc[4])     # (2G, WL)
-                sig2f = jnp.where(odd2G, sfc[7], sfc[6])
-                r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
+            # nA==1 + Lmax==1: the LJ atom's (g, side) footprint layout
+            # (g*FL + side at FL=2) coincides with the staged scratch rows
+            # (2g + side), and with onewin the LJ window IS the C window -
+            # so when the LJ atom also carries charge the LJ pass rides
+            # that atom's C iteration and reuses its r2 plane (bit-exact:
+            # both operand paths are one-hot extractions of the same
+            # footprint values). j_lj == -1 keeps the standalone pass.
+            j_lj = (q_atoms_ts[0].index(lj_atoms_ts[0][0])
+                    if (onewin and lj_atoms_ts[0][0] in q_atoms_ts[0])
+                    else -1)
+
+            def fw_lj_accum(r2f, lj_rows):
+                # nA==1: old and new side share the species, so the eps/
+                # sig2 table rows are side-independent - ONE staged plane
+                # each (the two-sided layout staged duplicate planes and
+                # selected between them per element)
+                epsf = sfc[4]                               # (2G, WL)
+                sig2f = sfc[5]
                 sr2f = sig2f / r2f
                 sr6f = sr2f * sr2f * sr2f
                 ljf = 4.0 * epsf * (sr6f * sr6f - sr6f)
                 self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
-                lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
-                                            axis=1, keepdims=True)
+                return lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
+                                         axis=1, keepdims=True)
+
+            if not skip_fwmath and j_lj < 0:
+                r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
+                lj_rows = fw_lj_accum(r2f, lj_rows)
             if not onewin:
                 # distinct Coulomb window: stage its x/y/z/q separately
                 for g in range(G):
@@ -1028,6 +1043,8 @@ def _blockg_kernel(
                 coulf = (blkj[3, :][:, None] * scc[3]
                          * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
                 cfw_acc = cfw_acc + jnp.where(r2c < rc2sq2, coulf, 0.0)
+                if j == j_lj:
+                    lj_rows = fw_lj_accum(r2c, lj_rows)
             # (2G, 1) fw C accumulator: rows are (g, side) pairs, summed
             # into e_c rows with the Lmax==1 side matrix (E_sum_fl)
             cfw_rows = jnp.sum(cfw_acc, axis=1, keepdims=True)
@@ -1602,11 +1619,13 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
     MP = spec.Mtot + 1
     fw_fast = spec.fw_split and nA == 1 and spec.Lmax == 1
     if fw_fast:
-        FLh = 2 * spec.Lmax
+        # nA==1: side-0 and side-1 LJ table rows are the same species, so
+        # stage eps/sig2 once (6 rows, not 4+2*FL duplicated planes)
         fwcomb = jnp.concatenate(
-            [spec.fw_pq_g, spec.fw_eps_g[:FLh], spec.fw_sig2_g[:FLh]],
-            axis=0)                                        # (4+2*FLh, SG)
-        scratch_shapes = [pltpu.VMEM((4 + 2 * FLh, 2 * G, spec.fw_WL), f)]
+            [spec.fw_pq_g, spec.fw_eps_g[:spec.Lmax],
+             spec.fw_sig2_g[:spec.Lmax]], axis=0)          # (6, SG)
+        scratch_shapes = [pltpu.VMEM((4 + 2 * spec.Lmax, 2 * G, spec.fw_WL),
+                                     f)]
         if not getattr(spec, "fw_onewin", False):
             scratch_shapes.append(pltpu.VMEM((4, 2 * G, spec.fw_WC), f))
     elif spec.fw_split:
@@ -1639,7 +1658,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         input_output_aliases={29: 0, 30: 1, 31: 2, 32: 3, 33: 7, 34: 8},
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         interpret=interpret,
     )(uniforms_qmajor, cstf, cstg, csti,
       spec.two_pi_Hinv, spec.ex_sel, spec.ey_sel, spec.k_weights,
