@@ -264,18 +264,15 @@ def _blockg_kernel(
         return jax.lax.dot_general(col, I_G, (((0,), (0,)), ((), ())),
                                    preferred_element_type=f32)
 
-    # batched footprint-read / commit constants: per-replica iota planes
-    # and atom-placement one-hots (row g -> col g*A + a)
+    # per-replica footprint-read / commit window constants: W2-col
+    # 128-aligned slices cover any A-atom span incl. a 128-boundary
+    # straddle; (W2, A) iota planes build the per-(g, side) one-hot
+    # extraction / placement matrices
     mi_G = jax.lax.broadcasted_iota(jnp.int32, (G, MP), 1).astype(f32)
-    lane_G = jax.lax.broadcasted_iota(jnp.int32, (G, 128), 1).astype(f32)
-    rpa_ = jax.lax.broadcasted_iota(jnp.int32, (G, GA), 0)
-    cpa_ = jax.lax.broadcasted_iota(jnp.int32, (G, GA), 1)
-    E_place = [(cpa_ == rpa_ * A + a).astype(f32) for a in range(A)]
-
-    def ext_col(row, a):
-        # (1, GA) footprint row -> (G, 1) column of atom a's values
-        return jax.lax.dot_general(E_place[a], row, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=f32)
+    W2 = min(256, S)
+    iw2 = jax.lax.broadcasted_iota(jnp.int32, (W2, A), 0)
+    aw2 = jax.lax.broadcasted_iota(jnp.int32, (W2, A), 1)
+    lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
 
     # intra pair constants: the A*(A-1)/2 intra-molecular pairs vectorized
     # into lanes (col p*G + g), instead of a per-pair loop of (1, G) ops
@@ -505,27 +502,12 @@ def _blockg_kernel(
         start_last = SB_old + last * A_old_r
         slot_last = MB_old + last
 
-        # ---- COM + footprint reads (batched across replica lanes) --------
-        # selection masks are (G, cols) compare planes against per-replica
-        # columns; values come out of masked row-sums (exact: one nonzero
-        # term), then turn back to rows/footprint layouts via identity /
-        # placement matmuls - no per-replica loops
+        # ---- COM + footprint reads ----------------------------------------
+        # COM reads stay batched across replica lanes ((G, MP) compare
+        # planes + masked row-sums: exact, one nonzero term); position
+        # footprint reads are per-replica dynamic window slices (below)
         slot_old_c = col_of(mol_slot_old.astype(f32))       # (G, 1)
         slot_last_c = col_of(slot_last.astype(f32))
-        sso_c = col_of(site_start_old.astype(f32))
-        ssl_c = col_of(start_last.astype(f32))
-
-        def live_chunk_ranges():
-            # per-type chunk ranges covering every site column a step can
-            # touch: reads end at (nmax-1)*A_t + A, the insert write at
-            # min(nmax, cap-1)*A_t + A; nmax*A_t + A bounds both
-            for tt in range(nA):
-                lo_c = sb_off_ts[tt] // 128 if nA > 1 else 0
-                reg_c = ((sb_off_ts[tt + 1] - sb_off_ts[tt]) // 128
-                         if tt + 1 < nA else GS // 128 - lo_c)
-                ns_t = jnp.max(nmol_out[tt:tt + 1, :]) * A_ts[tt] + A
-                n_c_t = jnp.minimum((ns_t + 127) // 128, reg_c)
-                yield tt, lo_c, n_c_t
         if skip_fpread:
             com_old = jnp.zeros((3, G), f32)
             com_last = jnp.zeros((3, G), f32)
@@ -543,52 +525,30 @@ def _blockg_kernel(
                     jnp.where(mask_l, cg, 0.0), axis=1, keepdims=True)))
             com_old = jnp.concatenate(rows_o, 0)            # (3, G)
             com_last = jnp.concatenate(rows_l, 0)
-            # footprint reads: only the live prefix of each type's site
-            # region can contain [sso, sso+A) / [ssl, ssl+A), so the masked
-            # chunk sums run over ceil((nmax*A_t + A)/128) chunks instead
-            # of the whole (G, GS) capacity plane - O(occupancy), not
-            # O(capacity), matching the reference's molecule loops
-            # (src/energy_utils.f90)
-
-            def fp_chunk(ci, carry):
-                vos, vls = carry
-                b = ci * 128
-                sic = lane_G + jnp.float32(cols0) + b.astype(f32)
-                rel_o = sic - sso_c                         # (G, 128)
-                rel_l = sic - ssl_c
-                vos2, vls2 = [], []
-                for i in range(3):
-                    pg = pos_out[:, i, _ds128(cols0 + b, 128)]
-                    for a in range(A):
-                        vos2.append(vos[i * A + a] + jnp.sum(
-                            jnp.where(rel_o == a, pg, 0.0), axis=1,
-                            keepdims=True))                 # (G, 1)
-                        vls2.append(vls[i * A + a] + jnp.sum(
-                            jnp.where(rel_l == a, pg, 0.0), axis=1,
-                            keepdims=True))
-                return (tuple(vos2), tuple(vls2))
-
-            z3a = tuple(jnp.zeros((G, 1), f32) for _ in range(3 * A))
-            fpc = (z3a, z3a)
-            for tt, lo_c, n_c_t in live_chunk_ranges():
-                fpc = jax.lax.fori_loop(lo_c, lo_c + n_c_t,
-                                        fp_chunk, fpc)
-            vos, vls = fpc
-            prow_o, prow_l = [], []
-            for i in range(3):
-                ro = jnp.zeros((1, GA), f32)
-                rl = jnp.zeros((1, GA), f32)
-                for a in range(A):
-                    ro = ro + jax.lax.dot_general(
-                        vos[i * A + a], E_place[a], (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32)         # (1, GA)
-                    rl = rl + jax.lax.dot_general(
-                        vls[i * A + a], E_place[a], (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32)
-                prow_o.append(ro)
-                prow_l.append(rl)
-            P_oldT = jnp.concatenate(prow_o, 0)             # (3, GA)
-            last_cols = jnp.concatenate(prow_l, 0)
+            # footprint reads: per-replica 128-aligned W2-col window
+            # slices (W2 = min(256, S) always covers the straddle of an
+            # A-atom molecule across a 128 boundary) + one (3, W2) x
+            # (W2, A) one-hot extraction matmul per (g, side). O(1) per
+            # step per replica: the previous live-prefix masked chunk
+            # scan was O(occupancy) and dominated the reference-capacity
+            # bench (0.67 of 2.87 ms/step at ~2000 molecules). Values are
+            # bit-identical (both paths copy f32 values exactly).
+            po_cols, pl_cols = [], []
+            for g in range(G):
+                sso_g = site_start_old[0, g]
+                ssl_g = start_last[0, g]
+                c0o = jnp.minimum((sso_g // 128) * 128, S - W2)
+                c0l = jnp.minimum((ssl_g // 128) * 128, S - W2)
+                blk_o = pos_out[g, :, _ds128(c0o, W2)]      # (3, W2)
+                blk_l = pos_out[g, :, _ds128(c0l, W2)]
+                oh_o = (iw2 == (sso_g - c0o) + aw2).astype(f32)
+                oh_l = (iw2 == (ssl_g - c0l) + aw2).astype(f32)
+                po_cols.append(jnp.dot(blk_o, oh_o,
+                                       preferred_element_type=f32))
+                pl_cols.append(jnp.dot(blk_l, oh_l,
+                                       preferred_element_type=f32))
+            P_oldT = jnp.concatenate(po_cols, 1)            # (3, GA)
+            last_cols = jnp.concatenate(pl_cols, 1)
 
         com_old_exp = jnp.dot(com_old, E_exp,
                               preferred_element_type=f32)   # (3, GA)
@@ -1358,43 +1318,38 @@ def _blockg_kernel(
 
         dw_col = col_of((accr & w_new).astype(f32)) > 0     # (G, 1)
         dc_col = col_of((accr & remove).astype(f32)) > 0
-        ssn_c = col_of(site_start_new.astype(f32))
-        if nA == 1:
-            Anew_c = float(A)
-            Aold_c = float(A)
-        else:
-            Anew_c = col_of(A_new_r.astype(f32))
-            Aold_c = col_of(A_old_r.astype(f32))
-        # position commits: same live-prefix chunk ranges as the footprint
-        # reads - only chunks below the occupancy bound can hold the old
-        # (backfilled) or new site columns. Per-atom write values are
-        # extracted once; the chunk loop is pure compare/select/store.
-        old_cols_ia = [[ext_col(last_cols[i:i + 1, :], a) for a in range(A)]
-                       for i in range(3)]                   # (G, 1) each
-        new_cols_ia = [[ext_col(P_newT[i:i + 1, :], a) for a in range(A)]
-                       for i in range(3)]
-
-        def commit_chunk(ci, zero):
-            b = ci * 128
-            sic = lane_G + jnp.float32(cols0) + b.astype(f32)
-            rel_new = sic - ssn_c                           # (G, 128)
-            rel_old = sic - sso_c
-            in_new = dw_col & (rel_new >= 0) & (rel_new < Anew_c)
-            in_old = dc_col & (rel_old >= 0) & (rel_old < Aold_c)
-            for i in range(3):
-                cur = pos_out[:, i, _ds128(cols0 + b, 128)]
-                for a in range(A):
-                    cur = jnp.where((rel_old == a) & in_old,
-                                    old_cols_ia[i][a], cur)
-                for a in range(A):
-                    cur = jnp.where((rel_new == a) & in_new,
-                                    new_cols_ia[i][a], cur)
-                pos_out[:, i, _ds128(cols0 + b, 128)] = cur
-            return zero
-
+        # position commits: per-replica W2-col window read-modify-write at
+        # the (backfilled) old start and the new start, O(1) per step like
+        # the footprint reads (the chunked select scan was O(occupancy)
+        # and cost 0.46 ms/step at the reference-capacity bench). Old
+        # backfill lands before the new write, matching the chunked
+        # path's select order; each g touches only its own pos page.
         if not skip_pos:
-            for tt, lo_c, n_c_t in live_chunk_ranges():
-                jax.lax.fori_loop(lo_c, lo_c + n_c_t, commit_chunk, 0)
+            dwi = (accr & w_new).astype(jnp.int32)          # (1, G)
+            dci = (accr & remove).astype(jnp.int32)
+            for g in range(G):
+                if nA == 1:
+                    A_old_g = A_new_g = A
+                else:
+                    A_old_g = A_old_r[0, g]
+                    A_new_g = A_new_r[0, g]
+                for st_g, gate_g, vals, A_g in (
+                        (site_start_old[0, g], dci[0, g], last_cols,
+                         A_old_g),
+                        (site_start_new[0, g], dwi[0, g], P_newT,
+                         A_new_g)):
+                    c0 = jnp.minimum((st_g // 128) * 128, S - W2)
+                    off = st_g - c0
+                    blk = pos_out[g, :, _ds128(c0, W2)]     # (3, W2)
+                    ohp = (iw2 == off + aw2).astype(f32)    # (W2, A)
+                    valw = jax.lax.dot_general(
+                        vals[:, g * A:(g + 1) * A], ohp,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)         # (3, W2)
+                    inw = ((lane_w2 >= off) & (lane_w2 < off + A_g)
+                           & (gate_g > 0))                  # (1, W2)
+                    pos_out[g, :, _ds128(c0, W2)] = jnp.where(inw, valw,
+                                                              blk)
 
         slotn_c = col_of(slot_new.astype(f32))
         if not skip_com:
