@@ -17,7 +17,7 @@ SYSTEM. MANIAC_BENCH_SYSTEM selects the workload (BASELINE.md perf matrix):
   zif     (default) ZIF-8-scale framework + water, single active species
   mixed   framework + water + dimer, TWO active species incl. swap moves
   resv    water GCMC with a RESERVOIR (geometry sampling + push/pop)
-  tricl   triclinic water box (27-image XLA path)
+  tricl   triclinic water box (in-kernel 27-image min-image)
   bigS    reference-capacity envelope: ~2000 live waters, capacity 2500
           (the reference's static cap is 5000/type, src/parameters.f90:8)
 

@@ -82,17 +82,18 @@ def use_block_kernel(spec) -> bool:
 def use_blockg(spec) -> bool:
     """Trace-time dispatch for the grouped whole-block kernel
     (kernels/blockg.py): G replicas x n_steps in ONE program with state
-    resident in VMEM. Scope: f32, orthorhombic, grouped LJ rows; any
-    inactive species must be the frozen prefix (fw_split) so the guest
-    keep-masks cover active types only. Multi-active-species (swap) and
-    reservoir systems are served in-kernel.
-    Default on TPU when eligible (auto); MANIAC_PALLAS=blockg forces it
-    (e.g. for interpret-mode parity tests on CPU); any other value
-    disables it."""
+    resident in VMEM. Scope: f32, grouped LJ rows; any inactive species
+    must be the frozen prefix (fw_split) so the guest keep-masks cover
+    active types only. Multi-active-species (swap), reservoir systems and
+    triclinic boxes (27-image min-image in-kernel; fw_split is
+    orthorhombic-only so triclinic implies R == n_active) are served
+    in-kernel. Default on TPU when eligible (auto); MANIAC_PALLAS=blockg
+    forces it (e.g. for interpret-mode parity tests on CPU); any other
+    value disables it."""
     mode = os.environ.get("MANIAC_PALLAS", "auto")
     if mode not in ("auto", "blockg"):
         return False
-    ok = (not spec.is_triclinic and spec.dtype_name == "float32"
+    ok = (spec.dtype_name == "float32"
           and spec.n_active >= 1
           and 2 * spec.Lmax <= 8
           and (spec.fw_split or spec.R == spec.n_active))

@@ -12,9 +12,14 @@ entries, acceptance) is a (1, G) lane row, so the in-kernel glue costs a
 few hundred row ops per step instead of G serial scalar storms (the
 failure mode of the per-replica block kernel, kernels/block.py).
 
-Scope (dispatch-gated in kernels/__init__.py): float32, orthorhombic,
-grouped LJ rows (2*Lmax <= 8), and either the static-framework split
-(fw_split) or no inactive residue types at all. Multi-active-species
+Scope (dispatch-gated in kernels/__init__.py): float32, grouped LJ rows
+(2*Lmax <= 8), and either the static-framework split (fw_split) or no
+inactive residue types at all. Triclinic boxes are served with the same
+27-image minimum-image search as the XLA oracle (physics/pbc.py,
+reference src/geometry_utils.f90:359-415) in the pair/intra passes and a
+fractional-coordinate COM wrap; the static-framework split itself stays
+orthorhombic-only (physics/fwsplit.py gate), so triclinic programs always
+run with fw_on=False. Multi-active-species
 systems (n_active >= 2, including the swap move the reference declares but
 never dispatches, src/monte_carlo.f90:60) and reservoir systems are
 served: per-type constants become per-replica (1, G) rows selected by the
@@ -58,10 +63,11 @@ def _ds128(start, size):
     """
     return pl.ds(pl.multiple_of(start, 128), size)
 
-# const row layout (1, 48) f32
+# const row layout (1, 144) f32; HINV (9) and IMG (27 lattice image shift
+# vectors, row-major) are only populated for triclinic boxes
 _CF = dict(INVL=0, L=3, ALPHA=6, RC2=7, CK=8, INVT=9, C2PIV=10, PCUM=11,
            VOL=15, LO=16, H=19, TRANS=28, ROT=29, ALPHA2=30, RC2SQ2=31,
-           RH=32)
+           RH=32, HINV=48, IMG=57)
 # per-active-type const rows (nA, 8) f32: activity, self_energy, fw_d0,
 # fw half-windows (rows 2-4 identical across types)
 _CG = dict(ACT=0, SELF=1, FWD0=2, RCWL=3, RCWC=4)
@@ -72,7 +78,7 @@ _CI = dict(A=0, CAP=1, SB=2, MB=3, MTOT=4, RSB=5, RMB=6, RCAP=7)
 
 def _blockg_kernel(
         uniforms_ref,    # VMEM (n_steps, NU*G) quantity-major uniforms
-        cstf_ref,        # VMEM (1, 48) f32 constants
+        cstf_ref,        # VMEM (1, 144) f32 constants
         cstg_ref,        # VMEM (nA, 8) f32 per-type constants
         csti_ref,        # VMEM (nA, 16) int32 per-type constants
         h2pi_ref, ex_ref, ey_ref, kw_ref,
@@ -113,7 +119,8 @@ def _blockg_kernel(
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
-        kmerge: bool = False, onewin: bool = False, ablate: str = ""):
+        kmerge: bool = False, onewin: bool = False, tricl: bool = False,
+        ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -153,6 +160,15 @@ def _blockg_kernel(
     alpha, rc2 = cf(_CF["ALPHA"]), cf(_CF["RC2"])
     coulomb_k, inv_t, c2piv = cf(_CF["CK"]), cf(_CF["INVT"]), cf(_CF["C2PIV"])
     alpha2, rc2sq2 = cf(_CF["ALPHA2"]), cf(_CF["RC2SQ2"])
+    if tricl:
+        # triclinic box: minimum image is a brute-force 27-image search
+        # (matching physics/pbc.py::min_image_dist2 / the reference's
+        # src/geometry_utils.f90:359-415); the shift vectors are loop
+        # invariants read once from the constants row
+        hinv = tuple(cf(_CF["HINV"] + i) for i in range(9))
+        hmat = tuple(cf(_CF["H"] + i) for i in range(9))
+        img = tuple((cf(_CF["IMG"] + 3 * s), cf(_CF["IMG"] + 3 * s + 1),
+                     cf(_CF["IMG"] + 3 * s + 2)) for s in range(27))
     fw_d0 = cstg_ref[0, _CG["FWD0"]]
     Mtot = csti_ref[0, _CI["MTOT"]]
     MP = com_ref.shape[2]                      # Mtot + 1 columns
@@ -655,14 +671,30 @@ def _blockg_kernel(
                              preferred_element_type=f32)    # (9, GA)
 
             # ---- new COM rows -------------------------------------------
+            if tricl:
+                # wrap through fractional coordinates (same formula as
+                # physics/pbc.py::wrap_into_box triclinic branch)
+                disp = [com_old[i:i + 1, :]
+                        + (urow(3 + i) - 0.5) * trans_ref[0:1, :]
+                        - cf(_CF["LO"] + i) for i in range(3)]
+                frac = [jnp.mod(hinv[3 * i] * disp[0]
+                                + hinv[3 * i + 1] * disp[1]
+                                + hinv[3 * i + 2] * disp[2], 1.0)
+                        for i in range(3)]
+                tr_rows = [cf(_CF["LO"] + i) + hmat[3 * i] * frac[0]
+                           + hmat[3 * i + 1] * frac[1]
+                           + hmat[3 * i + 2] * frac[2] for i in range(3)]
             com_new_rows = []
             for i in range(3):
                 lo_i, L_i = cf(_CF["LO"] + i), cf(_CF["L"] + i)
                 ud = urow(3 + i) - 0.5
-                # identical formula to physics/pbc.py::wrap_into_box
-                tr_i = lo_i + jnp.mod(
-                    com_old[i:i + 1, :] + ud * trans_ref[0:1, :] - lo_i,
-                    L_i)
+                if tricl:
+                    tr_i = tr_rows[i]
+                else:
+                    # identical formula to physics/pbc.py::wrap_into_box
+                    tr_i = lo_i + jnp.mod(
+                        com_old[i:i + 1, :] + ud * trans_ref[0:1, :] - lo_i,
+                        L_i)
                 ins_i = lo_i + (cf(_CF["H"] + 3 * i) * urow(6)
                                 + cf(_CF["H"] + 3 * i + 1) * urow(7)
                                 + cf(_CF["H"] + 3 * i + 2) * urow(8))
@@ -685,13 +717,26 @@ def _blockg_kernel(
                 return jnp.zeros((1, G), f32)
             XA = jnp.dot(PT, E_pa, preferred_element_type=f32)  # (3, PGI)
             XB = jnp.dot(PT, E_pb, preferred_element_type=f32)
-            ds = []
-            for i in range(3):
-                d = XA[i:i + 1, :] - XB[i:i + 1, :]
-                d = d - ll[i] * jnp.round(d * inv_l[i])
-                ds.append(d)
-            ri2 = jnp.maximum(ds[0] * ds[0] + ds[1] * ds[1]
-                              + ds[2] * ds[2], _R2_FLOOR)
+            if tricl:
+                dxi = XA[0:1, :] - XB[0:1, :]
+                dyi = XA[1:2, :] - XB[1:2, :]
+                dzi = XA[2:3, :] - XB[2:3, :]
+                ri2 = None
+                for sx, sy, sz in img:
+                    tx = dxi + sx
+                    ty = dyi + sy
+                    tz = dzi + sz
+                    r2i = tx * tx + ty * ty + tz * tz
+                    ri2 = r2i if ri2 is None else jnp.minimum(ri2, r2i)
+                ri2 = jnp.maximum(ri2, _R2_FLOOR)
+            else:
+                ds = []
+                for i in range(3):
+                    d = XA[i:i + 1, :] - XB[i:i + 1, :]
+                    d = d - ll[i] * jnp.round(d * inv_l[i])
+                    ds.append(d)
+                ri2 = jnp.maximum(ds[0] * ds[0] + ds[1] * ds[1]
+                                  + ds[2] * ds[2], _R2_FLOOR)
             ri = jnp.sqrt(ri2)
             qq = qq_pat_ts[0]
             if nA > 1:
@@ -854,6 +899,18 @@ def _blockg_kernel(
             dx = x1 - px
             dy = y1 - py
             dz = z1 - pz
+            if tricl:
+                # 27-image search (fw windows never coexist with tricl,
+                # so imask is always the full-image default here)
+                assert imask == (True, True, True)
+                r2m = None
+                for sx, sy, sz in img:
+                    tx = dx + sx
+                    ty = dy + sy
+                    tz = dz + sz
+                    r2i = tx * tx + ty * ty + tz * tz
+                    r2m = r2i if r2m is None else jnp.minimum(r2m, r2i)
+                return jnp.maximum(r2m, _R2_FLOOR)
             if imask[0]:
                 dx = dx - ll[0] * jnp.round(dx * inv_l[0])
             if imask[1]:
@@ -1493,7 +1550,10 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
     lj_atoms_ts = tuple(tuple(spec.lj_idx_list[r][:spec.Lmax]) for r in aids)
     q_atoms_ts = tuple(tuple(spec.q_idx_list[r][:spec.Qmax]) for r in aids)
 
-    cstf = jnp.zeros(48, f)
+    tricl = bool(spec.is_triclinic)
+    assert not (tricl and spec.fw_split), \
+        "static-framework split is orthorhombic-only (fwsplit.py gate)"
+    cstf = jnp.zeros(144, f)
     cstf = cstf.at[_CF["INVL"]:_CF["INVL"] + 3].set(1.0 / spec.box_diag)
     cstf = cstf.at[_CF["L"]:_CF["L"] + 3].set(spec.box_diag)
     cstf = cstf.at[_CF["ALPHA"]].set(spec.alpha)
@@ -1509,7 +1569,12 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
     cstf = cstf.at[_CF["ALPHA2"]].set(spec.alpha2)
     cstf = cstf.at[_CF["RC2SQ2"]].set(spec.rcut2 * spec.rcut2)
     cstf = cstf.at[_CF["RH"]:_CF["RH"] + 9].set(spec.res_H.reshape(-1))
-    cstf = cstf.reshape(1, 48)
+    if tricl:
+        cstf = cstf.at[_CF["HINV"]:_CF["HINV"] + 9].set(
+            spec.Hinv.reshape(-1))
+        cstf = cstf.at[_CF["IMG"]:_CF["IMG"] + 81].set(
+            spec.image_shifts.reshape(-1))
+    cstf = cstf.reshape(1, 144)
     aidx = jnp.asarray(aids, dtype=jnp.int32)
     cstg = jnp.zeros((nA, 8), f)
     cstg = cstg.at[:, _CG["ACT"]].set(spec.type_activity[aidx])
@@ -1568,7 +1633,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         Jz2P=Jz2P, fw_axis=spec.fw_axis, nA=nA, A_ts=A_ts, aids=aids,
         has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
         sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0),
-        onewin=bool(getattr(spec, "fw_onewin", False)),
+        onewin=bool(getattr(spec, "fw_onewin", False)), tricl=tricl,
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1

@@ -92,6 +92,35 @@ def test_blockg_bookkeeping_vs_recompute(tmp_path, monkeypatch):
         assert drift < 2.0, f"replica {b}: running vs recompute {drift} K"
 
 
+def test_blockg_parity_triclinic(tmp_path, monkeypatch):
+    """Triclinic box in blockg: in-kernel 27-image minimum-image search
+    (matching physics/pbc.py / reference src/geometry_utils.f90:359-415)
+    and the fractional-coordinate COM wrap. Decisions must match the
+    XLA 27-image scan path exactly; positions to f32 ulp; running
+    energies must stay consistent with a from-scratch recompute."""
+    from maniac_tpu.systems import make_triclinic_water
+    make_triclinic_water(str(tmp_path), n_water=8, L=14.0,
+                         tilt=(2.0, 1.2, 0.8), cutoff=5.0, tol=1e-4,
+                         probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    assert spec.is_triclinic and not spec.fw_split
+    states = replicate(spec, sysm.state, 4)
+    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
+    # create/delete trials actually happened (indel prob 0.5)
+    assert np.asarray(st_b.counters)[:, 0, 0].sum() > 0
+    for b in range(4):
+        st1 = jax.tree_util.tree_map(lambda x: x[b], st_b)
+        e, _, _ = system_energy(spec, st1)
+        drift = abs(float(st1.energy[E_TOT]) - float(e[E_TOT]))
+        assert drift < 2.0, f"replica {b}: running vs recompute {drift} K"
+
+
 def test_blockg_capacity_overflow(tmp_path, monkeypatch):
     """Insertions beyond capacity are rejected and counted in extras[0]
     (the reference would overflow its fixed arrays here)."""
