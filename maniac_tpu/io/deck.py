@@ -72,6 +72,14 @@ class InputDeck:
     framework_split: str = "auto"
     fw_alpha2: float = 0.0
     fw_rcut2: float = 0.0
+    # Tabulated pair potentials (reference: src/tabulated_utils.f90, gated
+    # off at compile time by use_table=.false., src/parameters.f90:41-42
+    # with a "make it an input parameter" TODO - here it IS the input
+    # parameter). Linear-interpolation tables for erfc(alpha r)/r, r^6 and
+    # r^12 replace the direct pair math on the XLA path; see
+    # DIVERGENCES.md (tabulated mode) for the semantics this inherits.
+    use_table: bool = False
+    tabulated_points: int = 5000
     real_space_cutoff: float = 0.0
     translation_step: float = 0.0
     rotation_step_angle: float = 0.0
@@ -112,6 +120,8 @@ _SCALAR_KEYS = {
     "framework_split": ("framework_split", str.lower),
     "fw_alpha2": ("fw_alpha2", float),
     "fw_rcut2": ("fw_rcut2", float),
+    "use_table": ("use_table", _parse_bool),
+    "tabulated_points": ("tabulated_points", int),
     "real_space_cutoff": ("real_space_cutoff", float),
     "translation_step": ("translation_step", float),
     "rotation_step_angle": ("rotation_step_angle", float),
@@ -127,7 +137,8 @@ _PROBA_KEYS = {
 
 # keys whose value must be > 0 (reference: input_parser.f90:378-413)
 _POSITIVE_KEYS = {"temperature", "ewald_tolerance", "real_space_cutoff",
-                  "translation_step", "rotation_step_angle"}
+                  "translation_step", "rotation_step_angle",
+                  "tabulated_points"}
 
 
 def parse_deck(path: str, logger: Logger | None = None) -> InputDeck:
@@ -216,6 +227,9 @@ def parse_deck(path: str, logger: Logger | None = None) -> InputDeck:
 def _validate(deck: InputDeck, seen: set[str], logger: Logger) -> None:
     if deck.framework_split not in ("auto", "on", "off"):
         logger.abort("Invalid framework_split: must be auto, on or off")
+    if deck.use_table and deck.framework_split == "on":
+        logger.abort("use_table replaces the direct pair math and cannot "
+                     "be combined with framework_split on")
     for res in deck.residues:
         if res.active and res.fugacity < 0.0:
             logger.abort(

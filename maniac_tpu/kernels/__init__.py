@@ -19,6 +19,8 @@ def use_pair_kernel(spec) -> bool:
         return False
     if spec.is_triclinic or spec.dtype_name != "float32":
         return False  # XLA path: 27-image search / f64 precision oracle
+    if spec.use_table:
+        return False  # tabulated pair potentials are XLA-path only
     if spec.fw_split and (int(os.environ.get("MANIAC_GROUP", "16") or 16) <= 1
                           or 2 * spec.Lmax > 8):
         # only the grouped kernel implements the static-framework split;
@@ -76,7 +78,8 @@ def use_block_kernel(spec) -> bool:
     if os.environ.get("MANIAC_PALLAS", "auto") != "block":
         return False
     return (not spec.is_triclinic and spec.dtype_name == "float32"
-            and not spec.has_reservoir and not spec.fw_split)
+            and not spec.has_reservoir and not spec.fw_split
+            and not spec.use_table)
 
 
 def use_blockg(spec) -> bool:
@@ -94,6 +97,7 @@ def use_blockg(spec) -> bool:
     if mode not in ("auto", "blockg"):
         return False
     ok = (spec.dtype_name == "float32"
+          and not spec.use_table
           and spec.n_active >= 1
           and 2 * spec.Lmax <= 8
           and (spec.fw_split or spec.R == spec.n_active))

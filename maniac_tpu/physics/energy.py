@@ -43,6 +43,37 @@ def active_site_mask(spec: SystemSpec, n_mol) -> jnp.ndarray:
     return spec.site_midx < n_mol[spec.site_type]
 
 
+def tab_lookup(table, dx, r):
+    """Linear interpolation with the reference's LookupTabulated semantics
+    (src/tabulated_utils.f90:92-117): r <= 0 returns f[0], r beyond the
+    grid returns 0, otherwise lerp between the bracketing grid points.
+
+    Tabulated mode is XLA-path only (kernels/__init__.py gates on
+    spec.use_table): the per-pair table gather is exactly the access
+    pattern the TPU step kernels are designed to avoid, so on TPU this is
+    an anti-optimization kept for reference parity, not speed."""
+    n = table.shape[0] - 1
+    x = r / dx
+    i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 1)
+    t = x - i.astype(r.dtype)
+    f1 = jnp.take(table, i, axis=0)
+    f2 = jnp.take(table, i + 1, axis=0)
+    val = (1.0 - t) * f1 + t * f2
+    val = jnp.where(r >= n * dx, jnp.zeros_like(val), val)
+    return jnp.where(r <= 0.0, table[0], val)
+
+
+def _tab_lj(spec: SystemSpec, eps, sig2, r):
+    """Tabulated LJ: sigma^6 / interp(r^6) and sigma^12 / interp(r^12)
+    (reference LennardJonesEnergy, src/energy_utils.f90:190-219). The
+    interpolated denominators are floored to dodge the r ~ 0 pole on
+    masked/padded pairs (the reference never evaluates those)."""
+    sig6 = sig2 * sig2 * sig2
+    den6 = jnp.maximum(tab_lookup(spec.tab_r6, spec.tab_dx, r), _R2_FLOOR)
+    den12 = jnp.maximum(tab_lookup(spec.tab_r12, spec.tab_dx, r), _R2_FLOOR)
+    return 4.0 * eps * (sig6 * sig6 / den12 - sig6 / den6)
+
+
 def pair_energy_footprint(spec: SystemSpec, others_pos, others_mask,
                           mov_pos, mov_q, mov_cls, mov_mask,
                           exclude_mol_a, exclude_mol_b):
@@ -70,9 +101,14 @@ def pair_energy_footprint(spec: SystemSpec, others_pos, others_mask,
     eps = jnp.take(spec.eps_site, mov_cls, axis=0)                 # (B,A,S)
     sig2 = jnp.take(spec.sig2_site, mov_cls, axis=0)
     inv_r2 = 1.0 / r2
-    sr2 = sig2 * inv_r2
-    sr6 = sr2 * sr2 * sr2
-    lj = 4.0 * eps * (sr6 * sr6 - sr6)
+    inv_r = jnp.sqrt(inv_r2)
+    r = r2 * inv_r
+    if spec.use_table:
+        lj = _tab_lj(spec, eps, sig2, r)
+    else:
+        sr2 = sig2 * inv_r2
+        sr6 = sr2 * sr2 * sr2
+        lj = 4.0 * eps * (sr6 * sr6 - sr6)
     lj_mask = mask & (r2 < spec.cutoff * spec.cutoff)
     e_lj = jnp.sum(jnp.where(lj_mask, lj, 0.0), axis=(1, 2))
 
@@ -81,9 +117,14 @@ def pair_energy_footprint(spec: SystemSpec, others_pos, others_mask,
     # the short-ranged erfc(alpha2 r)/r (cut at rcut2) and the far-field
     # grid term D(r) per footprint atom - same total to the measured split
     # accuracy, identical across the XLA and Pallas paths by construction.
-    inv_r = jnp.sqrt(inv_r2)
-    r = r2 * inv_r
     qq = mov_q[:, :, None] * spec.site_q[None, None, :]
+    if spec.use_table:
+        # tabulated mode: the table returns 0 beyond the grid, so Coulomb
+        # inherits an implicit cutoff at real_space_cutoff (reference
+        # CoulombEnergy via LookupTabulated, src/energy_utils.f90:246-252)
+        coul = qq * tab_lookup(spec.tab_erfc, spec.tab_dx, r)
+        e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2)) * COULOMB_K
+        return e_lj, e_coul
     if spec.fw_split:
         frozen = (jnp.arange(spec.S) < spec.S_frozen)[None, None, :]
         coul_short = (qq * erfc(spec.alpha2 * r) * inv_r
@@ -327,14 +368,20 @@ def full_pair_energy(spec: SystemSpec, pos, active):
                        spec.site_cls, axis=-1)          # (chunk, S)
         sig = jnp.take(jnp.take(spec.sig_cls, cls_i, axis=0),
                        spec.site_cls, axis=-1)
-        sr2 = (sig * sig) / r2
-        sr6 = sr2 * sr2 * sr2
-        lj = 4.0 * eps * (sr6 * sr6 - sr6)
+        r = jnp.sqrt(r2)
+        if spec.use_table:
+            lj = _tab_lj(spec, eps, sig * sig, r)
+        else:
+            sr2 = (sig * sig) / r2
+            sr6 = sr2 * sr2 * sr2
+            lj = 4.0 * eps * (sr6 * sr6 - sr6)
         lj_mask = mask & (r2 < spec.cutoff * spec.cutoff)
         e_lj = e_lj + jnp.sum(jnp.where(lj_mask, lj, 0.0))
-        r = jnp.sqrt(r2)
         qq = spec.site_q[i_chunk][:, None] * spec.site_q[None, :]
-        coul = qq * erfc(spec.alpha * r) / r
+        if spec.use_table:
+            coul = qq * tab_lookup(spec.tab_erfc, spec.tab_dx, r)
+        else:
+            coul = qq * erfc(spec.alpha * r) / r
         if spec.fw_split:
             # frozen<->mobile cross pairs use the short-ranged split term;
             # the far-field remainder is added once outside the scan

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import (ATM_TO_PA, A3_TO_M3, COULOMB_K, KB_JK, SQRTPI)
+from scipy.special import erfc as erfc_np
+
+from .constants import (ATM_TO_PA, A3_TO_M3, COULOMB_K, KB_JK, SMALL, SQRTPI)
 from .ewald import EwaldSetup
 from .geometry import Box, min_image_delta
 from .io.deck import InputDeck
@@ -65,7 +67,8 @@ def _round_up(x: int, m: int) -> int:
                       "fw_pq_g", "fw_eps_g", "fw_sig2_g",
                       "fw_blockmax", "c2_re", "c2_im",
                       "ex2_sel", "ey2_sel", "alpha2", "rcut2", "fw_d0",
-                      "fw_rcw_lj", "fw_rcw_c", "fw_amp_re", "fw_amp_im"],
+                      "fw_rcw_lj", "fw_rcw_c", "fw_amp_re", "fw_amp_im",
+                      "tab_erfc", "tab_r6", "tab_r12", "tab_dx"],
          meta_fields=["R", "A_list", "cap_list", "active_list", "A_act",
                       "n_active", "S", "Mtot", "K", "box_kind", "is_triclinic",
                       "dtype_name", "has_reservoir", "res_cap_list",
@@ -73,7 +76,8 @@ def _round_up(x: int, m: int) -> int:
                       "fw_split", "S_frozen", "guest_base", "fw_SG",
                       "fw_WL", "fw_WC", "fw_onewin", "fw_axis",
                       "kmax2_xyz", "amp2_shape",
-                      "site_base_list", "lj_idx_list", "q_idx_list"])
+                      "site_base_list", "lj_idx_list", "q_idx_list",
+                      "use_table"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -184,6 +188,16 @@ class SystemSpec:
     fw_rcw_c: jnp.ndarray     # scalar Coulomb half-window (A)
     fw_amp_re: jnp.ndarray    # (JzP, JxyP) constant framework amplitudes
     fw_amp_im: jnp.ndarray
+    # Tabulated pair potentials (opt-in; reference src/tabulated_utils.f90).
+    # (P+1,) uniform grids over [0, cutoff] with spacing tab_dx; lookups are
+    # linearly interpolated and return 0 beyond the grid, which gives the
+    # tabulated Coulomb an implicit real-space cutoff the direct path does
+    # not have (reference LookupTabulated, src/tabulated_utils.f90:92-117).
+    # Size-2 inert dummies when use_table is False.
+    tab_erfc: jnp.ndarray     # erfc(alpha r)/r; f(0) = 2 alpha/sqrt(pi)
+    tab_r6: jnp.ndarray       # r^6 (f(0) = 0)
+    tab_r12: jnp.ndarray      # r^12 (f(0) = 0)
+    tab_dx: jnp.ndarray       # scalar grid spacing
     # --- static metadata ---
     R: int
     A_list: tuple
@@ -219,6 +233,7 @@ class SystemSpec:
     site_base_list: tuple     # static per-type site bases (128-aligned)
     lj_idx_list: tuple        # per-type eps-active atom slots (static)
     q_idx_list: tuple         # per-type charged atom slots (static)
+    use_table: bool           # tabulated pair potentials (XLA path only)
 
     @property
     def dtype(self):
@@ -478,6 +493,13 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
                 mol_rad = max(mol_rad, float(
                     np.max(np.linalg.norm(offs, axis=-1))))
     fw_mode = getattr(deck, "framework_split", "auto")
+    use_table = bool(getattr(deck, "use_table", False))
+    if use_table:
+        # Tables replace the direct pair math wholesale (reference
+        # semantics, src/energy_utils.f90:209-252); the split's
+        # erfc(alpha2 r) short form has no table, so the two are exclusive
+        # (deck validation aborts on framework_split "on" + use_table).
+        fw_mode = "off"
     env_fw = os.environ.get("MANIAC_FWSPLIT", "")
     if env_fw == "0":
         fw_mode = "off"
@@ -511,6 +533,27 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
             amp_fw_re=np.zeros(ewald.grid2_shape),
             amp_fw_im=np.zeros(ewald.grid2_shape),
             guest_base=0, S_frozen=0, axis=2)
+
+    # ---- tabulated pair potentials (opt-in) ------------------------------
+    # Uniform P+1-point grids over [0, cutoff], built in f64 exactly as the
+    # reference does (src/tabulated_utils.f90:21-88): erfc(alpha r)/r with
+    # the r=0 entry pinned to 2 alpha/sqrt(pi), and plain r^6 / r^12 with
+    # 0 at r=0.
+    if use_table:
+        P = int(getattr(deck, "tabulated_points", 5000))
+        tab_dx = float(ewald.real_space_cutoff) / P
+        r_grid = np.arange(P + 1) * tab_dx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tab_erfc = np.where(
+                r_grid < SMALL, 2.0 * ewald.alpha / SQRTPI,
+                erfc_np(ewald.alpha * r_grid) / np.maximum(r_grid, 1e-300))
+        tab_r6 = np.where(r_grid < SMALL, 0.0, r_grid ** 6)
+        tab_r12 = np.where(r_grid < SMALL, 0.0, r_grid ** 12)
+    else:
+        tab_dx = 1.0
+        tab_erfc = np.zeros(2)
+        tab_r6 = np.zeros(2)
+        tab_r12 = np.zeros(2)
 
     f = lambda x: jnp.asarray(x, dtype=fdt)
     spec = SystemSpec(
@@ -554,6 +597,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         alpha2=f(fws.alpha2), rcut2=f(fws.rcut2), fw_d0=f(fws.d0),
         fw_rcw_lj=f(fws.rcw_lj), fw_rcw_c=f(fws.rcw_c),
         fw_amp_re=f(fws.amp_fw_re), fw_amp_im=f(fws.amp_fw_im),
+        tab_erfc=f(tab_erfc), tab_r6=f(tab_r6), tab_r12=f(tab_r12),
+        tab_dx=f(tab_dx),
         R=R, A_list=A_list, cap_list=cap_list,
         active_list=tuple(active), A_act=A_act,
         n_active=len(active_ids), S=S, Mtot=Mtot, K=K,
@@ -572,7 +617,8 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         kmax2_xyz=tuple(fws.kmax2), amp2_shape=tuple(fws.amp2_shape),
         site_base_list=tuple(base_list),
         lj_idx_list=tuple(tuple(x) for x in lj_idx),
-        q_idx_list=tuple(tuple(x) for x in q_idx))
+        q_idx_list=tuple(tuple(x) for x in q_idx),
+        use_table=use_table)
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol
