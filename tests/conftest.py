@@ -28,9 +28,43 @@ sys.path.insert(0, os.path.dirname(__file__))
 # programs on every run (single-CPU box, XLA compiles dominate several
 # tests); cached executables cut repeat runs substantially. Safe to
 # delete the directory at any time.
+#
+# Crash guard: a run killed mid-write (SIGKILL/SIGTERM on this box) can
+# leave a truncated cache entry, and deserializing one SEGFAULTS the next
+# run inside jax's compilation_cache. A `.clean` marker is removed at
+# session start and restored at session finish; if a previous run never
+# restored it, the cache is wiped before use.
 _cache_dir = os.environ.get("MANIAC_TEST_CACHE",
                             os.path.expanduser("~/.cache/maniac-jax-tests"))
+_cache_marker = os.path.join(_cache_dir, ".clean") if _cache_dir != "0" else ""
 if _cache_dir != "0":
+    import shutil
+
+    if os.path.isdir(_cache_dir) and not os.path.exists(_cache_marker):
+        shutil.rmtree(_cache_dir, ignore_errors=True)
+    os.makedirs(_cache_dir, exist_ok=True)
+    if os.path.exists(_cache_marker):
+        os.remove(_cache_marker)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+# XLA:CPU JIT-loads every compiled/deserialized executable into the
+# process as many small mappings; a full cold suite run accumulates >65k
+# and then SEGFAULTS at the kernel default vm.max_map_count=65530 (mmap
+# fails mid-load; measured 62.5k maps one sample before the crash, always
+# at the ~100th test). Raise the ceiling where we can (root container).
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _mmc = int(_f.read())
+    if _mmc < 262144:
+        with open("/proc/sys/vm/max_map_count", "w") as _f:
+            _f.write("262144")
+except (OSError, ValueError):
+    pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if _cache_marker:
+        with open(_cache_marker, "w"):
+            pass

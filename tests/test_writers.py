@@ -8,16 +8,23 @@ numbers as trajectory timesteps - DIVERGENCES.md #3/#15)."""
 import os
 
 import numpy as np
+import pytest
 
 from maniac_tpu.cli import main as cli_main
 
 from fixtures import make_water_box
 
 
-def _run(tmp_path, **kw):
+@pytest.fixture(scope="module")
+def _run(tmp_path_factory):
+    """One shared CLI run: the four format-contract tests below parse
+    different output files of the SAME run, so run it once (4 identical
+    CLI runs also reproducibly tripped a jaxlib-0.9 CPU segfault in the
+    4th identical XLA compile at the tail of a full-suite process)."""
+    tmp_path = tmp_path_factory.mktemp("writers")
     d = make_water_box(str(tmp_path / "sys"), n_water=8, L=14.0, cutoff=5.0,
                        tol=1e-4, probs=(0.3, 0.3, 0.4, 0.0), fugacity=800.0,
-                       nb_block=3, nb_step=40, **kw)
+                       nb_block=3, nb_step=40)
     out = str(tmp_path / "outputs")
     assert cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
                      "-p", f"{d}/parameters.inc", "-o", out,
@@ -25,8 +32,8 @@ def _run(tmp_path, **kw):
     return out
 
 
-def test_energy_dat_columns(tmp_path):
-    out = _run(tmp_path)
+def test_energy_dat_columns(_run):
+    out = _run
     rows = [l.split() for l in open(f"{out}/energy.dat")
             if not l.startswith("#")]
     assert len(rows) == 4                      # block 0 + 3 blocks
@@ -38,8 +45,8 @@ def test_energy_dat_columns(tmp_path):
         assert abs(vals[1] - sum(vals[2:7])) < 5e-6, r
 
 
-def test_moves_dat_full_eleven_columns(tmp_path):
-    out = _run(tmp_path)
+def test_moves_dat_full_eleven_columns(_run):
+    out = _run
     lines = open(f"{out}/moves.dat").read().splitlines()
     header = lines[0]
     for col in ("Trial_Trans", "Trans_Moves", "Trial_Create", "Create_Moves",
@@ -55,8 +62,8 @@ def test_moves_dat_full_eleven_columns(tmp_path):
     assert last[1] + last[3] + last[5] + last[7] + last[9] > 0
 
 
-def test_trajectory_timesteps_and_counts(tmp_path):
-    out = _run(tmp_path)
+def test_trajectory_timesteps_and_counts(_run):
+    out = _run
     text = open(f"{out}/trajectory.lammpstrj").read().splitlines()
     steps = [int(text[i + 1]) for i, l in enumerate(text)
              if l.startswith("ITEM: TIMESTEP")]
@@ -71,8 +78,8 @@ def test_trajectory_timesteps_and_counts(tmp_path):
     assert counts == [4 * n for n in series]
 
 
-def test_log_status_rows_parse(tmp_path):
-    out = _run(tmp_path)
+def test_log_status_rows_parse(_run):
+    out = _run
     log = open(f"{out}/log.maniac").read().splitlines()
     idx = [i for i, l in enumerate(log) if "TotEng" in l]
     assert len(idx) >= 3
