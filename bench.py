@@ -37,6 +37,10 @@ TARGET_STEPS_PER_SEC = 1.0e6
 
 
 def main() -> None:
+    from maniac_tpu.utils.mapguard import ensure_map_headroom
+
+    ensure_map_headroom()
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -110,6 +110,9 @@ def run_case(name: str) -> int:
 
 
 def main() -> int:
+    from maniac_tpu.utils.mapguard import ensure_map_headroom
+
+    ensure_map_headroom()
     if len(sys.argv) < 2:
         print("cases:", " ".join(CASES), "isotherm")
         return 0

@@ -47,6 +47,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    from .utils.mapguard import ensure_map_headroom
+
+    ensure_map_headroom()
+
     import jax
 
     if args.platform:

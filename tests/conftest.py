@@ -54,14 +54,9 @@ if _cache_dir != "0":
 # and then SEGFAULTS at the kernel default vm.max_map_count=65530 (mmap
 # fails mid-load; measured 62.5k maps one sample before the crash, always
 # at the ~100th test). Raise the ceiling where we can (root container).
-try:
-    with open("/proc/sys/vm/max_map_count") as _f:
-        _mmc = int(_f.read())
-    if _mmc < 262144:
-        with open("/proc/sys/vm/max_map_count", "w") as _f:
-            _f.write("262144")
-except (OSError, ValueError):
-    pass
+from maniac_tpu.utils.mapguard import ensure_map_headroom  # noqa: E402
+
+ensure_map_headroom()
 
 
 def pytest_sessionfinish(session, exitstatus):
