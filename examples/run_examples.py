@@ -28,7 +28,7 @@ CASES = {
     "H2O-gcmc": (systems.make_water_box,
                  dict(n_water=8, L=14.0, cutoff=5.5, tol=1e-5, nb_block=5,
                       nb_step=500, probs=(0.3, 0.3, 0.4, 0.0),
-                      fugacity=2000.0, recal=True), []),
+                      fugacity=2000.0, recal=True), ["--widom", "32"]),
     "LJ-gas": (systems.make_lj_gas,
                dict(n=32, L=18.0, cutoff=6.0, tol=1e-4, nb_block=5,
                     nb_step=500, probs=(0.4, 0.0, 0.6, 0.0), fugacity=5.0),

@@ -12,6 +12,8 @@ TPU-native extensions:
     --capacity N     per-active-type molecule capacity override
     --platform P     jax platform override (cpu/tpu/axon)
     --audit          per-block energy-drift audit (full recompute)
+    --widom N        N Widom ghost insertions per block per active species:
+                     excess chemical potential diagnostic -> widom.dat
 """
 
 from __future__ import annotations
@@ -36,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--capacity", type=int, default=None)
     p.add_argument("--platform", default=None)
     p.add_argument("--audit", action="store_true")
+    p.add_argument("--widom", type=int, default=0, metavar="N",
+                   help="N Widom ghost insertions per block per active "
+                        "species (excess chemical potential -> widom.dat)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
                    help="write a full checkpoint (.npz) every block")
@@ -140,6 +145,11 @@ def _run(args, outdir: str, logger, dtype) -> int:
                         reservoir_snap=res_snap(), reservoir_box=res_box)
 
     total_steps = 0
+    if args.widom > 0:
+        from .mc.widom import widom_block
+        widom_names = [res.name for res in deck.residues if res.active]
+        widom_sum = np.zeros(len(widom_names))
+        widom_blocks = 0
     for block in range(start_block + 1, deck.nb_block + 1):
         f32 = spec.dtype == np.float32
         if replicated:
@@ -166,6 +176,20 @@ def _run(args, outdir: str, logger, dtype) -> int:
         writer.print_status(snap, block)
         writer.update_files(snap, block, append=True,
                             reservoir_snap=res_snap(), reservoir_box=res_box)
+        if args.widom > 0:
+            # ghost insertions on the reported replica's CURRENT (exact,
+            # post-refresh) configuration; fold_in keeps the draw stream
+            # disjoint from the chain's own key splits, so enabling the
+            # diagnostic never perturbs trajectories
+            st0 = (jax.tree_util.tree_map(lambda x: x[0], state)
+                   if replicated else state)
+            wkey = jax.random.fold_in(st0.key, block)
+            B_blk = np.asarray(widom_block(spec, st0, args.widom, wkey),
+                               dtype=np.float64)
+            widom_sum += B_blk
+            widom_blocks += 1
+            writer.write_widom(block, widom_names, B_blk,
+                               widom_sum / widom_blocks, float(spec.temp_K))
         if args.audit and not replicated:
             rep = drift_report(spec, state)
             logger.log(f"  audit: |E_running - E_fresh| = "

@@ -174,6 +174,29 @@ class OutputWriter:
                     f"{c[0, TYPE_ROTATION]:12d} {c[1, TYPE_ROTATION]:12d} "
                     f"{c[0, TYPE_SWAP]:12d} {c[1, TYPE_SWAP]:12d}\n")
 
+    # --- Widom insertion diagnostic (TPU-native extension; no reference
+    # analog - see mc/widom.py) ---------------------------------------------
+    def write_widom(self, block: int, names, B_block, B_cum,
+                    temp_K: float) -> None:
+        """Append one widom.dat row: per active species the block's Widom
+        factor <exp(-dU/T)>, the cumulative factor, and mu_ex (kcal/mol)
+        from the cumulative factor."""
+        from ..mc.widom import mu_excess_K
+        first = block <= 1
+        with open(os.path.join(self.outdir, "widom.dat"),
+                  "w" if first else "a") as f:
+            if first:
+                cols = "".join(
+                    f"   B_block({n})      B_cum({n})   mu_ex({n})[kcal/mol]"
+                    for n in names)
+                f.write(f"#    block{cols}\n")
+            row = f"{block:10d}"
+            for j in range(len(names)):
+                mu = mu_excess_K(B_cum[j], temp_K) * KB_KCALMOL
+                row += (f" {float(B_block[j]):14.6e} {float(B_cum[j]):14.6e}"
+                        f" {mu:14.6f}")
+            f.write(row + "\n")
+
     # --- restart topology ---------------------------------------------------
     def write_topology(self, snap: HostSnapshot,
                        filename: str = "topology.data") -> None:
