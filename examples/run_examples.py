@@ -51,7 +51,7 @@ CASES = {
     # analogs of the remaining reference run.sh cases (run.sh:4-96)
     "SLIT": (systems.make_slit_pore,
              dict(n_water=8, nb_block=3, nb_step=300, fugacity=80.0),
-             ["--capacity", "24"]),
+             ["--capacity", "24", "--profile", "16"]),
     "MFI-CO2": (systems.make_mfi_co2,
                 dict(n_co2=8, nb_block=3, nb_step=300, fugacity=40.0),
                 ["--capacity", "32"]),

@@ -14,6 +14,8 @@ TPU-native extensions:
     --audit          per-block energy-drift audit (full recompute)
     --widom N        N Widom ghost insertions per block per active species:
                      excess chemical potential diagnostic -> widom.dat
+    --profile BINS   per-block COM density histogram along --profile-axis
+                     (default z) per active species -> profile_<RES>.dat
 """
 
 from __future__ import annotations
@@ -41,6 +43,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--widom", type=int, default=0, metavar="N",
                    help="N Widom ghost insertions per block per active "
                         "species (excess chemical potential -> widom.dat)")
+    p.add_argument("--profile", type=int, default=0, metavar="BINS",
+                   help="per-block COM density histogram with BINS bins "
+                        "per active species -> profile_<RES>.dat")
+    p.add_argument("--profile-axis", choices=["x", "y", "z"], default="z")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
                    help="write a full checkpoint (.npz) every block")
@@ -141,8 +147,11 @@ def _run(args, outdir: str, logger, dtype) -> int:
 
     res_box = sysm.reservoir.box if sysm.reservoir else None
     logger.banner("Started Monte Carlo Loop")
-    writer.update_files(snapshot(spec, state, rep0), 0, append=False,
+    snap0 = snapshot(spec, state, rep0)
+    writer.update_files(snap0, 0, append=False,
                         reservoir_snap=res_snap(), reservoir_box=res_box)
+    if args.profile > 0:
+        writer.write_profile(snap0, 0, args.profile, args.profile_axis)
 
     total_steps = 0
     if args.widom > 0:
@@ -176,6 +185,9 @@ def _run(args, outdir: str, logger, dtype) -> int:
         writer.print_status(snap, block)
         writer.update_files(snap, block, append=True,
                             reservoir_snap=res_snap(), reservoir_box=res_box)
+        if args.profile > 0:
+            writer.write_profile(snap, block, args.profile,
+                                 args.profile_axis)
         if args.widom > 0:
             # ghost insertions on the reported replica's CURRENT (exact,
             # post-refresh) configuration; fold_in keeps the draw stream

@@ -197,6 +197,35 @@ class OutputWriter:
                         f" {mu:14.6f}")
             f.write(row + "\n")
 
+    # --- density profile (TPU-native extension; no reference analog) --------
+    def write_profile(self, snap: HostSnapshot, block: int, bins: int,
+                      axis: str) -> None:
+        """Append per-block COM histograms along one box axis (fractional
+        coordinate, exact for any cell via H^-1) to profile_<RES>.dat -
+        the density-profile observable for slit-pore/interface adsorption
+        cases. Row: block index then `bins` integer counts (sum == N of
+        that species that block)."""
+        box = self.parsed.box
+        lo = box.bounds[:, 0]
+        ax = {"x": 0, "y": 1, "z": 2}[axis]
+        first = block == 0
+        for r, res in enumerate(self.deck.residues):
+            if not res.active:
+                continue
+            com = snap.com[r][: int(snap.n_mol[r])]
+            if com.size:
+                frac = ((box.reciprocal @ (com - lo).T) % 1.0)[ax]
+                hist = np.histogram(frac, bins=bins, range=(0.0, 1.0))[0]
+            else:
+                hist = np.zeros(bins, dtype=int)
+            path = os.path.join(self.outdir, f"profile_{res.name}.dat")
+            with open(path, "w" if first else "a") as f:
+                if first:
+                    f.write(f"# COM histogram along {axis} (fractional "
+                            f"coordinate, {bins} bins)\n")
+                f.write(f"{block:10d} "
+                        + " ".join(f"{int(c):7d}" for c in hist) + "\n")
+
     # --- restart topology ---------------------------------------------------
     def write_topology(self, snap: HostSnapshot,
                        filename: str = "topology.data") -> None:

@@ -105,7 +105,8 @@ def test_widom_cli_does_not_perturb_chain(tmp_path):
     out_a = tmp_path / "a"
     out_b = tmp_path / "b"
     assert main(argv + ["-o", str(out_a)]) == 0
-    assert main(argv + ["-o", str(out_b), "--widom", "4"]) == 0
+    assert main(argv + ["-o", str(out_b), "--widom", "4",
+                        "--profile", "8"]) == 0
     # the diagnostic must not touch the trajectory
     ea = (out_a / "energy.dat").read_text()
     eb = (out_b / "energy.dat").read_text()
@@ -119,3 +120,15 @@ def test_widom_cli_does_not_perturb_chain(tmp_path):
     assert np.all(vals[:, 0] > 0)
     # cumulative factor after block 2 is the mean of the two block factors
     assert np.isclose(vals[1, 1], vals[:, 0].mean(), rtol=1e-6)
+    # density profile: one row per block incl. block 0, 8 counts per row,
+    # each row summing to that block's population series value
+    prows = [ln.split() for ln in
+             (out_b / "profile_wat.dat").read_text().splitlines()
+             if not ln.startswith("#")]
+    nrows = [ln.split() for ln in
+             (out_b / "number_wat.dat").read_text().splitlines()
+             if not ln.startswith("#")]
+    assert len(prows) == 3 and all(len(r) == 9 for r in prows)
+    for p, n in zip(prows, nrows):
+        assert p[0] == n[0]
+        assert sum(int(c) for c in p[1:]) == int(n[1])
