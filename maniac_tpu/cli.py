@@ -190,12 +190,16 @@ def _run(args, outdir: str, logger, dtype) -> int:
                                  args.profile_axis)
         if args.widom > 0:
             # ghost insertions on the reported replica's CURRENT (exact,
-            # post-refresh) configuration; fold_in keeps the draw stream
-            # disjoint from the chain's own key splits, so enabling the
-            # diagnostic never perturbs trajectories
+            # post-refresh) configuration; the chain's own state.key is
+            # never advanced here, so enabling the diagnostic never perturbs
+            # trajectories. The fixed tag fold keeps the diagnostic draws
+            # practically independent of the chain's split() stream (a bare
+            # fold_in(key, block) shares threefry counter blocks with
+            # split(key, n) subkeys)
             st0 = (jax.tree_util.tree_map(lambda x: x[0], state)
                    if replicated else state)
-            wkey = jax.random.fold_in(st0.key, block)
+            wkey = jax.random.fold_in(
+                jax.random.fold_in(st0.key, 0x5749444F), block)
             B_blk = np.asarray(widom_block(spec, st0, args.widom, wkey),
                                dtype=np.float64)
             widom_sum += B_blk

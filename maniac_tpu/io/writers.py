@@ -182,14 +182,23 @@ class OutputWriter:
         factor <exp(-dU/T)>, the cumulative factor, and mu_ex (kcal/mol)
         from the cumulative factor."""
         from ..mc.widom import mu_excess_K
-        first = block <= 1
-        with open(os.path.join(self.outdir, "widom.dat"),
-                  "w" if first else "a") as f:
+        path = os.path.join(self.outdir, "widom.dat")
+        # header when the file doesn't exist yet (covers a resumed run into
+        # a fresh outdir); resuming IN PLACE appends a marker row instead,
+        # because the B_cum accumulator restarts from zero at the resume
+        # point and the series would otherwise read as continuous
+        first = block <= 1 or not os.path.exists(path)
+        resumed_in_place = (not first
+                            and not getattr(self, "_widom_started", False))
+        self._widom_started = True
+        with open(path, "w" if first else "a") as f:
             if first:
                 cols = "".join(
                     f"   B_block({n})      B_cum({n})   mu_ex({n})[kcal/mol]"
                     for n in names)
                 f.write(f"#    block{cols}\n")
+            elif resumed_in_place:
+                f.write(f"# resumed at block {block}: B_cum restarts here\n")
             row = f"{block:10d}"
             for j in range(len(names)):
                 mu = mu_excess_K(B_cum[j], temp_K) * KB_KCALMOL
