@@ -17,6 +17,9 @@ KB_KCALMOL = 0.0019872041     # Boltzmann constant (kcal/mol/K)
 EPS0_INV_EVA = 14.40198       # e^2 / (4 pi eps0)  (eV * Angstrom)
 KB_EVK = 8.6173852e-5         # Boltzmann constant (eV/K)
 SMALL = 1.0e-10               # generic small-number tolerance ("error")
+# erfc(x) < 5e-10 beyond this: the truncation accuracy of every
+# short-range split pass (fwsplit alpha2, guest-guest honest cutoff)
+ERFC_DECAY = 4.4
 
 # Coulomb prefactor converting (e^2/Angstrom) to Kelvin.
 COULOMB_K = EPS0_INV_EVA / KB_EVK

@@ -72,6 +72,19 @@ class InputDeck:
     framework_split: str = "auto"
     fw_alpha2: float = 0.0
     fw_rcut2: float = 0.0
+    # TPU-native extension: guest<->guest real-space Coulomb truncation at
+    # the radius where erfc(alpha r) ~ 5e-10 (the reference sums the damped
+    # term over ALL pairs with no cutoff, src/energy_utils.f90:374-442; the
+    # tail beyond that radius is below 1e-6 kcal/mol - DIVERGENCES.md).
+    # "auto" (default) enables it; "off" restores the exact reference
+    # semantics; gg_rcut overrides the automatic radius (0 = auto).
+    # Combined with `ewald_alpha` this re-balances the whole engine between
+    # a short real-space pass and the k-grid - the guest-side analog of the
+    # static-framework split. guest_slabs enables the slab-slotted guest
+    # layout (spatial windows for the short pass; 0 = auto).
+    guest_split: str = "auto"
+    gg_rcut: float = 0.0
+    guest_slabs: int = 0
     # Tabulated pair potentials (reference: src/tabulated_utils.f90, gated
     # off at compile time by use_table=.false., src/parameters.f90:41-42
     # with a "make it an input parameter" TODO - here it IS the input
@@ -120,6 +133,9 @@ _SCALAR_KEYS = {
     "framework_split": ("framework_split", str.lower),
     "fw_alpha2": ("fw_alpha2", float),
     "fw_rcut2": ("fw_rcut2", float),
+    "guest_split": ("guest_split", str.lower),
+    "gg_rcut": ("gg_rcut", float),
+    "guest_slabs": ("guest_slabs", int),
     "use_table": ("use_table", _parse_bool),
     "tabulated_points": ("tabulated_points", int),
     "real_space_cutoff": ("real_space_cutoff", float),

@@ -1,10 +1,18 @@
 """Pallas TPU kernels for the hot paths (SURVEY.md section 7 stage 7).
 
 The XLA implementations in maniac_tpu.physics remain the reference/oracle
-path (and the only path on CPU and for triclinic boxes); kernels here are
-drop-in TPU replacements selected at trace time. Set MANIAC_PALLAS=0/1 to
-force the choice (default: auto - Pallas on non-CPU backends for f32
-orthogonal boxes).
+path (and the only path on CPU, for f64, and for tabulated potentials);
+kernels here are drop-in TPU replacements selected at trace time. Two
+kernels serve the step: the grouped whole-block kernel (blockg.py, the
+default on TPU) and the grouped per-step kernel (stepg.py, the fallback
+when whole-block residency is ineligible). Set MANIAC_PALLAS=0/1/blockg
+to force the choice (default: auto - Pallas on non-CPU backends for f32).
+
+Two earlier kernels (a per-replica fused step core and a per-replica
+whole-block kernel) were deleted in round 3 after blockg superseded them:
+they were opt-in, measured slower, and their only consumer was their own
+parity tests, while every hot-path semantic change had to be ported 4x
+(r2 VERDICT weak #7 / next #8). Their shared math lives in common.py.
 """
 
 from __future__ import annotations
@@ -13,7 +21,8 @@ import os
 
 
 def use_pair_kernel(spec) -> bool:
-    """Trace-time dispatch for the fused Pallas step-core kernel."""
+    """Trace-time dispatch for the grouped Pallas step-core kernel
+    (kernels/stepg.py; single-replica calls run it with G=1)."""
     mode = os.environ.get("MANIAC_PALLAS", "auto")
     if mode == "0":
         return False
@@ -21,11 +30,8 @@ def use_pair_kernel(spec) -> bool:
         return False  # XLA path: 27-image search / f64 precision oracle
     if spec.use_table:
         return False  # tabulated pair potentials are XLA-path only
-    if spec.fw_split and (int(os.environ.get("MANIAC_GROUP", "16") or 16) <= 1
-                          or 2 * spec.Lmax > 8):
-        # only the grouped kernel implements the static-framework split;
-        # without it the XLA path (which does) must be used
-        return False
+    if 2 * spec.Lmax > 8:
+        return False  # molecules too big for the 8-row LJ slab layout
     if mode == "1":
         return True
     import jax
@@ -65,21 +71,6 @@ def blockg_group_size(spec) -> int:
     while g > 8 and g * per_rep > 40 * 1024 * 1024:
         g //= 2
     return g
-
-
-def use_block_kernel(spec) -> bool:
-    """Trace-time dispatch for the whole-block Pallas kernel (state stays
-    resident in VMEM across all steps of a block; no reservoir). Measured
-    SLOWER than the per-step fused kernel on v5e (3.5 vs 2.9 ms/step at
-    B=1024 - the in-kernel footprint/bookkeeping ops cost more than the
-    per-step HBM traffic they eliminate), so it is opt-in:
-    MANIAC_PALLAS=block. Kept compiled + parity-tested as the starting
-    point for a future in-kernel neighbor-list pass."""
-    if os.environ.get("MANIAC_PALLAS", "auto") != "block":
-        return False
-    return (not spec.is_triclinic and spec.dtype_name == "float32"
-            and not spec.has_reservoir and not spec.fw_split
-            and not spec.use_table)
 
 
 def use_blockg(spec) -> bool:

@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
-from .step import _erfc, _powers, _signed_table
+from .common import _erfc, _powers, _signed_table
 
 _R2_FLOOR = 1e-18
 
@@ -120,7 +120,7 @@ def _blockg_kernel(
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
         kmerge: bool = False, onewin: bool = False, tricl: bool = False,
-        ablate: str = ""):
+        ggr2: float = 0.0, ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -144,6 +144,10 @@ def _blockg_kernel(
     skip_stage = "stage" in ablate  # fw window staging stores only
     skip_fwmath = "fwmath" in ablate  # fw LJ/C elementwise only
     skip_phase = "phase" in ablate  # phase powers + k structure tables
+    skip_gexp = "gexp" in ablate    # per-atom footprint extraction only
+    skip_gmath = "gmath" in ablate  # guest-chunk pair math only
+    skip_glj = "glj" in ablate      # guest-chunk LJ atom loop only
+    skip_gc = "gc" in ablate        # guest-chunk Coulomb atom loop only
     FL, FQ = 2 * Lmax, 2 * Qmax
     FK = ((FQ + 7) // 8) * 8
     JxyP_ = kw_ref.shape[1]
@@ -266,14 +270,40 @@ def _blockg_kernel(
         return jax.lax.dot_general(I_G, row, (((1,), (1,)), ((), ())),
                                    preferred_element_type=f32)
 
-    NK = GFL + GFQ
-    rk_ = jax.lax.broadcasted_iota(jnp.int32, (NK, G), 0)
-    ck_ = jax.lax.broadcasted_iota(jnp.int32, (NK, G), 1)
-    gk_ = jnp.where(rk_ < GFL, rk_ // FL, (rk_ - GFL) // FQ)
-    E_gchunk = (ck_ == gk_).astype(f32)                    # (NK, G)
-    rt8_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 0)
-    ct8_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 1)
-    E_tile_lj = (ct8_ == rt8_ % FL).astype(f32)            # (GFL, FL)
+    # per-footprint-atom column selectors for the guest pass: the pass
+    # operates on NATIVE (G, 128) chunk data with the footprint side
+    # unrolled over its atoms, so each atom f needs its x/y/z/weight as
+    # per-replica (G, 1) columns. E_fsel_*[f] picks column g*F+f of the
+    # (rows, G*F) footprint operands for every g (one small matmul per
+    # atom per STEP - the per-chunk (G*F+G*FQ, G) broadcast matmuls of
+    # the old layout were 62% of the bigS step).
+    def fsel_mats(F):
+        rr = jax.lax.broadcasted_iota(jnp.int32, (G * F, G), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (G * F, G), 1)
+        return [(rr == cc * F + f).astype(f32) for f in range(F)]
+
+    E_fsel_fl = fsel_mats(FL)
+    E_fsel_fq = fsel_mats(FQ)
+    # f-major (row f*G + g) companions of E_tile_lj / E_sum_*: eps table
+    # row selection and old|new side sums for the tiled guest pass
+    rtf_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 0)
+    ctf_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 1)
+    E_tile_fm = (ctf_ == rtf_ // G).astype(f32)            # (GFL, FL)
+
+    def side_sum_fm(F, Fh):
+        rr = jax.lax.broadcasted_iota(jnp.int32, (G * F, G), 0)
+        cc = jax.lax.broadcasted_iota(jnp.int32, (G * F, G), 1)
+        gmatch = cc == rr % G
+        old = (gmatch & (rr // G < Fh)).astype(f32)
+        new = (gmatch & (rr // G >= Fh)).astype(f32)
+        return old, new
+
+    E_sum_fl_fm = side_sum_fm(FL, Lmax)
+    E_sum_fq_fm = side_sum_fm(FQ, Qmax)
+
+    def sumrow_fm(rows, E):
+        return jax.lax.dot_general(rows, E, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
 
     def row_of(col):
         # (G, 1) -> (1, G) without a relayout transpose
@@ -334,6 +364,14 @@ def _blockg_kernel(
         cc8 = jax.lax.broadcasted_iota(jnp.int32, (GFL, P8), 1)
         E_pid_stat = [(cc8 == p * 8 + rr8 % FL).astype(f32)
                       for p in range(nA * nA)]
+        # f-major variant (row f*G + g) for the guest pass: atom f's
+        # (G, 128) eps/sig2 block is then a CONTIGUOUS sublane slice of
+        # the per-chunk selection matmul's output
+        E_pid_fm = [(cc8 == p * 8 + rr8 // G).astype(f32)
+                    for p in range(nA * nA)]
+        rgf = jax.lax.broadcasted_iota(jnp.int32, (G, GFL), 0)
+        cgf = jax.lax.broadcasted_iota(jnp.int32, (G, GFL), 1)
+        Eg_fl_fm = (rgf == cgf % G).astype(f32)            # (G, GFL) f-major
 
     fw_imask = tuple(ax != fw_axis for ax in range(3))
 
@@ -439,12 +477,20 @@ def _blockg_kernel(
             i_old = i1
             i_new = jnp.where(is_swap, i2, i1)
             pid_row = i_old * nA + i_new                    # LJ table block
-            # per-step dynamic row-selection matrix (see E_pid_stat)
-            E_dyn = jnp.zeros((GFL, nA * nA * 8), f32)
+            # per-step dynamic row-selection matrices (see E_pid_stat):
+            # f-major for the guest pass; g-major only for the fw slow
+            # path's per-(g, side) scratch staging
+            E_dyn_fm = jnp.zeros((GFL, nA * nA * 8), f32)
             for p in range(nA * nA):
-                mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl,
+                mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl_fm,
                                preferred_element_type=f32)  # (1, GFL)
-                E_dyn = E_dyn + E_pid_stat[p] * mrow[0, :][:, None]
+                E_dyn_fm = E_dyn_fm + E_pid_fm[p] * mrow[0, :][:, None]
+            if fw_on:
+                E_dyn = jnp.zeros((GFL, nA * nA * 8), f32)
+                for p in range(nA * nA):
+                    mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl,
+                                   preferred_element_type=f32)
+                    E_dyn = E_dyn + E_pid_stat[p] * mrow[0, :][:, None]
         else:
             i_old = i_new = None
 
@@ -846,6 +892,32 @@ def _blockg_kernel(
                         - jnp.where(side_fk, 0.0,
                                     gx(wof, Eg_fk) * livef))
 
+        # ---- f-major footprint columns for the guest pass ------------------
+        # stack x/y/z/weight, select atom f's per-replica column block with
+        # one static matmul, flip (4, G) -> (G, 4) with one identity
+        # contraction, then stack the per-atom blocks f-major: row f*G + g.
+        # ONCE PER STEP. The chunk pass then rebuilds the old fused
+        # (F*G, 128) math shape - which the VPU pipelines ~10x better than
+        # per-atom (G, 128) passes - with plain sublane TILING of the
+        # (G, 128) chunk reads instead of the old per-chunk one-hot
+        # broadcast matmuls (those were ~30% of the bigS step).
+        opl = jnp.concatenate([ptlj, ljw], axis=0)          # (4, GFL)
+        opq = jnp.concatenate([ptq, qw], axis=0)            # (4, GFQ)
+
+        def atom_cols(op, E_f):
+            sel = jnp.dot(op, E_f, preferred_element_type=f32)      # (4, G)
+            return jax.lax.dot_general(I_G, sel, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=f32)  # (G, 4)
+
+        if skip_gexp:
+            fcl = jnp.zeros((GFL, 4), f32)
+            fcq = jnp.zeros((GFQ, 4), f32)
+        else:
+            fcl = jnp.concatenate(
+                [atom_cols(opl, E_fsel_fl[f]) for f in range(FL)], axis=0)
+            fcq = jnp.concatenate(
+                [atom_cols(opq, E_fsel_fq[f]) for f in range(FQ)], axis=0)
+
         # ---- fw window starts (one compare plane + count matmul each) ----
         if fw_on and skip_win:
             z0i = jnp.zeros((1, G), jnp.int32)
@@ -892,10 +964,7 @@ def _blockg_kernel(
             n_live_c = (jnp.max(nmol_out[0:1, :]) * A + 127) // 128
             n_live_c = jnp.minimum(n_live_c, GS // 128)
 
-        def pair_r2(pt, x1, y1, z1, imask=(True, True, True)):
-            px = pt[0, :][:, None]
-            py = pt[1, :][:, None]
-            pz = pt[2, :][:, None]
+        def pair_r2c(px, py, pz, x1, y1, z1, imask=(True, True, True)):
             dx = x1 - px
             dy = y1 - py
             dz = z1 - pz
@@ -919,11 +988,19 @@ def _blockg_kernel(
                 dz = dz - ll[2] * jnp.round(dz * inv_l[2])
             return jnp.maximum(dx * dx + dy * dy + dz * dz, _R2_FLOOR)
 
+        def pair_r2(pt, x1, y1, z1, imask=(True, True, True)):
+            return pair_r2c(pt[0, :][:, None], pt[1, :][:, None],
+                            pt[2, :][:, None], x1, y1, z1, imask)
+
         def make_guest_chunk(tt_hint):
-          # vectorized across replica lanes: the live mask is ONE (G, 128)
-          # compare block, operands are built by one-hot matmuls against
-          # E_gchunk (no per-replica Python loops; each issue below is a
-          # whole-chunk op)
+          # fused-shape guest pass, f-major rows (row f*G + g): the chunk
+          # reads stay native (G, 128) and are TILED up the sublane axis to
+          # (F*G, 128) (plain copies - the old per-chunk one-hot broadcast
+          # matmuls they replace were ~30% of the bigS step), after which
+          # the pair math runs as ONE wide fused pass per side. A per-atom
+          # (G, 128) formulation measured ~10x slower: at 8 vregs per op
+          # the VPU is latency-bound on the round/rsqrt/exp chain, while
+          # the (F*G, 128) shape pipelines it across 16-48 vregs.
           def guest_chunk(ci, carry):
             ljacc, cacc = carry
             b = ci * 128
@@ -939,53 +1016,67 @@ def _blockg_kernel(
                 # (padding columns carry an invalid type id)
                 kcol = ((styc == aids[tt_hint])
                         & (midf < ncol_ts[tt_hint]) & excl)
-            keepx = jnp.dot(E_gchunk, kcol.astype(f32),
-                            preferred_element_type=f32)     # (NK, 128)
-            keepL, keepQ = keepx[:GFL], keepx[GFL:]
-            xa = jnp.dot(E_gchunk, pos_out[:, 0, _ds128(cols0 + b, 128)],
-                         preferred_element_type=f32)
-            ya = jnp.dot(E_gchunk, pos_out[:, 1, _ds128(cols0 + b, 128)],
-                         preferred_element_type=f32)
-            za = jnp.dot(E_gchunk, pos_out[:, 2, _ds128(cols0 + b, 128)],
-                         preferred_element_type=f32)
-            if nA == 1:
-                eps = jnp.dot(E_tile_lj, epslj_ref[:FL, _ds128(b, 128)],
-                              preferred_element_type=f32)   # (GFL, 128)
-                sig2 = jnp.dot(E_tile_lj, sig2lj_ref[:FL, _ds128(b, 128)],
-                               preferred_element_type=f32)
-            else:
-                # one row-selection matmul per chunk (E_dyn folds both the
-                # per-replica active-pair id and the side/atom row layout)
-                eps = jnp.dot(E_dyn, epslj_ref[:, _ds128(b, 128)],
-                              preferred_element_type=f32)   # (GFL, 128)
-                sig2 = jnp.dot(E_dyn, sig2lj_ref[:, _ds128(b, 128)],
-                               preferred_element_type=f32)
-            r2 = pair_r2(ptlj, xa[:GFL], ya[:GFL], za[:GFL])
-            inv_r2 = 1.0 / r2
-            sr2 = sig2 * inv_r2
-            sr6 = sr2 * sr2 * sr2
-            ljv = 4.0 * eps * (sr6 * sr6 - sr6)
-            ljsel = (r2 < rc2) & (keepL > 0) & (ljw[0, :][:, None] > 0.0)
-            ljacc = ljacc + jnp.sum(jnp.where(ljsel, ljv, 0.0), axis=1,
-                                    keepdims=True)
-            r2q = pair_r2(ptq, xa[GFL:], ya[GFL:], za[GFL:])
-            inv_r = jax.lax.rsqrt(r2q)
-            coul = (qw[0, :][:, None] * sqc
-                    * _erfc(alpha * (r2q * inv_r)) * inv_r)
-            cacc = cacc + jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
-                                  keepdims=True)
+            xc = pos_out[:, 0, _ds128(cols0 + b, 128)]      # (G, 128)
+            yc = pos_out[:, 1, _ds128(cols0 + b, 128)]
+            zc = pos_out[:, 2, _ds128(cols0 + b, 128)]
+            def tile(v, F):
+                return jnp.concatenate([v] * F, axis=0)     # (F*G, 128)
+
+            if skip_gmath:
+                # keep the chunk reads live without any pair math
+                keep = jnp.sum(xc + yc + zc + kcol.astype(f32) + sqc,
+                               axis=1, keepdims=True)       # (G, 1)
+                ljacc = ljacc + tile(keep, FL)
+                cacc = cacc + tile(keep, FQ)
+                return (ljacc, cacc)
+
+            if not skip_glj:
+                xa, ya, za = tile(xc, FL), tile(yc, FL), tile(zc, FL)
+                kL = tile(kcol, FL)
+                if nA == 1:
+                    eps = jnp.dot(E_tile_fm, epslj_ref[:FL, _ds128(b, 128)],
+                                  preferred_element_type=f32)  # (GFL, 128)
+                    sig2 = jnp.dot(E_tile_fm, sig2lj_ref[:FL, _ds128(b, 128)],
+                                   preferred_element_type=f32)
+                else:
+                    # one f-major row-selection matmul per chunk
+                    eps = jnp.dot(E_dyn_fm, epslj_ref[:, _ds128(b, 128)],
+                                  preferred_element_type=f32)  # (GFL, 128)
+                    sig2 = jnp.dot(E_dyn_fm, sig2lj_ref[:, _ds128(b, 128)],
+                                   preferred_element_type=f32)
+                r2 = pair_r2c(fcl[:, 0:1], fcl[:, 1:2], fcl[:, 2:3],
+                              xa, ya, za)
+                inv_r2 = 1.0 / r2
+                sr2 = sig2 * inv_r2
+                sr6 = sr2 * sr2 * sr2
+                ljv = 4.0 * eps * (sr6 * sr6 - sr6)
+                ljsel = (r2 < rc2) & kL & (fcl[:, 3:4] > 0.0)
+                ljacc = ljacc + jnp.sum(jnp.where(ljsel, ljv, 0.0), axis=1,
+                                        keepdims=True)
+            if not skip_gc:
+                xq, yq, zq = tile(xc, FQ), tile(yc, FQ), tile(zc, FQ)
+                kQ = tile(kcol, FQ)
+                r2q = pair_r2c(fcq[:, 0:1], fcq[:, 1:2], fcq[:, 2:3],
+                               xq, yq, zq)
+                inv_r = jax.lax.rsqrt(r2q)
+                coul = (fcq[:, 3:4] * sqc
+                        * _erfc(alpha * (r2q * inv_r)) * inv_r)
+                csel = kQ
+                if ggr2:
+                    # guest<->guest honest Coulomb cutoff (DIVERGENCES #22)
+                    csel = csel & (r2q < ggr2)
+                cacc = cacc + jnp.sum(jnp.where(csel, coul, 0.0), axis=1,
+                                      keepdims=True)
             return (ljacc, cacc)
           return guest_chunk
 
+        gacc = (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32))
         if skip_guest:
-            lj_rows = jnp.zeros((GFL, 1), f32)
-            c_rows = jnp.zeros((GFQ, 1), f32)
+            pass
         elif nA == 1:
-            lj_rows, c_rows = jax.lax.fori_loop(
-                0, n_live_c, make_guest_chunk(None),
-                (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32)))
+            gacc = jax.lax.fori_loop(0, n_live_c, make_guest_chunk(None),
+                                     gacc)
         else:
-            gcarry = (jnp.zeros((GFL, 1), f32), jnp.zeros((GFQ, 1), f32))
             for tt in range(nA):
                 lo_c = sb_off_ts[tt] // 128                 # static
                 reg_chunks = (sb_off_ts[tt + 1] - sb_off_ts[tt]) // 128 \
@@ -993,9 +1084,16 @@ def _blockg_kernel(
                 n_c_t = (jnp.max(nmol_out[tt:tt + 1, :]) * A_ts[tt]
                          + 127) // 128
                 n_c_t = jnp.minimum(n_c_t, reg_chunks)
-                gcarry = jax.lax.fori_loop(
-                    lo_c, lo_c + n_c_t, make_guest_chunk(tt), gcarry)
-            lj_rows, c_rows = gcarry
+                gacc = jax.lax.fori_loop(
+                    lo_c, lo_c + n_c_t, make_guest_chunk(tt), gacc)
+        # side sums with the f-major side matrices (one matmul each)
+        g_lj0_row = sumrow_fm(gacc[0], E_sum_fl_fm[0])      # (1, G)
+        g_lj1_row = sumrow_fm(gacc[0], E_sum_fl_fm[1])
+        g_c0_row = sumrow_fm(gacc[1], E_sum_fq_fm[0])
+        g_c1_row = sumrow_fm(gacc[1], E_sum_fq_fm[1])
+        # fw window passes accumulate into fresh footprint-row carriers
+        lj_rows = jnp.zeros((GFL, 1), f32)
+        c_rows = jnp.zeros((GFQ, 1), f32)
 
         # ---- fw window passes --------------------------------------------
         # Operand assembly goes through VMEM scratch written by direct row
@@ -1314,10 +1412,15 @@ def _blockg_kernel(
             return jax.lax.dot_general(rows, E, (((0,), (0,)), ((), ())),
                                        preferred_element_type=f32)
 
-        e_lj0_row = sumrow(lj_rows, E_sum_fl[0])            # (1, G)
-        e_lj1_row = sumrow(lj_rows, E_sum_fl[1])
-        e_c0_row = sumrow(c_rows, E_sum_fq[0]) * coulomb_k
-        e_c1_row = sumrow(c_rows, E_sum_fq[1]) * coulomb_k
+        e_lj0_row = g_lj0_row                               # (1, G)
+        e_lj1_row = g_lj1_row
+        e_c0_row = g_c0_row * coulomb_k
+        e_c1_row = g_c1_row * coulomb_k
+        if fw_on:
+            e_lj0_row = e_lj0_row + sumrow(lj_rows, E_sum_fl[0])
+            e_lj1_row = e_lj1_row + sumrow(lj_rows, E_sum_fl[1])
+            e_c0_row = e_c0_row + sumrow(c_rows, E_sum_fq[0]) * coulomb_k
+            e_c1_row = e_c1_row + sumrow(c_rows, E_sum_fq[1]) * coulomb_k
         if fw_on and not skip_fw and fw_fast:
             # fast-path fw C contribution lives in (g, side) rows
             e_c0_row = e_c0_row + sumrow(cfw_rows, E_sum_fl[0]) * coulomb_k
@@ -1634,6 +1737,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
         sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0),
         onewin=bool(getattr(spec, "fw_onewin", False)), tricl=tricl,
+        ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1

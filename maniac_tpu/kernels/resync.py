@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, TWOPI
-from .step import _powers, _signed_table
+from .common import _powers, _signed_table
 
 
 def _live_regions(spec, lo: int, CH: int):

@@ -57,7 +57,7 @@ def _ds128(start, size):
     return pl.ds(pl.multiple_of(start, 128), size)
 
 from ..constants import COULOMB_K, TWOPI
-from .step import _erfc, _powers, _signed_table
+from .common import _erfc, _powers, _signed_table
 
 _R2_FLOOR = 1e-18
 
@@ -100,7 +100,7 @@ def _stepg_kernel(
         Lmax: int, Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
-        ablate: str = ""):
+        ggr2: float = 0.0, ablate: str = ""):
     f32 = amp_re_ref.dtype
     inv_l = (const_ref[0, 0], const_ref[0, 1], const_ref[0, 2])
     ll = (const_ref[0, 3], const_ref[0, 4], const_ref[0, 5])
@@ -216,7 +216,11 @@ def _stepg_kernel(
         inv_r = jax.lax.rsqrt(r2q)
         coul = (qw_ref[0, :][:, None] * sqc
                 * _erfc(alpha * (r2q * inv_r)) * inv_r)
-        cacc = cacc + jnp.sum(jnp.where(keepQ > 0, coul, 0.0), axis=1,
+        csel = keepQ > 0
+        if ggr2:
+            # guest<->guest honest Coulomb cutoff (DIVERGENCES.md #22)
+            csel = csel & (r2q < ggr2)
+        cacc = cacc + jnp.sum(jnp.where(csel, coul, 0.0), axis=1,
                               keepdims=True)
         return (ljacc, cacc)
 
@@ -481,6 +485,7 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
         fw_on=spec.fw_split, gbase=spec.guest_base, SG=spec.fw_SG,
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
         Jz2P=Jz2P, fw_axis=spec.fw_axis,
+        ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re2, amp_im2, pos2, flags = pl.pallas_call(

@@ -83,30 +83,10 @@ def run_steps(spec: SystemSpec, state: SimState, n_steps: int) -> SimState:
 def block_body(spec: SystemSpec, state: SimState, n_steps: int,
                recalibrate: bool) -> SimState:
     """One block: n_steps MC steps + step-size recalibration. Unjitted body,
-    shared by the single-chain and vmapped-replica paths.
-
-    On TPU (f32, orthogonal box, no reservoir) the whole block runs in ONE
-    Pallas program per replica - positions, COMs, amplitudes, populations
-    and energies stay resident in VMEM/SMEM across all n_steps steps
-    (kernels/block.py); otherwise it is a lax.scan of the XLA step."""
-    from ..kernels import use_block_kernel
-    if use_block_kernel(spec):
-        from ..kernels.block import run_block_pallas
-        from .moves import N_UNIFORMS
-        key, sub = jax.random.split(state.key)
-        uniforms = jax.random.uniform(sub, (n_steps, N_UNIFORMS),
-                                      dtype=spec.dtype)
-        pos, com, amp_re, amp_im, n_mol, energy, cnt = run_block_pallas(
-            spec, state, uniforms)
-        counters = state.counters + cnt[:, :5].astype(jnp.int32)
-        x_idx = jnp.arange(state.extras.shape[0], dtype=jnp.int32)
-        extras = state.extras + jnp.where(
-            x_idx == 0, cnt[0, 5].astype(jnp.int32), 0)
-        state = state.replace(pos=pos, com=com, amp_re=amp_re,
-                              amp_im=amp_im, n_mol=n_mol, energy=energy,
-                              counters=counters, extras=extras, key=key)
-    else:
-        state = run_steps(spec, state, n_steps)
+    shared by the single-chain and vmapped-replica paths (a lax.scan of the
+    unified MC step; the grouped whole-block kernel path lives in
+    block_body_group)."""
+    state = run_steps(spec, state, n_steps)
     return _recalibrate(state, recalibrate, spec.dtype)
 
 

@@ -117,14 +117,12 @@ def mc_step_u(spec: SystemSpec, state: SimState, u) -> SimState:
     pre = _propose(spec, state, u)
     from ..kernels import use_pair_kernel
     if use_pair_kernel(spec):
-        if spec.fw_split:
-            # only the grouped core implements the framework split; run it
-            # with a single-replica group
-            lead = jax.tree_util.tree_map(lambda x: x[None], (state, pre))
-            core = _core_kernel_grouped(spec, lead[0], lead[1])
-            core = jax.tree_util.tree_map(lambda x: x[0], core)
-        else:
-            core = _core_kernel(spec, state, pre)
+        # single-replica calls run the grouped core (kernels/stepg.py)
+        # with a G=1 lead axis; it serves every kernel-eligible regime
+        # (incl. the static-framework split)
+        lead = jax.tree_util.tree_map(lambda x: x[None], (state, pre))
+        core = _core_kernel_grouped(spec, lead[0], lead[1])
+        core = jax.tree_util.tree_map(lambda x: x[0], core)
     else:
         core = _core_xla(spec, state, pre)
     return _bookkeep(spec, state, u, pre, core)
@@ -342,41 +340,6 @@ def _propose(spec: SystemSpec, state: SimState, u) -> dict:
         com_last=com_last, off_old=off_old, res_pick=res_pick,
         i_old=i_old, i_new=i_new, s_old=s_old, s_new=s_new,
         e_recip_old=e_recip_old, pref=pref)
-
-
-def _pack_footprint(spec: SystemSpec, pre: dict):
-    """Pack both footprint sides into one (F_pack,) row axis: old | new."""
-    fdt = spec.dtype
-    A_act = spec.A_act
-    pad = spec.F_pack - 2 * A_act
-    pt_pack = jnp.pad(jnp.concatenate([pre["P_old"].T, pre["P_new"].T],
-                                      axis=1), ((0, 0), (0, pad)))
-    m2f = pre["m2"].astype(fdt)
-    qw_pack = jnp.pad(jnp.concatenate([pre["q_old"] * m2f[0],
-                                       pre["q_new"] * m2f[1]]), (0, pad))
-    ljw_pack = jnp.pad(jnp.concatenate([m2f[0], m2f[1]]), (0, pad))
-    sgn = jnp.concatenate([jnp.full(A_act, -1.0, fdt),
-                           jnp.ones(spec.F_pack - A_act, fdt)])
-    return pt_pack, qw_pack, ljw_pack, qw_pack * sgn
-
-
-def _core_kernel(spec: SystemSpec, state: SimState, pre: dict) -> dict:
-    """Fused Pallas core: pair energies + dA(k) + Metropolis + amp/pos
-    commits in one program per replica (kernels/step.py)."""
-    from ..kernels.step import mc_step_core_pallas
-    pt_pack, qw_pack, ljw_pack, wk_pack = _pack_footprint(spec, pre)
-    (amp_re, amp_im, pos, accf, e_recip_new, delta_e, e_lj,
-     e_coul) = mc_step_core_pallas(
-        spec, state.pos, state.amp_re, state.amp_im, state.n_mol,
-        pt_pack, qw_pack, ljw_pack, wk_pack, pre["last_cols"],
-        pre["t_old"], pre["t_new"], pre["ex_a"], pre["ex_b"],
-        pre["site_start_new"], pre["site_start_old"],
-        pre["A_new"], pre["A_old"], pre["w_new"], pre["remove_like"],
-        pre["s_old"] + pre["i_old"], pre["s_new"] + pre["i_new"],
-        pre["e_recip_old"], pre["pref"], pre["u_acc"], pre["gate"])
-    return dict(pos=pos, amp_re=amp_re, amp_im=amp_im, acc=accf > 0.5,
-                accf=accf, e_recip_new=e_recip_new, delta_e=delta_e,
-                e_lj=e_lj, e_coul=e_coul)
 
 
 def mc_step_group(spec: SystemSpec, states_g: SimState, u_g) -> SimState:

@@ -125,18 +125,28 @@ def pair_energy_footprint(spec: SystemSpec, others_pos, others_mask,
         coul = qq * tab_lookup(spec.tab_erfc, spec.tab_dx, r)
         e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2)) * COULOMB_K
         return e_lj, e_coul
+    # guest<->guest honest cutoff (DIVERGENCES.md #22): the mobile-pair
+    # damped term is < 5e-10 beyond gg_rcut = ERFC_DECAY/alpha, so the
+    # gate changes the total by < 1e-6 kcal/mol while making the guest
+    # pass short-ranged (prerequisite of the slab windows)
+    def gg_gate(coul_a):
+        if not spec.gg_cut:
+            return coul_a
+        return coul_a * (r2 < spec.gg_rcut * spec.gg_rcut)
+
     if spec.fw_split:
         frozen = (jnp.arange(spec.S) < spec.S_frozen)[None, None, :]
         coul_short = (qq * erfc(spec.alpha2 * r) * inv_r
                       * (r2 < spec.rcut2 * spec.rcut2))
-        coul = jnp.where(frozen, coul_short, qq * erfc(spec.alpha * r) * inv_r)
+        coul = jnp.where(frozen, coul_short,
+                         gg_gate(qq * erfc(spec.alpha * r) * inv_r))
         e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2))
         w = mov_q * mov_mask
         e_far = jax.vmap(lambda p, wb: fw_far_energy(spec, p, wb))(
             mov_pos, w.astype(mov_pos.dtype))
         e_coul = e_coul * COULOMB_K + e_far
     else:
-        coul = qq * erfc(spec.alpha * r) * inv_r
+        coul = gg_gate(qq * erfc(spec.alpha * r) * inv_r)
         e_coul = jnp.sum(jnp.where(mask, coul, 0.0), axis=(1, 2)) * COULOMB_K
     return e_lj, e_coul
 
@@ -382,6 +392,10 @@ def full_pair_energy(spec: SystemSpec, pos, active):
             coul = qq * tab_lookup(spec.tab_erfc, spec.tab_dx, r)
         else:
             coul = qq * erfc(spec.alpha * r) / r
+            if spec.gg_cut:
+                # mobile-pair honest cutoff (DIVERGENCES.md #22); frozen
+                # cross pairs are overridden by the split term below
+                coul = coul * (r2 < spec.gg_rcut * spec.gg_rcut)
         if spec.fw_split:
             # frozen<->mobile cross pairs use the short-ranged split term;
             # the far-field remainder is added once outside the scan

@@ -41,10 +41,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..constants import COULOMB_K, PI, TWOPI
-
-#: erfc(x) < 5e-10 beyond this - the short-pass truncation accuracy
-_ERFC_DECAY = 4.4
+from ..constants import COULOMB_K, ERFC_DECAY as _ERFC_DECAY, PI, TWOPI
 #: far-field series tolerance: coefficients cut at e^{-p^2} = _TOL2
 _TOL2 = 1e-7
 #: extra window slack for f32 COM rounding and block quantization

@@ -55,7 +55,6 @@ def _round_up(x: int, m: int) -> int:
                       "site_midx",
                       "mol_type", "mol_midx", "mol_site_start",
                       "eps_cls", "sig_cls", "eps_site", "sig2_site",
-                      "eps_pair_rows", "sig2_pair_rows",
                       "lj_sel", "q_sel", "eps_pair_lj", "sig2_pair_lj",
                       "type_A", "type_cap", "type_site_base", "type_mol_base",
                       "type_active", "type_activity", "type_self_energy",
@@ -77,7 +76,7 @@ def _round_up(x: int, m: int) -> int:
                       "fw_WL", "fw_WC", "fw_onewin", "fw_axis",
                       "kmax2_xyz", "amp2_shape",
                       "site_base_list", "lj_idx_list", "q_idx_list",
-                      "use_table"])
+                      "use_table", "gg_cut", "gg_rcut"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -121,14 +120,6 @@ class SystemSpec:
     # pair kernel; sig2_site stores sigma^2
     eps_site: jnp.ndarray
     sig2_site: jnp.ndarray
-    # per-(t_old, t_new)-PAIR footprint LJ rows (R*R*F_pack, S): block
-    # pid = t_old*R + t_new holds [A_act rows of t_old | A_act rows of
-    # t_new | zero pad], i.e. the eps/sigma^2 of every footprint atom of a
-    # packed old|new move vs every site. Shared input of the Pallas pair
-    # kernel: one aligned sublane slice replaces any per-replica gather,
-    # and both footprint sides ride one full-sublane (F_pack, S) VPU pass.
-    eps_pair_rows: jnp.ndarray
-    sig2_pair_rows: jnp.ndarray
     # Row-compaction machinery for the grouped kernel: most footprint atoms
     # carry only LJ or only charge, so the grouped pair pass runs LJ on the
     # eps-active rows and Coulomb on the charged rows separately.
@@ -234,6 +225,12 @@ class SystemSpec:
     lj_idx_list: tuple        # per-type eps-active atom slots (static)
     q_idx_list: tuple         # per-type charged atom slots (static)
     use_table: bool           # tabulated pair potentials (XLA path only)
+    # guest<->guest honest Coulomb cutoff (DIVERGENCES.md #22): when
+    # gg_cut, the real-space erfc(alpha r)/r between MOBILE sites is
+    # truncated at gg_rcut = ERFC_DECAY/alpha (tail < 1e-6 kcal/mol).
+    # Python floats: trace-time constants baked into the kernels.
+    gg_cut: bool
+    gg_rcut: float
 
     @property
     def dtype(self):
@@ -423,20 +420,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
     sig_site = sig_cls[:, site_cls]
     sig2_site = sig_site * sig_site
 
-    # per-type-pair packed footprint rows for the Pallas kernel (see
-    # SystemSpec docs)
-    F_pack = max(8, _round_up(2 * A_act, 8))
-    eps_pair_rows = np.zeros((R * R * F_pack, S))
-    sig2_pair_rows = np.zeros((R * R * F_pack, S))
-    for to in range(R):
-        for tn in range(R):
-            base = (to * R + tn) * F_pack
-            for side, t in ((0, to), (1, tn)):
-                A = min(A_list[t], A_act)
-                rows = slice(class_base[t], class_base[t] + A)
-                dst = slice(base + side * A_act, base + side * A_act + A)
-                eps_pair_rows[dst] = eps_site[rows]
-                sig2_pair_rows[dst] = sig2_site[rows]
+    F_pack = max(8, _round_up(2 * A_act, 8))  # packed footprint rows
 
     # row-compaction selectors + compacted LJ tables (grouped kernel)
     lj_idx = []
@@ -521,6 +505,28 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         rcut2=getattr(deck, "fw_rcut2", 0.0))
     if fw_mode == "on" and not fws.enabled:
         raise ValueError(f"framework_split on but ineligible: {fws.reason}")
+
+    # ---- guest<->guest honest Coulomb cutoff (DIVERGENCES.md #22) --------
+    # The reference sums the damped real-space Coulomb erfc(alpha r)/r over
+    # ALL pairs with no cutoff (src/energy_utils.f90:374-442). Beyond
+    # r = ERFC_DECAY/alpha the kernel is below ~5e-10, so truncating there
+    # changes the total by < 1e-6 kcal/mol while making the guest pair pass
+    # short-ranged - the prerequisite for the slab-window layout (the
+    # guest-side analog of the framework split). Default on; "off" (deck
+    # `guest_split off` / MANIAC_GGSPLIT=0) restores exact reference
+    # semantics. Tabulated mode has its own implicit cutoff (table
+    # returns 0 beyond the grid), so the gate is redundant there.
+    from .constants import ERFC_DECAY
+    gg_mode = getattr(deck, "guest_split", "auto")
+    env_gg = os.environ.get("MANIAC_GGSPLIT", "")
+    if env_gg == "0":
+        gg_mode = "off"
+    elif env_gg == "1" and gg_mode == "auto":
+        gg_mode = "on"
+    gg_cut = gg_mode in ("auto", "on") and not use_table
+    gg_rcut = float(getattr(deck, "gg_rcut", 0.0) or 0.0)
+    if not gg_rcut:
+        gg_rcut = ERFC_DECAY / float(ewald.alpha)
     if not fws.enabled:  # inert dummies keep the pytree shape cheap
         fws = FwSplitSetup(
             False, fws.reason, pq_g=np.zeros((4, 128)),
@@ -572,7 +578,6 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         mol_site_start=jnp.asarray(mol_site_start),
         eps_cls=f(eps_cls), sig_cls=f(sig_cls),
         eps_site=f(eps_site), sig2_site=f(sig2_site),
-        eps_pair_rows=f(eps_pair_rows), sig2_pair_rows=f(sig2_pair_rows),
         lj_sel=f(lj_sel), q_sel=f(q_sel),
         eps_pair_lj=f(eps_pair_lj), sig2_pair_lj=f(sig2_pair_lj),
         type_A=jnp.asarray(np.asarray(A_list), dtype=jnp.int32),
@@ -618,7 +623,7 @@ def build_spec_and_state(deck: InputDeck, parsed: ParsedSystem,
         site_base_list=tuple(base_list),
         lj_idx_list=tuple(tuple(x) for x in lj_idx),
         q_idx_list=tuple(tuple(x) for x in q_idx),
-        use_table=use_table)
+        use_table=use_table, gg_cut=bool(gg_cut), gg_rcut=float(gg_rcut))
 
     n_mol0 = np.zeros(R + 1, dtype=np.int32)
     n_mol0[:R] = parsed.n_mol

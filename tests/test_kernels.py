@@ -84,54 +84,6 @@ def test_pair_kernel_parity_with_reservoir(tmp_path, monkeypatch):
                                np.asarray(st_p.energy), atol=0.05)
 
 
-def test_block_kernel_parity_water_gcmc(tmp_path, monkeypatch):
-    """The whole-block Pallas kernel (kernels/block.py) must reproduce the
-    XLA scan path: same uniforms -> same populations/positions, energies to
-    f32 precision. Exercises every move type's in-kernel logic."""
-    from maniac_tpu.mc.driver import run_block
-
-    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
-                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
-    sysm = _load(str(tmp_path), dtype=jnp.float32)
-    spec, state0 = sysm.spec, sysm.state
-    out = []
-    for flag in ("0", "block"):
-        monkeypatch.setenv("MANIAC_PALLAS", flag)
-        st = run_block.__wrapped__(spec, state0, 40, False)  # skip jit cache
-        out.append(jax.tree_util.tree_map(np.asarray, st))
-    st_x, st_p = out
-    assert int(st_x.n_mol[0]) == int(st_p.n_mol[0])
-    np.testing.assert_array_equal(st_x.n_mol, st_p.n_mol)
-    np.testing.assert_array_equal(st_x.counters, st_p.counters)
-    # geometry agrees to f32 op-order noise (rem-wrap vs mod, matmul order)
-    np.testing.assert_allclose(st_x.pos, st_p.pos, atol=1e-4)
-    np.testing.assert_allclose(st_x.com, st_p.com, atol=1e-4)
-    np.testing.assert_allclose(st_x.energy, st_p.energy, atol=0.05)
-    np.testing.assert_allclose(st_x.amp_re, st_p.amp_re, atol=1e-4)
-
-
-def test_block_kernel_bookkeeping_consistency(tmp_path, monkeypatch):
-    """After a block in the kernel, running energies/amplitudes must match
-    a from-scratch recompute (the central invariant)."""
-    from maniac_tpu.mc.driver import run_block
-    from maniac_tpu.physics.energy import system_energy
-    from maniac_tpu.system import E_TOT
-
-    monkeypatch.setenv("MANIAC_PALLAS", "block")
-    make_water_box(str(tmp_path), n_water=8, L=14.0, cutoff=5.0, tol=1e-4,
-                   probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
-    sysm = _load(str(tmp_path), dtype=jnp.float32)
-    spec = sysm.spec
-    st = run_block.__wrapped__(spec, sysm.state, 60, False)
-    e, amp_re, amp_im = system_energy(spec, st)
-    # f32 running-energy drift at this fugacity is ~0.3 K intrinsically
-    # (measured identically on the XLA f32 path: the self/intra terms of
-    # each insertion are ~5e4 K with near-total cancellation); the per-block
-    # resync bounds it in production. The kernel must not be WORSE.
-    assert abs(float(st.energy[E_TOT] - e[E_TOT])) < 1.0
-    assert float(jnp.max(jnp.abs(st.amp_re - amp_re))) < 1e-3
-
-
 def test_resync_kernel_parity(tmp_path, monkeypatch):
     """The Pallas amplitude-resynthesis kernel must match the XLA
     full_amplitudes path on the same state."""
@@ -158,7 +110,7 @@ def test_kernel_erfc_accuracy():
     """The kernel's f32 erfc must sit inside XLA's own f32 erfc error
     envelope (abs ~1e-7, rel ~5e-6 for x < 6)."""
     from scipy.special import erfc as erfc64
-    from maniac_tpu.kernels.step import _erfc
+    from maniac_tpu.kernels.common import _erfc
     x = np.linspace(0.0, 8.0, 20001)
     ours = np.asarray(_erfc(jnp.asarray(x, dtype=jnp.float32)),
                       dtype=np.float64)
