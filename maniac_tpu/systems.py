@@ -140,6 +140,52 @@ def make_water_box(outdir, n_water=8, L=14.0, seed=7, **deck_kw):
     return outdir
 
 
+def make_spce_box(outdir, n_water=216, density=0.997, seed=41, **deck_kw):
+    """Literature-parameter SPC/E water at a target mass density (g/cm^3).
+
+    SPC/E (Berendsen, Grigera, Straatsma 1987): 3 sites, r_OH = 1.0 A,
+    HOH = 109.47 deg (tetrahedral), q_O = -0.8476 e, q_H = +0.4238 e,
+    O-O LJ eps = 0.15535 kcal/mol, sigma = 3.166 A. Used by the external
+    validation anchor (scripts/validate_spce.py): Widom mu_ex at 298 K /
+    0.997 g/cm^3 is published at -28..-30.5 kJ/mol (Widom/TI on SPC/E
+    with Ewald; e.g. Hermans et al., Quintana & Haymet), i.e.
+    -6.7..-7.3 kcal/mol."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    ang = math.radians(109.47)
+    h1 = 1.0 * np.array([math.sin(ang / 2), 0.0, math.cos(ang / 2)])
+    h2 = 1.0 * np.array([-math.sin(ang / 2), 0.0, math.cos(ang / 2)])
+    sites = np.stack([np.zeros(3), h1, h2])
+    q = np.array([-0.8476, 0.4238, 0.4238])
+    mass_w = 15.9994 + 2 * 1.008
+    # box edge from the target density
+    L = (n_water * mass_w / (density * 0.1 * 6.0221408)) ** (1.0 / 3.0)
+    per_axis = max(2, int(math.ceil(n_water ** (1 / 3))))
+    spacing = L / per_axis
+    centers = []
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                centers.append(-L / 2 + (np.array([i, j, k]) + 0.5) * spacing)
+    centers = np.asarray(centers[:n_water])
+    centers += rng.uniform(-0.1, 0.1, centers.shape) * spacing
+    atoms = []
+    for m, c in enumerate(centers, 1):
+        R = _random_rotation(rng)
+        pos = c + sites @ R.T
+        for a in range(3):
+            atoms.append((m, 1 if a == 0 else 2, q[a], *pos[a]))
+    masses = {1: 15.9994, 2: 1.008}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 2)
+    residues = [dict(name="wat", active=True,
+                     fugacity=deck_kw.pop("fugacity", 10.0),
+                     types=[1, 2], names=["OW", "HW"], nb_atoms=3)]
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    _write_inc(f"{outdir}/parameters.inc", [(1, 1, 0.15535, 3.166),
+                                            (2, 2, 0.0, 0.0)])
+    return outdir
+
+
 def make_water_reservoir(outdir, n_water=16, L=20.0, seed=23):
     """A reservoir data file matching make_water_box's residue declaration
     (for the -r flag). Returns the file path."""
@@ -230,7 +276,7 @@ def make_lj_gas(outdir, n=32, L=18.0, seed=3, two_species=False, **deck_kw):
         residues = [dict(name="lj", active=True,
                          fugacity=deck_kw.pop("fugacity", 2.0),
                          types=[1], names=["A"], nb_atoms=1)]
-        coeffs = [(1, 1, 0.2, 3.4)]
+        coeffs = [(1, 1, deck_kw.pop("eps", 0.2), deck_kw.pop("sig", 3.4))]
     _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
     _write_inc(f"{outdir}/parameters.inc", coeffs)
     return outdir
