@@ -103,6 +103,7 @@ def _run(args, outdir: str, logger, dtype) -> int:
     from . import __version__
     from .api import load_system
     from .io.writers import OutputWriter, snapshot
+    from .system import E_TOT
     from .mc.driver import (drift_report, refresh_reported_energy, resync,
                             resync_amplitudes_replicated, run_block)
     from .parallel.replicas import replicate, run_block_replicated
@@ -185,6 +186,17 @@ def _run(args, outdir: str, logger, dtype) -> int:
         writer.print_status(snap, block)
         writer.update_files(snap, block, append=True,
                             reservoir_snap=res_snap(), reservoir_box=res_box)
+        if replicated:
+            # cross-replica per-block series (replicas.dat): reduced on
+            # device, 2R+2 scalars over the host link per block
+            from .parallel.mesh import gather_replica_stats
+            mean_n, std_n, mean_e, std_e = gather_replica_stats(
+                state, spec.R, E_TOT)
+            act_names = [res.name for res in deck.residues if res.active]
+            act_ids = [r for r, res in enumerate(deck.residues) if res.active]
+            writer.write_replicas(
+                block, act_names, np.asarray(mean_n)[act_ids],
+                np.asarray(std_n)[act_ids], float(mean_e), float(std_e))
         if args.profile > 0:
             writer.write_profile(snap, block, args.profile,
                                  args.profile_axis)

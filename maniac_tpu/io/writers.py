@@ -206,6 +206,25 @@ class OutputWriter:
                         f" {mu:14.6f}")
             f.write(row + "\n")
 
+    def write_replicas(self, block: int, names, mean_n, std_n,
+                       mean_e, std_e) -> None:
+        """Append one replicas.dat row: cross-replica mean +- std occupancy
+        per active species and of the running total energy (K). Written
+        only for replicated runs (--replicas > 1); the per-species columns
+        are the batched analog of number_<RES>.dat's single-chain series
+        (reference: src/write_utils.f90:94-188)."""
+        path = os.path.join(self.outdir, "replicas.dat")
+        first = block <= 1 or not os.path.exists(path)
+        with open(path, "w" if first else "a") as f:
+            if first:
+                cols = "".join(f"    <N({n})>    std(N({n}))" for n in names)
+                f.write(f"#    block{cols}       <E_tot>[K]    std(E_tot)\n")
+            row = f"{block:10d}"
+            for j in range(len(names)):
+                row += f" {float(mean_n[j]):12.5f} {float(std_n[j]):12.5f}"
+            row += f" {float(mean_e):15.4f} {float(std_e):13.4f}"
+            f.write(row + "\n")
+
     # --- density profile (TPU-native extension; no reference analog) --------
     def write_profile(self, snap: HostSnapshot, block: int, bins: int,
                       axis: str) -> None:

@@ -79,3 +79,23 @@ def gather_mean_population(states: SimState, R: int) -> jnp.ndarray:
     """Cross-replica mean occupancy per residue type; an all-reduce over the
     mesh when states are sharded."""
     return jnp.mean(states.n_mol[:, :R].astype(jnp.float32), axis=0)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def gather_replica_stats(states: SimState, R: int, e_tot: int):
+    """Per-block cross-replica observables, reduced ON DEVICE so only
+    2R+2 scalars cross the host link per block: mean and std of N per
+    residue type, and mean/std of the running total energy.
+
+    The per-block cross-replica <N> series is THE adsorption observable
+    (reference writes a single-chain series, src/write_utils.f90:94-188;
+    with B independent replicas the cross-replica mean converges B times
+    faster). Under a sharded batch axis the means lower to mesh
+    all-reduces. The energy columns use the RUNNING totals (f32 drift
+    envelope: DIVERGENCES.md #13) - replica 0's exact refresh covers
+    energy.dat, not this diagnostic."""
+    n = states.n_mol[:, :R].astype(jnp.float64)
+    mean_n = jnp.mean(n, axis=0)
+    std_n = jnp.std(n, axis=0)
+    e = states.energy[:, e_tot].astype(jnp.float64)
+    return mean_n, std_n, jnp.mean(e), jnp.std(e)

@@ -174,3 +174,40 @@ def test_isotherm_sweep(tmp_path):
         assert abs(mean_n[b] - expected[b]) < tol, (b, mean_n, expected)
     # monotone in activity
     assert mean_n[0] < mean_n[1] < mean_n[2] < mean_n[3]
+
+
+def test_cli_replicas_dat_contract(tmp_path):
+    """--replicas N>1 must write replicas.dat: one row per block with
+    cross-replica mean +- std of N per active species and of the running
+    total energy (the batched analog of number_<RES>.dat's series,
+    reference src/write_utils.f90:94-188). Format contract: header names
+    every active species; per-block rows parse; std columns are
+    non-negative; the mean-N column agrees with the final log summary's
+    replica statistics to the reported precision."""
+    d = make_water_box(str(tmp_path / "sys"), n_water=8, L=14.0, cutoff=5.0,
+                       tol=1e-4, probs=(0.3, 0.3, 0.4, 0.0), fugacity=500.0,
+                       nb_block=3, nb_step=40, recal=False)
+    out = str(tmp_path / "outputs")
+    rc = cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                   "-p", f"{d}/parameters.inc", "-o", out,
+                   "--platform", "cpu", "--dtype", "f64", "--replicas", "4"])
+    assert rc == 0
+    path = f"{out}/replicas.dat"
+    assert os.path.exists(path)
+    lines = open(path).read().splitlines()
+    assert lines[0].startswith("#") and "<N(wat)>" in lines[0] \
+        and "std(N(wat))" in lines[0] and "<E_tot>" in lines[0]
+    rows = [l.split() for l in lines[1:]]
+    assert len(rows) == 3                                  # one per block
+    for i, r in enumerate(rows):
+        assert int(r[0]) == i + 1
+        mean_n, std_n, mean_e, std_e = map(float, r[1:5])
+        assert mean_n >= 0.0 and std_n >= 0.0 and std_e >= 0.0
+        assert np.isfinite(mean_e)
+    # single-replica runs must NOT write the file
+    out1 = str(tmp_path / "outputs1")
+    rc = cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                   "-p", f"{d}/parameters.inc", "-o", out1,
+                   "--platform", "cpu", "--dtype", "f64"])
+    assert rc == 0
+    assert not os.path.exists(f"{out1}/replicas.dat")
