@@ -10,6 +10,13 @@ device.
 
 __version__ = "0.1.0"
 
+from .utils.hostsetup import ensure_cpu_backend
+
+# must run before the first backend initialization (no-op otherwise):
+# keeps an XLA:CPU backend available next to a pinned accelerator
+# platform so setup computations can avoid the relay compile floor
+ensure_cpu_backend()
+
 from .api import LoadedSystem, load_system                     # noqa: F401
 from .system import SimState, SystemSpec                       # noqa: F401
 from .mc.driver import drift_report, initialize_state, run_block  # noqa: F401

@@ -59,11 +59,23 @@ def load_system(input_file: str, data_file: str, params_file: str,
                         alpha_override=deck.ewald_alpha)
     log_ewald_parameters(ewald, logger)
 
-    spec, state = build_spec_and_state(deck, parsed, eps, sig, ewald,
-                                       reservoir=reservoir,
-                                       capacity=capacity, dtype=dtype)
-    if compute_initial_energy:
-        state = initialize_state(spec, state)
+    # one-time setup computations run on XLA:CPU when the default backend
+    # is a remote accelerator (~100 small programs whose relay compiles
+    # dominated cold-start at ~19 min; ~9 s on CPU - utils/hostsetup.py).
+    # The arrays come out as uncommitted CPU arrays; the first block
+    # program transfers them to the accelerator automatically.
+    from .utils.hostsetup import setup_device, setup_placement
+    with setup_placement():
+        spec, state = build_spec_and_state(deck, parsed, eps, sig, ewald,
+                                           reservoir=reservoir,
+                                           capacity=capacity, dtype=dtype)
+        if compute_initial_energy:
+            state = initialize_state(spec, state)
+    if setup_device() is not None:
+        # one bulk host->device transfer now, instead of re-sending the
+        # CPU-resident spec tables with every block dispatch
+        import jax
+        spec, state = jax.device_put((spec, state), jax.devices()[0])
     return LoadedSystem(deck=deck, parsed=parsed, reservoir=reservoir,
                         ewald=ewald, spec=spec, state=state)
 
