@@ -94,8 +94,27 @@ def gather_replica_stats(states: SimState, R: int, e_tot: int):
     all-reduces. The energy columns use the RUNNING totals (f32 drift
     envelope: DIVERGENCES.md #13) - replica 0's exact refresh covers
     energy.dat, not this diagnostic."""
-    n = states.n_mol[:, :R].astype(jnp.float64)
+    acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    n = states.n_mol[:, :R].astype(acc)
     mean_n = jnp.mean(n, axis=0)
     std_n = jnp.std(n, axis=0)
-    e = states.energy[:, e_tot].astype(jnp.float64)
+    e = states.energy[:, e_tot].astype(acc)
     return mean_n, std_n, jnp.mean(e), jnp.std(e)
+
+
+def shard_replicas_global(mesh: Mesh, states: SimState,
+                          axis: str = "dp") -> SimState:
+    """Multi-host variant of shard_replicas: build the GLOBAL batched state
+    from per-process host data. Every process calls replicate() with the
+    same (spec, state, B) - the result is deterministic - and each wraps
+    only its addressable shards via jax.make_array_from_callback, so no
+    host ever materializes device memory it does not own and no cross-host
+    transfer happens at startup. On a single process this degenerates to
+    shard_replicas semantics (fully-addressable sharding)."""
+    def put(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        host = np.asarray(x)
+        return jax.make_array_from_callback(host.shape, sharding,
+                                            lambda idx, h=host: h[idx])
+    return jax.tree_util.tree_map(put, states)

@@ -792,3 +792,33 @@ def make_fw_ch4o_h2o(outdir, n_cells=4, a=5.8, n_water=6, n_meoh=6,
                 (3, 3, 0.0, 0.0), (4, 4, 0.0, 0.0),
                 (5, 5, 0.195, 3.75), (6, 6, 0.17, 3.02), (7, 7, 0.0, 0.0)])
     return outdir
+
+
+def tiny_system(outdir, shape: str):
+    """Tiny instance of each distinct execution regime the engine serves -
+    used by the multi-chip dryrun (__graft_entry__.dryrun_multichip) and
+    the sharded-program HLO tests: flagship (framework + single active
+    species, fw-split eligible), mixed (framework + TWO active species
+    incl. swap moves), resv (reservoir insertions), tricl (27-image
+    triclinic min-image). Returns (deck, data, inc, reservoir-or-None)
+    file paths."""
+    res_file = None
+    if shape == "flagship":
+        make_zif_like(outdir, n_cells=2, a=5.66, atoms_per_cell=4,
+                      n_water=4, cutoff=5.0, tol=1e-3)
+    elif shape == "mixed":
+        make_framework_mixed(outdir, n_cells=2, a=5.66, n_water=3,
+                             n_dimer=2, cutoff=5.0, tol=1e-3,
+                             probs=(0.25, 0.15, 0.4, 0.2))
+    elif shape == "resv":
+        make_water_box(outdir, n_water=4, L=12.0, cutoff=5.0, tol=1e-3,
+                       probs=(0.3, 0.2, 0.5, 0.0), fugacity=2000.0)
+        res_file = make_water_reservoir(outdir, n_water=8, L=12.0)
+    elif shape == "tricl":
+        make_triclinic_water(outdir, n_water=4, L=12.0, tilt=(1.2, 0.8, 0.5),
+                             cutoff=4.5, tol=1e-3,
+                             probs=(0.3, 0.2, 0.5, 0.0), fugacity=2000.0)
+    else:
+        raise ValueError(f"unknown tiny system shape: {shape}")
+    return (f"{outdir}/input.maniac", f"{outdir}/topology.data",
+            f"{outdir}/parameters.inc", res_file)

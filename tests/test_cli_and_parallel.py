@@ -114,13 +114,24 @@ def test_mesh_sharded_replicas(lj_system):
     assert any("dp" in s for s in shardings)
 
 
-def test_sharded_block_hlo_has_no_collectives(lj_system):
+@pytest.mark.parametrize("shape", ["lj", "flagship", "mixed", "resv",
+                                   "tricl"])
+def test_sharded_block_hlo_has_no_collectives(lj_system, tmp_path, shape):
     """Pin the SURVEY section 2.18 / docs/architecture.md design claim
-    mechanically: the compiled steady-state sharded block program contains
-    NO cross-replica collectives (independent chains shard with zero ICI
-    traffic); the only collective lives in the diagnostic reduction
-    (gather_mean_population), which must still lower to an all-reduce."""
-    spec, state = lj_system.spec, lj_system.state
+    mechanically - for EVERY distinct execution regime (LJ gas, framework
+    flagship, mixed-species swap, reservoir, triclinic): the compiled
+    steady-state sharded block program contains NO cross-replica
+    collectives (independent chains shard with zero ICI traffic); the only
+    collective lives in the diagnostic reduction (gather_mean_population),
+    which must still lower to an all-reduce."""
+    if shape == "lj":
+        spec, state = lj_system.spec, lj_system.state
+    else:
+        from maniac_tpu.systems import tiny_system
+        deck, data, inc, res = tiny_system(str(tmp_path), shape)
+        sysm = load_system(deck, data, inc, capacity=16,
+                           reservoir_file=res)
+        spec, state = sysm.spec, sysm.state
     mesh = make_mesh(8)
     states = shard_replicas(mesh, replicate(spec, state, 16))
     spec_r = replicate_spec(mesh, spec)
@@ -211,3 +222,28 @@ def test_cli_replicas_dat_contract(tmp_path):
                    "--platform", "cpu", "--dtype", "f64"])
     assert rc == 0
     assert not os.path.exists(f"{out1}/replicas.dat")
+
+
+def test_multihost_launcher_smoke(tmp_path):
+    """tools/launch_multihost.py single-process smoke: the multi-host
+    entry point (jax.distributed wiring skipped at num-processes 1) must
+    assemble the global sharded state via shard_replicas_global over the
+    8 virtual devices and run real blocks."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "launch_multihost", os.path.join(root, "tools",
+                                         "launch_multihost.py"))
+    lmh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lmh)
+
+    d = make_lj_gas(str(tmp_path), n=8, L=16.0, probs=(0.4, 0.0, 0.6, 0.0),
+                    fugacity=50.0, cutoff=6.0, tol=1e-3)
+    assert len(jax.devices()) >= 8
+    rc = lmh.main(["--num-processes", "1",
+                   "-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                   "-p", f"{d}/parameters.inc",
+                   "--replicas-per-device", "2", "--blocks", "2",
+                   "--steps", "40"])
+    assert rc == 0
