@@ -212,8 +212,9 @@ def _run(args, outdir: str, logger, dtype) -> int:
                    if replicated else state)
             wkey = jax.random.fold_in(
                 jax.random.fold_in(st0.key, 0x5749444F), block)
-            B_blk = np.asarray(widom_block(spec, st0, args.widom, wkey),
-                               dtype=np.float64)
+            # widom_block returns ln B (overflow-safe); convert in f64
+            B_blk = np.exp(np.asarray(widom_block(spec, st0, args.widom,
+                                                  wkey), dtype=np.float64))
             widom_sum += B_blk
             widom_blocks += 1
             writer.write_widom(block, widom_names, B_blk,

@@ -73,18 +73,31 @@ def widom_delta_u(spec: SystemSpec, state: SimState, u, t_ins):
 
 @partial(jax.jit, static_argnums=(2,))
 def widom_block(spec: SystemSpec, state: SimState, n_trials: int, key):
-    """Per-active-species Widom factor < exp(-dU/T) > over n_trials ghost
-    insertions of one configuration. Returns (n_active,)."""
+    """Per-active-species LOG Widom factor ln< exp(-dU/T) > over n_trials
+    ghost insertions of one configuration. Returns (n_active,).
+
+    Computed max-shifted (logsumexp) so a single deeply-attractive trial
+    - exp(-dU/T) overflows f32 once -dU/T > 88, which a not-yet-
+    equilibrated dense liquid can produce - degrades the estimate instead
+    of poisoning the whole average with inf. Hosts convert to B in f64
+    (np.exp overflows only past ln B = 709)."""
     u = jax.random.uniform(key, (n_trials, spec.n_active, 6),
                            dtype=spec.dtype)
 
     def one(u1, i):
         du = widom_delta_u(spec, state, u1, spec.active_type_ids[i])
-        return jnp.exp(-du / spec.temp_K)
+        return -du / spec.temp_K
 
     idx = jnp.arange(spec.n_active)
-    B = jax.vmap(lambda urow: jax.vmap(one)(urow, idx))(u)  # (n, n_active)
-    return jnp.mean(B, axis=0)
+    x = jax.vmap(lambda urow: jax.vmap(one)(urow, idx))(u)  # (n, n_active)
+    m = jnp.max(x, axis=0)
+    return m + jnp.log(jnp.mean(jnp.exp(x - m[None, :]), axis=0))
+
+
+def widom_factor(log_B):
+    """Widom factor B from widom_block's log estimate (host-side, f64)."""
+    import numpy as np
+    return np.exp(np.asarray(log_B, dtype=np.float64))
 
 
 def mu_excess_K(B_mean, temp_K):

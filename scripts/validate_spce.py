@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=64)
     ap.add_argument("--blocks", type=int, default=30)
-    ap.add_argument("--eq-blocks", type=int, default=10)
+    ap.add_argument("--eq-blocks", type=int, default=150)
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--trials", type=int, default=256)
     ap.add_argument("--waters", type=int, default=128)
@@ -65,8 +65,16 @@ def main():
 
     states = replicate(spec, state, args.replicas)
     t0 = time.time()
+    KB = KB_KCALMOL
     for b in range(args.eq_blocks):
         states = run_block_replicated(spec, states, args.steps, True)
+        if (b + 1) % max(1, args.eq_blocks // 10) == 0:
+            # U/N convergence check: liquid SPC/E sits near -11 kcal/mol
+            from maniac_tpu.system import E_TOT
+            u_n = (np.asarray(states.energy[:, E_TOT],
+                              dtype=np.float64).mean() * KB / args.waters)
+            print(f"# eq block {b + 1:4d}: U/N = {u_n:7.3f} kcal/mol",
+                  flush=True)
     print(f"# equilibrated {args.eq_blocks}x{args.steps} steps x "
           f"{args.replicas} replicas in {time.time() - t0:.1f} s")
 
@@ -78,7 +86,9 @@ def main():
         states = run_block_replicated(spec, states, args.steps, False)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, args.replicas)
-        b_rep.append(np.asarray(wb(states, keys), dtype=np.float64)[:, 0])
+        # widom_block returns ln B (overflow-safe); convert in f64
+        b_rep.append(np.exp(np.asarray(wb(states, keys),
+                                       dtype=np.float64))[:, 0])
         mu_run = mu_excess_K(np.mean(b_rep), float(spec.temp_K)) * KB_KCALMOL
         print(f"block {b + 1:3d}: running mu_ex = {mu_run:8.3f} kcal/mol")
     per_rep = np.stack(b_rep).mean(axis=0)              # (replicas,)

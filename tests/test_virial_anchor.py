@@ -146,7 +146,9 @@ def test_widom_matches_virial_expansion(tmp_path):
         states = run_block_replicated(spec, states, 150, False)
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, 64)
-        bs.append(np.asarray(wb(states, keys))[:, 0])
+        # widom_block returns ln B; convert in f64
+        bs.append(np.exp(np.asarray(wb(states, keys),
+                                    dtype=np.float64))[:, 0])
         ns.append(np.asarray(states.n_mol[:, 0], dtype=np.float64))
     per_rep_b = np.stack(bs).mean(axis=0)               # (64,)
     b_meas = per_rep_b.mean()

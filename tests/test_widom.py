@@ -86,8 +86,9 @@ def test_widom_block_two_species(tmp_path):
     sysm = _load(str(tmp_path), dtype=jnp.float64, capacity=16)
     spec = sysm.spec
     assert spec.n_active == 2
-    B = np.asarray(widom_block(spec, sysm.state, 16,
-                               jax.random.PRNGKey(5)))
+    from maniac_tpu.mc.widom import widom_factor
+    B = widom_factor(widom_block(spec, sysm.state, 16,
+                                 jax.random.PRNGKey(5)))
     assert B.shape == (2,)
     assert np.all(np.isfinite(B)) and np.all(B > 0)
     mu = mu_excess_K(B, float(spec.temp_K))
