@@ -47,6 +47,11 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="per-block COM density histogram with BINS bins "
                         "per active species -> profile_<RES>.dat")
     p.add_argument("--profile-axis", choices=["x", "y", "z"], default="z")
+    p.add_argument("--sentinel", type=int, default=0, metavar="N",
+                   help="every N blocks, replay replica 0's block through "
+                        "the plain XLA path on-device and cross-check the "
+                        "kernel path's decisions/positions/energies "
+                        "(hardware parity sentinel)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
                    help="write a full checkpoint (.npz) every block")
@@ -160,8 +165,11 @@ def _run(args, outdir: str, logger, dtype) -> int:
         widom_names = [res.name for res in deck.residues if res.active]
         widom_sum = np.zeros(len(widom_names))
         widom_blocks = 0
+    sentinel_fail = 0
     for block in range(start_block + 1, deck.nb_block + 1):
         f32 = spec.dtype == np.float32
+        sentinel_due = args.sentinel > 0 and block % args.sentinel == 0
+        state_pre = state if sentinel_due else None
         if replicated:
             # f32: the amplitude resync is fused into the block program
             # (one relay dispatch per block); it bounds incremental A(k)
@@ -171,6 +179,28 @@ def _run(args, outdir: str, logger, dtype) -> int:
         else:
             state = run_block(spec, state, deck.nb_step,
                               deck.recalibrate_moves)
+        if sentinel_due:
+            # BEFORE the f32 energy refresh: the sentinel compares the
+            # kernel path's raw block output against an on-device XLA
+            # replay of the same block (same pre-block state + PRNG)
+            from .mc.driver import sentinel_check
+            rep = sentinel_check(spec, state_pre, state, deck.nb_step,
+                                 deck.recalibrate_moves,
+                                 resync=f32 and replicated)
+            ok = (rep["n_mol_mismatch"] == 0
+                  and rep["counter_mismatch"] == 0
+                  and rep["pos_max_diff"] < 1e-3)
+            if not ok:
+                sentinel_fail += 1
+                logger.warn(
+                    f"SENTINEL DIVERGENCE at block {block}: "
+                    f"n_mol_mismatch={rep['n_mol_mismatch']} "
+                    f"counter_mismatch={rep['counter_mismatch']} "
+                    f"pos_max_diff={rep['pos_max_diff']:.3e}")
+            else:
+                logger.log(f"  sentinel block {block}: kernel == XLA "
+                           f"(pos diff {rep['pos_max_diff']:.2e}, "
+                           f"energy diff {rep['energy_max_diff']:.2e} K)")
         if f32:
             # make the REPORTED energy rows exact: the reference's
             # energy.dat is a fresh value every block
@@ -238,6 +268,11 @@ def _run(args, outdir: str, logger, dtype) -> int:
             if res.active:
                 logger.log(f"  replica <N({res.name})> = {n[:, r].mean():.3f}"
                            f" +- {n[:, r].std():.3f}")
+    if args.sentinel > 0:
+        checked = len(range(start_block + 1, deck.nb_block + 1)) \
+            // args.sentinel
+        logger.log(f"  sentinel: {checked} cross-checked blocks, "
+                   f"{sentinel_fail} divergences")
     if deck.nb_block * deck.nb_step > 0:
         rate = total_steps / max(elapsed, 1e-9)
         logger.log(f"  throughput: {rate:,.0f} MC steps/s "

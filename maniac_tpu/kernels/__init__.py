@@ -24,7 +24,7 @@ def use_pair_kernel(spec) -> bool:
     """Trace-time dispatch for the grouped Pallas step-core kernel
     (kernels/stepg.py; single-replica calls run it with G=1)."""
     mode = os.environ.get("MANIAC_PALLAS", "auto")
-    if mode == "0":
+    if mode == "0" or spec.force_xla:
         return False
     if spec.is_triclinic or spec.dtype_name != "float32":
         return False  # XLA path: 27-image search / f64 precision oracle
@@ -85,7 +85,7 @@ def use_blockg(spec) -> bool:
     forces it (e.g. for interpret-mode parity tests on CPU); any other
     value disables it."""
     mode = os.environ.get("MANIAC_PALLAS", "auto")
-    if mode not in ("auto", "blockg"):
+    if mode not in ("auto", "blockg") or spec.force_xla:
         return False
     ok = (spec.dtype_name == "float32"
           and not spec.use_table

@@ -251,6 +251,55 @@ def resync_amplitudes_replicated(spec: SystemSpec,
     return resync_replicated_body(spec, states)
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _sentinel_diffs(spec_x: SystemSpec, st0: SimState, stk: SimState,
+                    n_steps: int, recalibrate: bool, resync: bool):
+    """Replay one replica's block through the plain XLA scan path
+    (spec_x.force_xla=True pins dispatch) and reduce the divergences vs the
+    kernel path's output to four scalars ON DEVICE (the axon relay makes
+    whole-array transfers the expensive part, CLAUDE.md)."""
+    stx = block_body(spec_x, st0, n_steps, recalibrate)
+    if resync:
+        # the kernel path fused the per-block amplitude resynthesis into
+        # its program; apply the same to the replay so E_RECIP/amplitudes
+        # are compared like-for-like
+        stx = resync_amplitudes_body(spec_x, stx)
+    return (jnp.sum(stx.n_mol != stk.n_mol),
+            jnp.sum(stx.counters != stk.counters),
+            jnp.max(jnp.abs(stx.pos - stk.pos)),
+            jnp.max(jnp.abs(stx.energy - stk.energy)))
+
+
+def sentinel_check(spec: SystemSpec, state_pre: SimState,
+                   state_post: SimState, n_steps: int, recalibrate: bool,
+                   resync: bool = False) -> dict:
+    """Hardware cross-check sentinel: run replica 0's block through BOTH
+    step implementations on the real device and compare.
+
+    The blockg kernel re-derives proposal geometry in-kernel, so its parity
+    with the XLA scan path is ulp-level on positions and exact on decisions
+    *on the test fixtures* (tests/test_blockg.py). This turns that into a
+    continuously checkable property on production runs: once per N blocks
+    (--sentinel N) the block replica 0 just executed through the kernel is
+    replayed through the XLA path from the same pre-block state (identical
+    PRNG stream: block_body_group splits per-replica keys exactly like
+    run_steps), and populations/counters must match exactly while
+    positions/energies must agree to f32 working precision.
+
+    Returns {"n_mol_mismatch", "counter_mismatch", "pos_max_diff",
+    "energy_max_diff"} as Python scalars (4 scalar transfers)."""
+    def rep0(st):
+        return (jax.tree_util.tree_map(lambda x: x[0], st)
+                if st.pos.ndim == 3 else st)
+    import dataclasses
+    spec_x = dataclasses.replace(spec, force_xla=True)
+    nm, cm, pd, ed = _sentinel_diffs(spec_x, rep0(state_pre),
+                                     rep0(state_post), n_steps,
+                                     recalibrate, resync)
+    return {"n_mol_mismatch": int(nm), "counter_mismatch": int(cm),
+            "pos_max_diff": float(pd), "energy_max_diff": float(ed)}
+
+
 def drift_report(spec: SystemSpec, state: SimState) -> dict:
     """Audit: running energy/amplitudes vs full recompute (host-side)."""
     e, amp_re, amp_im = system_energy(spec, state)

@@ -76,7 +76,7 @@ def _round_up(x: int, m: int) -> int:
                       "fw_WL", "fw_WC", "fw_onewin", "fw_axis",
                       "kmax2_xyz", "amp2_shape",
                       "site_base_list", "lj_idx_list", "q_idx_list",
-                      "use_table", "gg_cut", "gg_rcut"])
+                      "use_table", "gg_cut", "gg_rcut", "force_xla"])
 @dataclass(frozen=True)
 class SystemSpec:
     # box
@@ -231,6 +231,12 @@ class SystemSpec:
     # Python floats: trace-time constants baked into the kernels.
     gg_cut: bool
     gg_rcut: float
+    # kernel-dispatch override: True forces the plain XLA step/block path
+    # regardless of MANIAC_PALLAS / backend. Static, so a replace() makes
+    # a distinct trace - this is how the hardware cross-check sentinel
+    # (mc/driver.py sentinel_check) runs replica 0's block through BOTH
+    # paths on-chip.
+    force_xla: bool = False
 
     @property
     def dtype(self):
