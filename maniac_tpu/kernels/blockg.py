@@ -960,9 +960,19 @@ def _blockg_kernel(
         # the dead padding between type regions (~0.14 ms/step on the
         # two-active bench); instead each type gets its own fori_loop
         # over only its live chunks (static base from sb_off_ts)
+        #
+        # GW: lane width of one loop iteration, in 128-chunks. Wider slabs
+        # cut per-iteration issue overhead and pipeline the VPU math
+        # better (isolated sweep, tools/gpass_bench.py: 1.08 -> 0.80
+        # us/chunk at GW=8); masks already neutralize in-slab dead sites,
+        # so overshoot costs only arithmetic. nA >= 2 keeps GW=1 (type
+        # regions are 128- but not GW*128-aligned).
+        GW = 1
         if nA == 1:
-            n_live_c = (jnp.max(nmol_out[0:1, :]) * A + 127) // 128
-            n_live_c = jnp.minimum(n_live_c, GS // 128)
+            GW = next((w for w in (8, 4, 2) if (GS // 128) % w == 0), 1)
+            n_live_c = (jnp.max(nmol_out[0:1, :]) * A + 128 * GW - 1) \
+                // (128 * GW)
+            n_live_c = jnp.minimum(n_live_c, GS // (128 * GW))
 
         def pair_r2c(px, py, pz, x1, y1, z1, imask=(True, True, True)):
             dx = x1 - px
@@ -1001,14 +1011,15 @@ def _blockg_kernel(
           # (G, 128) formulation measured ~10x slower: at 8 vregs per op
           # the VPU is latency-bound on the round/rsqrt/exp chain, while
           # the (F*G, 128) shape pipelines it across 16-48 vregs.
+          CW = 128 * (GW if nA == 1 else 1)  # lane width per iteration
           def guest_chunk(ci, carry):
             ljacc, cacc = carry
-            b = ci * 128
-            midf = site_midx_ref[0:1, _ds128(b, 128)].astype(f32)  # (1,128)
-            smof = site_mol_ref[0:1, _ds128(b, 128)].astype(f32)
-            styc = site_type_ref[0:1, _ds128(b, 128)]
-            sqc = site_q_ref[0:1, _ds128(b, 128)]
-            excl = (smof != exa_c) & (smof != exb_c)        # (G, 128)
+            b = ci * CW
+            midf = site_midx_ref[0:1, _ds128(b, CW)].astype(f32)  # (1,CW)
+            smof = site_mol_ref[0:1, _ds128(b, CW)].astype(f32)
+            styc = site_type_ref[0:1, _ds128(b, CW)]
+            sqc = site_q_ref[0:1, _ds128(b, CW)]
+            excl = (smof != exa_c) & (smof != exb_c)        # (G, CW)
             if nA == 1:
                 kcol = (styc < 99) & (midf < ncol_ts[0]) & excl
             else:
@@ -1016,9 +1027,9 @@ def _blockg_kernel(
                 # (padding columns carry an invalid type id)
                 kcol = ((styc == aids[tt_hint])
                         & (midf < ncol_ts[tt_hint]) & excl)
-            xc = pos_out[:, 0, _ds128(cols0 + b, 128)]      # (G, 128)
-            yc = pos_out[:, 1, _ds128(cols0 + b, 128)]
-            zc = pos_out[:, 2, _ds128(cols0 + b, 128)]
+            xc = pos_out[:, 0, _ds128(cols0 + b, CW)]       # (G, CW)
+            yc = pos_out[:, 1, _ds128(cols0 + b, CW)]
+            zc = pos_out[:, 2, _ds128(cols0 + b, CW)]
             def tile(v, F):
                 return jnp.concatenate([v] * F, axis=0)     # (F*G, 128)
 
@@ -1034,15 +1045,15 @@ def _blockg_kernel(
                 xa, ya, za = tile(xc, FL), tile(yc, FL), tile(zc, FL)
                 kL = tile(kcol, FL)
                 if nA == 1:
-                    eps = jnp.dot(E_tile_fm, epslj_ref[:FL, _ds128(b, 128)],
-                                  preferred_element_type=f32)  # (GFL, 128)
-                    sig2 = jnp.dot(E_tile_fm, sig2lj_ref[:FL, _ds128(b, 128)],
+                    eps = jnp.dot(E_tile_fm, epslj_ref[:FL, _ds128(b, CW)],
+                                  preferred_element_type=f32)  # (GFL, CW)
+                    sig2 = jnp.dot(E_tile_fm, sig2lj_ref[:FL, _ds128(b, CW)],
                                    preferred_element_type=f32)
                 else:
                     # one f-major row-selection matmul per chunk
-                    eps = jnp.dot(E_dyn_fm, epslj_ref[:, _ds128(b, 128)],
-                                  preferred_element_type=f32)  # (GFL, 128)
-                    sig2 = jnp.dot(E_dyn_fm, sig2lj_ref[:, _ds128(b, 128)],
+                    eps = jnp.dot(E_dyn_fm, epslj_ref[:, _ds128(b, CW)],
+                                  preferred_element_type=f32)  # (GFL, CW)
+                    sig2 = jnp.dot(E_dyn_fm, sig2lj_ref[:, _ds128(b, CW)],
                                    preferred_element_type=f32)
                 r2 = pair_r2c(fcl[:, 0:1], fcl[:, 1:2], fcl[:, 2:3],
                               xa, ya, za)
