@@ -17,6 +17,21 @@ from .utils.hostsetup import ensure_cpu_backend
 # platform so setup computations can avoid the relay compile floor
 ensure_cpu_backend()
 
+import jax as _jax
+
+# TPU matmuls round f32 inputs to bfloat16 at the DEFAULT precision - in
+# XLA and in Mosaic alike (measured: a one-hot position read through a
+# Pallas jnp.dot errs by 4.4e-2 at |x|~20). This engine moves POSITIONS
+# through matmuls (footprint one-hot reads, per-replica expansions,
+# phase/energy contractions; CLAUDE.md invariant #3), so bf16 rounding
+# quantizes the geometry itself: every accepted rotation re-reads sites
+# through a dot and rewrites them, deforming rigid molecules by ~1e-2 A
+# per accept (found as an SPC/E NVT energy collapse; GCMC turnover masked
+# it by replacing geometry with fresh templates). "highest" lowers f32
+# matmuls to multi-pass bf16 (exact for 0/1 one-hot operands, ~f32-
+# faithful generally). CPU is unaffected (f32 matmuls are native there).
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .api import LoadedSystem, load_system                     # noqa: F401
 from .system import SimState, SystemSpec                       # noqa: F401
 from .mc.driver import drift_report, initialize_state, run_block  # noqa: F401
