@@ -27,9 +27,14 @@ import jax as _jax
 # quantizes the geometry itself: every accepted rotation re-reads sites
 # through a dot and rewrites them, deforming rigid molecules by ~1e-2 A
 # per accept (found as an SPC/E NVT energy collapse; GCMC turnover masked
-# it by replacing geometry with fresh templates). "highest" lowers f32
-# matmuls to multi-pass bf16 (exact for 0/1 one-hot operands, ~f32-
-# faithful generally). CPU is unaffected (f32 matmuls are native there).
+# it by replacing geometry with fresh templates). "highest" decomposes an
+# f32 matmul into bf16 passes that recover full f32 precision (hardware-
+# verified exact for one-hot reads, tools/precision_probe.py stage 1).
+# Mosaic lowers only DEFAULT and HIGHEST, so there is no cheaper 3-pass
+# middle ground at the config level; the hot kernels instead avoid the
+# MXU for selection/broadcast patterns and use kernels/common.py dot3
+# (manual 3-pass, ~1.5e-5 relative - inside the f32 dE spec) for the
+# big energy contractions. CPU is unaffected (f32 matmuls are native).
 _jax.config.update("jax_default_matmul_precision", "highest")
 
 from .api import LoadedSystem, load_system                     # noqa: F401

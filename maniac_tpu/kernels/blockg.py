@@ -49,9 +49,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
-from .common import _erfc, _powers, _signed_table
+from .common import _erfc, _powers, _signed_table, dot1h
 
 _R2_FLOOR = 1e-18
+
+
+def _th_fma(h2pi_ref, ptk):
+    """(3, 3) x (3, F) as nine scalar-row FMAs (exact f32, no MXU)."""
+    return jnp.concatenate(
+        [h2pi_ref[i, 0] * ptk[0:1, :] + h2pi_ref[i, 1] * ptk[1:2, :]
+         + h2pi_ref[i, 2] * ptk[2:3, :] for i in range(3)], axis=0)
 
 
 def _ds128(start, size):
@@ -605,18 +612,19 @@ def _blockg_kernel(
                 blk_l = pos_out[g, :, _ds128(c0l, W2)]
                 oh_o = (iw2 == (sso_g - c0o) + aw2).astype(f32)
                 oh_l = (iw2 == (ssl_g - c0l) + aw2).astype(f32)
-                po_cols.append(jnp.dot(blk_o, oh_o,
-                                       preferred_element_type=f32))
-                pl_cols.append(jnp.dot(blk_l, oh_l,
-                                       preferred_element_type=f32))
+                # positions x one-hot SELECTOR: bit-exact 3-pass
+                # split read (dot1h) - half the "highest" MXU passes
+                po_cols.append(dot1h(blk_o, oh_o, split="a"))
+                pl_cols.append(dot1h(blk_l, oh_l, split="a"))
             P_oldT = jnp.concatenate(po_cols, 1)            # (3, GA)
             last_cols = jnp.concatenate(pl_cols, 1)
 
-        com_old_exp = jnp.dot(com_old, E_exp,
-                              preferred_element_type=f32)   # (3, GA)
+        com_old_exp = dot1h(com_old, E_exp, split="a")      # (3, GA)
         off_old = P_oldT - com_old_exp
+        # 0/1 x 0/1: bf16-exact at any precision - ONE pass
         insert_exp = jnp.dot(insert.astype(f32), E_exp,
-                             preferred_element_type=f32)    # (1, GA)
+                             preferred_element_type=f32,
+                             precision=jax.lax.Precision.DEFAULT)  # (1, GA)
 
         # ---- insertion geometry source -----------------------------------
         if has_res:
@@ -644,12 +652,12 @@ def _blockg_kernel(
                                  res_last_start[0, g])
                 tgt_r = jnp.where(ari < A, ari, ari - A)
                 ohr = ((sri - bsel) == tgt_r).astype(f32)
-                rcols.append(jnp.dot(resoff_out[g], ohr,
-                                     preferred_element_type=f32))  # (3, 2A)
+                rcols.append(dot1h(resoff_out[g], ohr,
+                                   split="a"))              # (3, 2A)
                 mri = jax.lax.broadcasted_iota(jnp.int32, (MresP, 1), 0)
                 ohm = (mri == last_slot_res[0, g]).astype(f32)
-                rcomc.append(jnp.dot(rescom_out[g], ohm,
-                                     preferred_element_type=f32))  # (3, 1)
+                rcomc.append(dot1h(rescom_out[g], ohm,
+                                   split="a"))              # (3, 1)
             res_off_cols = jnp.concatenate([c[:, :A] for c in rcols], 1)
             res_lastoff_cols = jnp.concatenate([c[:, A:] for c in rcols], 1)
             rescom_last = jnp.concatenate(rcomc, 1)         # (3, G)
@@ -658,8 +666,10 @@ def _blockg_kernel(
             if nA == 1:
                 templ_sel = templ_tiled_ts[0]
             else:
+                # small ints x 0/1: bf16-exact, ONE pass
                 inew_exp = jnp.dot(i_new.astype(f32), E_exp,
-                                   preferred_element_type=f32)  # (1, GA)
+                                   preferred_element_type=f32,
+                                   precision=jax.lax.Precision.DEFAULT)
                 templ_sel = templ_tiled_ts[0]
                 for tt in range(1, nA):
                     templ_sel = jnp.where(inew_exp == tt,
@@ -713,8 +723,7 @@ def _blockg_kernel(
                 rm_rows = jnp.concatenate(
                     [jnp.where(insert, runi[i][j], rax[i][j])
                      for i in range(3) for j in range(3)], axis=0)  # (9, G)
-            rm_exp = jnp.dot(rm_rows, E_exp,
-                             preferred_element_type=f32)    # (9, GA)
+            rm_exp = dot1h(rm_rows, E_exp, split="a")       # (9, GA)
 
             # ---- new COM rows -------------------------------------------
             if tricl:
@@ -748,8 +757,7 @@ def _blockg_kernel(
                     is_trans, tr_i,
                     jnp.where(is_create, ins_i, com_old[i:i + 1, :])))
             com_new = jnp.concatenate(com_new_rows, axis=0)  # (3, G)
-            com_new_exp = jnp.dot(com_new, E_exp,
-                                  preferred_element_type=f32)  # (3, GA)
+            com_new_exp = dot1h(com_new, E_exp, split="a")  # (3, GA)
             P_newT = jnp.concatenate(
                 [com_new_exp[i:i + 1, :]
                  + rm_exp[3 * i + 0:3 * i + 1, :] * off_src[0:1, :]
@@ -905,9 +913,10 @@ def _blockg_kernel(
         opq = jnp.concatenate([ptq, qw], axis=0)            # (4, GFQ)
 
         def atom_cols(op, E_f):
-            sel = jnp.dot(op, E_f, preferred_element_type=f32)      # (4, G)
-            return jax.lax.dot_general(I_G, sel, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=f32)  # (G, 4)
+            # positions/charges x 0/1 selectors: bit-exact 3-pass reads
+            sel = dot1h(op, E_f, split="a")                         # (4, G)
+            return dot1h(I_G, sel, (((1,), (1,)), ((), ())),
+                         split="b")                                 # (G, 4)
 
         if skip_gexp:
             fcl = jnp.zeros((GFL, 4), f32)
@@ -931,8 +940,11 @@ def _blockg_kernel(
             starts = []
             for zc, rcw, W in want:
                 below = (fwbm_col < (zc - rcw)).astype(f32)  # (NBG, G)
+                # 0/1 count sum: integer-exact at any precision - ONE pass
                 cnt = jnp.dot(ones_nb, below,
-                              preferred_element_type=f32).astype(jnp.int32)
+                              preferred_element_type=f32,
+                              precision=jax.lax.Precision.DEFAULT
+                              ).astype(jnp.int32)
                 starts.append(jnp.clip(cnt, 0, NBG - W // 128))
             if onewin:
                 # rcw_lj == rcw_c and WL == WC: one window serves both
@@ -1045,16 +1057,26 @@ def _blockg_kernel(
                 xa, ya, za = tile(xc, FL), tile(yc, FL), tile(zc, FL)
                 kL = tile(kcol, FL)
                 if nA == 1:
-                    eps = jnp.dot(E_tile_fm, epslj_ref[:FL, _ds128(b, CW)],
-                                  preferred_element_type=f32)  # (GFL, CW)
-                    sig2 = jnp.dot(E_tile_fm, sig2lj_ref[:FL, _ds128(b, CW)],
-                                   preferred_element_type=f32)
+                    # f-major tiling (row f*G+g = table row f) as plain
+                    # sublane broadcasts: exact in f32 and MXU-free (the
+                    # one-hot E_tile_fm dot costs 6 MXU passes per chunk
+                    # under the engine's "highest" matmul precision pin)
+                    eps = jnp.concatenate(
+                        [jnp.broadcast_to(epslj_ref[f:f + 1, _ds128(b, CW)],
+                                          (G, CW)) for f in range(FL)],
+                        axis=0)                              # (GFL, CW)
+                    sig2 = jnp.concatenate(
+                        [jnp.broadcast_to(sig2lj_ref[f:f + 1, _ds128(b, CW)],
+                                          (G, CW)) for f in range(FL)],
+                        axis=0)
                 else:
-                    # one f-major row-selection matmul per chunk
-                    eps = jnp.dot(E_dyn_fm, epslj_ref[:, _ds128(b, CW)],
-                                  preferred_element_type=f32)  # (GFL, CW)
-                    sig2 = jnp.dot(E_dyn_fm, sig2lj_ref[:, _ds128(b, CW)],
-                                   preferred_element_type=f32)
+                    # one f-major row-selection matmul per chunk: the
+                    # selector is 0/1, so the 3-pass split read is
+                    # bit-exact at half the "highest" passes
+                    eps = dot1h(E_dyn_fm, epslj_ref[:, _ds128(b, CW)],
+                                split="b")
+                    sig2 = dot1h(E_dyn_fm, sig2lj_ref[:, _ds128(b, CW)],
+                                 split="b")
                 r2 = pair_r2c(fcl[:, 0:1], fcl[:, 1:2], fcl[:, 2:3],
                               xa, ya, za)
                 inv_r2 = 1.0 / r2
@@ -1159,8 +1181,8 @@ def _blockg_kernel(
                     for side, st in ((0, stC0), (1, stC1)):
                         scc[:, 2 * g + side, :] = fwpq_ref[
                             :, _ds128(st[0, g] * 128, WC)]
-            pqw_j = jnp.dot(jnp.concatenate([ptq, qw], 0), E_fwJ,
-                            preferred_element_type=f32)     # (4, Qmax*2G)
+            pqw_j = dot1h(jnp.concatenate([ptq, qw], 0), E_fwJ,
+                          split="a")                        # (4, Qmax*2G)
             cfw_acc = jnp.zeros((2 * G, WL if onewin else WC), f32)
             for j in ([] if skip_fwmath else range(Qmax)):
                 blkj = pqw_j[:, j * 2 * G:(j + 1) * 2 * G]  # (4, 2G)
@@ -1232,8 +1254,10 @@ def _blockg_kernel(
                                       axis=1, keepdims=True)
 
         def dotT(a, b):
-            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
+            # phase-power -> k-grid expansion: b is a 0/1 SELECTOR, so
+            # the 3-pass split read is BIT-EXACT at half the MXU passes
+            # of the "highest" pin (kernels/common.py dot1h)
+            return dot1h(a, b, (((0,), (0,)), ((), ())), split="a")
 
         # ---- shared phase tables + far field (same as stepg) -------------
         if skip_phase:
@@ -1251,10 +1275,13 @@ def _blockg_kernel(
             t_re_all = jnp.zeros((GFK, JxyP_), f32)
             t_im_all = jnp.zeros((GFK, JxyP_), f32)
         elif skip_kstruct and skip_far:
-            th_all = jnp.dot(h2pi_ref[:, :], ptk * 0.0,
-                             preferred_element_type=f32)
+            th_all = _th_fma(h2pi_ref, ptk * 0.0)
         else:
-            th_all = jnp.dot(h2pi_ref[:, :], ptk, preferred_element_type=f32)
+            # phase angles from POSITIONS: K=3 contraction as explicit
+            # scalar-row FMAs - exact f32 on the VPU (a dot here would
+            # either bf16-round the positions at DEFAULT precision or
+            # cost 6 MXU passes at the engine's "highest" pin)
+            th_all = _th_fma(h2pi_ref, ptk)
         if not skip_phase:
             cA, sA = jnp.cos(th_all), jnp.sin(th_all)
             nx = max(kx, kx2 if fw_on else 0)
@@ -1313,6 +1340,8 @@ def _blockg_kernel(
                                              kz2, pad_to=Jz2P)
 
             def dotZ(a, b):
+                # value-x-value / block-sum contractions: plain dots
+                # under the "highest" pin (f32-faithful)
                 return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                            preferred_element_type=f32)
 
@@ -1473,9 +1502,11 @@ def _blockg_kernel(
         if kmerge and not skip_ampc:
             # merged amp commit: accf expanded to (GJz, 1) via block-sum
             # matrix; values identical to the per-g accf * d adds
+            # 0/1 x 0/1 expansion: bf16-exact at any precision, ONE pass
             accf_col = jax.lax.dot_general(
                 E_kz, accf_row, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)                  # (GJz, 1)
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.DEFAULT)         # (GJz, 1)
             amp_re_out[...] = jnp.reshape(AR + accf_col * DRE,
                                           (G, JzP, JxyP_))
             amp_im_out[...] = jnp.reshape(AI + accf_col * DIM,
@@ -1513,10 +1544,10 @@ def _blockg_kernel(
                     off = st_g - c0
                     blk = pos_out[g, :, _ds128(c0, W2)]     # (3, W2)
                     ohp = (iw2 == off + aw2).astype(f32)    # (W2, A)
-                    valw = jax.lax.dot_general(
-                        vals[:, g * A:(g + 1) * A], ohp,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=f32)         # (3, W2)
+                    # positions x one-hot: bit-exact 3-pass (dot1h)
+                    valw = dot1h(vals[:, g * A:(g + 1) * A], ohp,
+                                 (((1,), (1,)), ((), ())),
+                                 split="a")                 # (3, W2)
                     inw = ((lane_w2 >= off) & (lane_w2 < off + A_g)
                            & (gate_g > 0))                  # (1, W2)
                     pos_out[g, :, _ds128(c0, W2)] = jnp.where(inw, valw,

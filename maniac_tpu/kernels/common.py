@@ -31,6 +31,59 @@ def _erfc(x):
     return acc * jnp.exp(-x * x)
 
 
+def dot1h(a, b, dims=None, split="a"):
+    """BIT-EXACT one-hot contraction in three bf16-input MXU passes.
+
+    The engine pins jax_default_matmul_precision="highest" (6 passes)
+    because TPU matmuls at DEFAULT round f32 inputs to bfloat16
+    (maniac_tpu/__init__.py), and Mosaic lowers no 3-pass middle ground.
+    But most kernel matmuls here have ONE operand that is an exact 0/1
+    selection/expansion/summation matrix (footprint reads, per-replica
+    expansions, phase-power -> k-grid expansions, side sums). For those,
+    split the VALUES operand into three disjoint-significand bf16-exact
+    parts (hi = bf16(x); mid = bf16(x - hi); lo = the exact remainder -
+    24 bits total), run three DEFAULT-precision dots (each exact: both
+    operands are bf16-representable), and add the parts back: hi, mid, lo
+    have disjoint significand ranges, so the adds reconstruct the selected
+    value bit-for-bit. Result: bitwise identical to a full-precision f32
+    dot, at HALF the MXU passes of "highest"; interpret-mode parity tests
+    on CPU see the plain-f32 result bit-for-bit too.
+
+    ONLY for SELECTORS - one nonzero per output element (reads,
+    expansions, row selections). A 0/1 SUMMATION matrix (side sums,
+    block sums) must keep a plain dot: summing the three parts separately
+    changes the f32 accumulation order. Value-by-value contractions
+    (structure-factor / far-field math) also keep plain dots - the
+    "highest" pin gives them 6-pass f32-faithful results.
+
+    split: which operand carries VALUES ("a" or "b"); the other must be
+    exactly bf16-representable (0/1 matrices, small ints < 256).
+    dims: lax.dot_general dimension_numbers; None = jnp.dot semantics.
+    """
+    f32 = jnp.float32
+
+    def parts(x):
+        hi = x.astype(jnp.bfloat16).astype(f32)
+        r = x - hi
+        mid = r.astype(jnp.bfloat16).astype(f32)
+        return hi, mid, r - mid
+
+    if dims is None:
+        def d(u, v):
+            return jnp.dot(u, v, preferred_element_type=f32,
+                           precision=jax.lax.Precision.DEFAULT)
+    else:
+        def d(u, v):
+            return jax.lax.dot_general(u, v, dims,
+                                       preferred_element_type=f32,
+                                       precision=jax.lax.Precision.DEFAULT)
+    if split == "a":
+        hi, mid, lo = parts(a)
+        return (d(hi, b) + d(mid, b)) + d(lo, b)
+    hi, mid, lo = parts(b)
+    return (d(a, hi) + d(a, mid)) + d(a, lo)
+
+
 def _powers(c, s, n):
     """Complex phase powers e^{i j theta}, j=0..n, from cos/sin rows (1,F).
     Returns two lists of (1, F) rows."""

@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, TWOPI
-from .common import _powers, _signed_table
+from .common import _powers, _signed_table, dot1h
 
 
 def _live_regions(spec, lo: int, CH: int):
@@ -74,8 +74,10 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
         for r in range(1, R):
             nsel = jnp.where(stype == r, nmol_ref[0, r], nsel)
         w = jnp.where(midx < nsel, site_q_ref[0:1, sl][0, :], 0.0)[None, :]
-        th = jnp.dot(h2pi_ref[:, :], pos_c,
-                     preferred_element_type=f32)            # (3, CH)
+        # phase angles from POSITIONS: exact f32 VPU FMAs
+        th = jnp.concatenate(
+            [h2pi_ref[i, 0] * pos_c[0:1, :] + h2pi_ref[i, 1] * pos_c[1:2, :]
+             + h2pi_ref[i, 2] * pos_c[2:3, :] for i in range(3)], axis=0)
         rex, imx = _powers(jnp.cos(th[0:1, :]), jnp.sin(th[0:1, :]), kx)
         rey, imy = _powers(jnp.cos(th[1:2, :]), jnp.sin(th[1:2, :]), ky)
         rez, imz = _powers(jnp.cos(th[2:3, :]), jnp.sin(th[2:3, :]), kz)
@@ -87,8 +89,9 @@ def _resync_kernel(nmol_ref,       # VMEM (1, 8) int32 populations
         pzT = jnp.concatenate([pzT_re, pzT_im], axis=1)     # (JzP, 2CH)
 
         def dotT(a, b):
-            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
+            # phase-power -> k-grid expansion (0/1 selector): bit-exact
+            # 3-pass split read (kernels/common.py dot1h)
+            return dot1h(a, b, (((0,), (0,)), ((), ())), split="a")
 
         xe = dotT(pxT, ex_ref[:, :])                        # (2CH, JxyP)
         ye = dotT(pyT, ey_ref[:, :])
@@ -204,8 +207,11 @@ def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
         # batched phase tables: all replicas' chunk columns side by side
         pos_cat = jnp.concatenate(
             [pos_ref[g, :, sl] for g in range(G)], axis=1)   # (3, G*CH)
-        th = jnp.dot(h2pi_ref[:, :], pos_cat,
-                     preferred_element_type=f32)
+        # phase angles from POSITIONS: exact f32 VPU FMAs
+        th = jnp.concatenate(
+            [h2pi_ref[i, 0] * pos_cat[0:1, :]
+             + h2pi_ref[i, 1] * pos_cat[1:2, :]
+             + h2pi_ref[i, 2] * pos_cat[2:3, :] for i in range(3)], axis=0)
         rex, imx = _powers(jnp.cos(th[0:1, :]), jnp.sin(th[0:1, :]), kx)
         rey, imy = _powers(jnp.cos(th[1:2, :]), jnp.sin(th[1:2, :]), ky)
         rez, imz = _powers(jnp.cos(th[2:3, :]), jnp.sin(th[2:3, :]), kz)
@@ -226,8 +232,9 @@ def _resyncg_kernel(nmol_ref,       # VMEM (G, 8) int32
         pzT_re, pzT_im = _signed_table(rez, imz, kz, pad_to=JzP)
 
         def dotT(a, b):
-            return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=f32)
+            # phase-power -> k-grid expansion (0/1 selector): bit-exact
+            # 3-pass split read (kernels/common.py dot1h)
+            return dot1h(a, b, (((0,), (0,)), ((), ())), split="a")
 
         GCH = G * CH
         xe = dotT(pxT, ex_ref[:, :])                         # (2*GCH, JxyP)

@@ -57,7 +57,7 @@ def _ds128(start, size):
     return pl.ds(pl.multiple_of(start, 128), size)
 
 from ..constants import COULOMB_K, TWOPI
-from .common import _erfc, _powers, _signed_table
+from .common import _erfc, _powers, _signed_table, dot1h
 
 _R2_FLOOR = 1e-18
 
@@ -296,16 +296,23 @@ def _stepg_kernel(
                                   axis=1, keepdims=True)
 
     def dotT(a, b):
-        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=f32)
+        # phase-power -> k-grid expansion: b is a 0/1 SELECTOR, so the
+        # 3-pass split read is BIT-EXACT at half the MXU passes of the
+        # "highest" pin (kernels/common.py dot1h)
+        return dot1h(a, b, (((0,), (0,)), ((), ())), split="a")
 
     # ---- shared phase power tables for ALL replicas (8-padded layout) -----
     # One (3, G*FK) build replaces G per-replica table builds; the same
     # power lists feed both the main k-grid and the far-field grid.
     GFK = G * FK
     if not skip_kstruct:
-        th_all = jnp.dot(h2pi_ref[:, :], ptk_ref[:, :],
-                         preferred_element_type=f32)        # (3, G*FK)
+        # phase angles from POSITIONS: exact f32 VPU FMAs (a dot would
+        # bf16-round the positions at DEFAULT or cost 6 MXU passes)
+        ptk_c = ptk_ref[:, :]
+        th_all = jnp.concatenate(
+            [h2pi_ref[i, 0] * ptk_c[0:1, :] + h2pi_ref[i, 1] * ptk_c[1:2, :]
+             + h2pi_ref[i, 2] * ptk_c[2:3, :] for i in range(3)],
+            axis=0)                                         # (3, G*FK)
         if skip_kspace:
             th_all = th_all * 0.0
         cA, sA = jnp.cos(th_all), jnp.sin(th_all)
@@ -347,6 +354,7 @@ def _stepg_kernel(
         t2_im = xe2[:GFK] * ye2[GFK:] + xe2[GFK:] * ye2[:GFK]
 
         def dotL(a, b):  # contract the lane axis: (J, X) x (N, X) -> (J, N)
+            # value-x-value contraction: plain dot under the "highest" pin
             return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                        preferred_element_type=f32)
 

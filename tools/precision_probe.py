@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def stage1():
+    import maniac_tpu  # noqa: F401  (applies the engine's precision pin)
     import jax
     import jax.numpy as jnp
     import numpy as np
