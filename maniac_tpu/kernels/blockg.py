@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
-from .common import _erfc, _powers, _signed_table, dot1h
+from .common import _erfc, _powers, _signed_table, dot1h, dot3
 
 _R2_FLOOR = 1e-18
 
@@ -127,7 +127,7 @@ def _blockg_kernel(
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
         kmerge: bool = False, onewin: bool = False, tricl: bool = False,
-        ggr2: float = 0.0, ablate: str = ""):
+        ggr2: float = 0.0, vv3: bool = False, ablate: str = ""):
     f32 = jnp.float32
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
@@ -1340,8 +1340,11 @@ def _blockg_kernel(
                                              kz2, pad_to=Jz2P)
 
             def dotZ(a, b):
-                # value-x-value / block-sum contractions: plain dots
-                # under the "highest" pin (f32-faithful)
+                # value-x-value contraction: 3-pass bf16 on hardware
+                # (~1.5e-5 rel, inside the f32 dE envelope); exact f32
+                # in interpret mode so CPU parity stays bit-exact
+                if vv3:
+                    return dot3(a, b, (((0,), (0,)), ((), ())))
                 return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                            preferred_element_type=f32)
 
@@ -1399,6 +1402,8 @@ def _blockg_kernel(
                  jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
             pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]],
                                     axis=1)
+            if vv3:  # see dotZ: hardware-only 3-pass energy path
+                return dot3(pzT_g, t_both)
             return jnp.dot(pzT_g, t_both, preferred_element_type=f32)
 
         if kmerge and skip_kstruct:
@@ -1777,7 +1782,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
         Jz2P=Jz2P, fw_axis=spec.fw_axis, nA=nA, A_ts=A_ts, aids=aids,
         has_res=has_res, lj_atoms_ts=lj_atoms_ts, q_atoms_ts=q_atoms_ts,
-        sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0),
+        sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0), vv3=not interpret,
         onewin=bool(getattr(spec, "fw_onewin", False)), tricl=tricl,
         ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
         ablate=os.environ.get("MANIAC_KABLATE", ""))

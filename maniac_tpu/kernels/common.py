@@ -84,6 +84,37 @@ def dot1h(a, b, dims=None, split="a"):
     return (d(a, hi) + d(a, mid)) + d(a, lo)
 
 
+def dot3(a, b, dims=None):
+    """Value-x-value matmul in three bf16 passes: ~1.5e-5 relative.
+
+    The classic bf16x3 algorithm (a_hi*b_hi + a_hi*b_lo + a_lo*b_hi with
+    bf16-exact hi/lo splits): recovers ~16 of 24 mantissa bits at HALF
+    the MXU passes of the "highest" pin. Used ONLY for hardware-path
+    ENERGY contractions (far-field grid, structure-factor d matmuls)
+    where the error lands ~30x inside the engine's own f32 per-move dE
+    envelope (BASELINE.md: max 8.5e-5 kcal/mol vs f64); the launchers
+    pass vv3=False in interpret mode so CPU parity tests stay bit-exact
+    against the XLA oracle. NEVER route positions through this."""
+    f32 = jnp.float32
+
+    def split(x):
+        hi = x.astype(jnp.bfloat16).astype(f32)
+        return hi, x - hi
+
+    a_hi, a_lo = split(a)
+    b_hi, b_lo = split(b)
+    if dims is None:
+        def d(u, v):
+            return jnp.dot(u, v, preferred_element_type=f32,
+                           precision=jax.lax.Precision.DEFAULT)
+    else:
+        def d(u, v):
+            return jax.lax.dot_general(u, v, dims,
+                                       preferred_element_type=f32,
+                                       precision=jax.lax.Precision.DEFAULT)
+    return (d(a_hi, b_hi) + d(a_hi, b_lo)) + d(a_lo, b_hi)
+
+
 def _powers(c, s, n):
     """Complex phase powers e^{i j theta}, j=0..n, from cos/sin rows (1,F).
     Returns two lists of (1, F) rows."""

@@ -57,7 +57,7 @@ def _ds128(start, size):
     return pl.ds(pl.multiple_of(start, 128), size)
 
 from ..constants import COULOMB_K, TWOPI
-from .common import _erfc, _powers, _signed_table, dot1h
+from .common import _erfc, _powers, _signed_table, dot1h, dot3
 
 _R2_FLOOR = 1e-18
 
@@ -100,7 +100,7 @@ def _stepg_kernel(
         Lmax: int, Qmax: int, kx: int, ky: int, kz: int, JzP: int,
         fw_on: bool, gbase: int, SG: int, WL: int, WC: int,
         kx2: int, ky2: int, kz2: int, Jz2P: int, fw_axis: int,
-        ggr2: float = 0.0, ablate: str = ""):
+        ggr2: float = 0.0, vv3: bool = False, ablate: str = ""):
     f32 = amp_re_ref.dtype
     inv_l = (const_ref[0, 0], const_ref[0, 1], const_ref[0, 2])
     ll = (const_ref[0, 3], const_ref[0, 4], const_ref[0, 5])
@@ -354,7 +354,10 @@ def _stepg_kernel(
         t2_im = xe2[:GFK] * ye2[GFK:] + xe2[GFK:] * ye2[:GFK]
 
         def dotL(a, b):  # contract the lane axis: (J, X) x (N, X) -> (J, N)
-            # value-x-value contraction: plain dot under the "highest" pin
+            # value-x-value: 3-pass bf16 on hardware, exact in interpret
+            # (see blockg dotZ note)
+            if vv3:
+                return dot3(a, b, (((1,), (1,)), ((), ())))
             return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                        preferred_element_type=f32)
 
@@ -395,7 +398,11 @@ def _stepg_kernel(
                 [jnp.concatenate([t_re, t_im], axis=1),
                  jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
             pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]], axis=1)
-            d_both = jnp.dot(pzT_g, t_both, preferred_element_type=f32)
+            if vv3:  # see blockg dotZ note
+                d_both = dot3(pzT_g, t_both)
+            else:
+                d_both = jnp.dot(pzT_g, t_both,
+                                 preferred_element_type=f32)
             d_re = d_both[:, :JxyP_]
             d_im = d_both[:, JxyP_:]
             cross = jnp.sum(kw_ref[:, :] * (2.0 * (ar * d_re + ai * d_im)
@@ -494,6 +501,7 @@ def mc_step_core_grouped(spec, pos_g, amp_re_g, amp_im_g,
         WL=spec.fw_WL, WC=spec.fw_WC, kx2=kx2, ky2=ky2, kz2=kz2,
         Jz2P=Jz2P, fw_axis=spec.fw_axis,
         ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
+        vv3=not interpret,
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     amp_re2, amp_im2, pos2, flags = pl.pallas_call(
