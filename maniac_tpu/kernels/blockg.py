@@ -323,9 +323,42 @@ def _blockg_kernel(
     # extraction / placement matrices
     mi_G = jax.lax.broadcasted_iota(jnp.int32, (G, MP), 1).astype(f32)
     W2 = min(256, S)
-    iw2 = jax.lax.broadcasted_iota(jnp.int32, (W2, A), 0)
-    aw2 = jax.lax.broadcasted_iota(jnp.int32, (W2, A), 1)
     lane_w2 = jax.lax.broadcasted_iota(jnp.int32, (1, W2), 1)
+    # batched footprint-read/commit constants: the per-(g, side) (W2, A)
+    # one-hot matmuls issue 2*G tiny MXU ops per direction per step
+    # (latency-bound); instead ONE (W2, GA) one-hot serves every replica
+    # at once. Each output element still sums exactly one nonzero
+    # product (the window offset places one lane per (g, atom) column),
+    # so the dot1h split stays BIT-exact and parity with the XLA path
+    # holds unchanged.
+    iw2g = jax.lax.broadcasted_iota(jnp.int32, (W2, GA), 0)   # lane w
+    ag2 = jax.lax.broadcasted_iota(jnp.int32, (W2, GA), 1) % A
+    iw2gT = jax.lax.broadcasted_iota(jnp.int32, (GA, W2), 1)
+    ag2T = jax.lax.broadcasted_iota(jnp.int32, (GA, W2), 0) % A
+    # (3G, GA) block-diagonal mask + (3, 3G) coordinate-gather selector
+    CM3 = ((jax.lax.broadcasted_iota(jnp.int32, (3 * G, GA), 0) // 3)
+           == (jax.lax.broadcasted_iota(jnp.int32, (3 * G, GA), 1) // A)
+           ).astype(f32)
+    SEL3 = ((jax.lax.broadcasted_iota(jnp.int32, (3, 3 * G), 1) % 3)
+            == jax.lax.broadcasted_iota(jnp.int32, (3, 3 * G), 0)
+            ).astype(f32)
+    # (GA, G) column expansion (for per-column window offsets)
+    E_cexp = ((jax.lax.broadcasted_iota(jnp.int32, (GA, G), 0) // A)
+              == jax.lax.broadcasted_iota(jnp.int32, (GA, G), 1)
+              ).astype(f32)
+
+    def exp_off(row):
+        # (1, G) int window-offset row -> (1, GA): offsets are < W2 <= 256,
+        # bf16-exact, so ONE DEFAULT-precision dot is exact
+        return jnp.dot(row.astype(f32), E_exp, preferred_element_type=f32,
+                       precision=jax.lax.Precision.DEFAULT).astype(jnp.int32)
+
+    def exp_off_col(row):
+        # (1, G) int window-offset row -> (GA, 1) without a relayout
+        return jax.lax.dot_general(
+            E_cexp, col_of(row.astype(f32)), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.DEFAULT).astype(jnp.int32)
 
     # intra pair constants: the A*(A-1)/2 intra-molecular pairs vectorized
     # into lanes (col p*G + g), instead of a per-pair loop of (1, G) ops
@@ -577,6 +610,9 @@ def _blockg_kernel(
         # footprint reads are per-replica dynamic window slices (below)
         slot_old_c = col_of(mol_slot_old.astype(f32))       # (G, 1)
         slot_last_c = col_of(slot_last.astype(f32))
+        # old-side window bases: shared by the footprint reads and the
+        # position commits (must live outside the fpread ablation gate)
+        c0o_row = jnp.minimum((site_start_old // 128) * 128, S - W2)
         if skip_fpread:
             com_old = jnp.zeros((3, G), f32)
             com_last = jnp.zeros((3, G), f32)
@@ -596,28 +632,29 @@ def _blockg_kernel(
             com_last = jnp.concatenate(rows_l, 0)
             # footprint reads: per-replica 128-aligned W2-col window
             # slices (W2 = min(256, S) always covers the straddle of an
-            # A-atom molecule across a 128 boundary) + one (3, W2) x
-            # (W2, A) one-hot extraction matmul per (g, side). O(1) per
-            # step per replica: the previous live-prefix masked chunk
-            # scan was O(occupancy) and dominated the reference-capacity
-            # bench (0.67 of 2.87 ms/step at ~2000 molecules). Values are
-            # bit-identical (both paths copy f32 values exactly).
-            po_cols, pl_cols = [], []
-            for g in range(G):
-                sso_g = site_start_old[0, g]
-                ssl_g = start_last[0, g]
-                c0o = jnp.minimum((sso_g // 128) * 128, S - W2)
-                c0l = jnp.minimum((ssl_g // 128) * 128, S - W2)
-                blk_o = pos_out[g, :, _ds128(c0o, W2)]      # (3, W2)
-                blk_l = pos_out[g, :, _ds128(c0l, W2)]
-                oh_o = (iw2 == (sso_g - c0o) + aw2).astype(f32)
-                oh_l = (iw2 == (ssl_g - c0l) + aw2).astype(f32)
-                # positions x one-hot SELECTOR: bit-exact 3-pass
-                # split read (dot1h) - half the "highest" MXU passes
-                po_cols.append(dot1h(blk_o, oh_o, split="a"))
-                pl_cols.append(dot1h(blk_l, oh_l, split="a"))
-            P_oldT = jnp.concatenate(po_cols, 1)            # (3, GA)
-            last_cols = jnp.concatenate(pl_cols, 1)
+            # A-atom molecule across a 128 boundary), stacked to (3G, W2)
+            # and extracted with ONE (W2, GA) one-hot matmul per side.
+            # O(1) per step per replica like the old per-(g, side) form
+            # (the live-prefix chunk scan before it was O(occupancy)),
+            # but 2 batched dot1h calls replace 2*G tiny latency-bound
+            # MXU issues. Bit-identical: every output element of both the
+            # extraction and the (3, 3G) coordinate gather sums exactly
+            # one nonzero product (see dot1h).
+            c0l_row = jnp.minimum((start_last // 128) * 128, S - W2)
+            do_exp = exp_off(site_start_old - c0o_row)      # (1, GA)
+            dl_exp = exp_off(start_last - c0l_row)
+            BLKo = jnp.concatenate(
+                [pos_out[g, :, _ds128(c0o_row[0, g], W2)]
+                 for g in range(G)], 0)                     # (3G, W2)
+            BLKl = jnp.concatenate(
+                [pos_out[g, :, _ds128(c0l_row[0, g], W2)]
+                 for g in range(G)], 0)
+            OHo = (iw2g == do_exp + ag2).astype(f32)        # (W2, GA)
+            OHl = (iw2g == dl_exp + ag2).astype(f32)
+            P_oldT = dot1h(SEL3, dot1h(BLKo, OHo, split="a") * CM3,
+                           split="b")                       # (3, GA)
+            last_cols = dot1h(SEL3, dot1h(BLKl, OHl, split="a") * CM3,
+                              split="b")
 
         com_old_exp = dot1h(com_old, E_exp, split="a")      # (3, GA)
         off_old = P_oldT - com_old_exp
@@ -1534,29 +1571,40 @@ def _blockg_kernel(
         if not skip_pos:
             dwi = (accr & w_new).astype(jnp.int32)          # (1, G)
             dci = (accr & remove).astype(jnp.int32)
+            # batched commit math: ONE (3G, GA) x (GA, W2) one-hot
+            # placement matmul per side builds every replica's (3, W2)
+            # write image at once (vs 2*G tiny matmuls); the per-replica
+            # dynamic-window read-modify-write stores remain per-g. Old
+            # backfill lands before the new write (store order below),
+            # matching the sequential path; bit-exact like the reads
+            # (one nonzero product per output element).
+            c0n_row = jnp.minimum((site_start_new // 128) * 128, S - W2)
+            offo_col = exp_off_col(site_start_old - c0o_row)  # (GA, 1)
+            offn_col = exp_off_col(site_start_new - c0n_row)
+            valw_all = []
+            for vals, off_col in ((last_cols, offo_col),
+                                  (P_newT, offn_col)):
+                bd = jnp.concatenate([vals] * G, 0) * CM3   # (3G, GA)
+                ohp = (iw2gT == off_col + ag2T).astype(f32)  # (GA, W2)
+                valw_all.append(dot1h(bd, ohp, split="a"))  # (3G, W2)
             for g in range(G):
                 if nA == 1:
                     A_old_g = A_new_g = A
                 else:
                     A_old_g = A_old_r[0, g]
                     A_new_g = A_new_r[0, g]
-                for st_g, gate_g, vals, A_g in (
-                        (site_start_old[0, g], dci[0, g], last_cols,
-                         A_old_g),
-                        (site_start_new[0, g], dwi[0, g], P_newT,
-                         A_new_g)):
-                    c0 = jnp.minimum((st_g // 128) * 128, S - W2)
+                for c0_r, st_g, gate_g, vw, A_g in (
+                        (c0o_row, site_start_old[0, g], dci[0, g],
+                         valw_all[0], A_old_g),
+                        (c0n_row, site_start_new[0, g], dwi[0, g],
+                         valw_all[1], A_new_g)):
+                    c0 = c0_r[0, g]
                     off = st_g - c0
                     blk = pos_out[g, :, _ds128(c0, W2)]     # (3, W2)
-                    ohp = (iw2 == off + aw2).astype(f32)    # (W2, A)
-                    # positions x one-hot: bit-exact 3-pass (dot1h)
-                    valw = dot1h(vals[:, g * A:(g + 1) * A], ohp,
-                                 (((1,), (1,)), ((), ())),
-                                 split="a")                 # (3, W2)
                     inw = ((lane_w2 >= off) & (lane_w2 < off + A_g)
                            & (gate_g > 0))                  # (1, W2)
-                    pos_out[g, :, _ds128(c0, W2)] = jnp.where(inw, valw,
-                                                              blk)
+                    pos_out[g, :, _ds128(c0, W2)] = jnp.where(
+                        inw, vw[3 * g:3 * g + 3, :], blk)
 
         slotn_c = col_of(slot_new.astype(f32))
         if not skip_com:
