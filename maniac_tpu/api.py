@@ -73,9 +73,13 @@ def load_system(input_file: str, data_file: str, params_file: str,
             state = initialize_state(spec, state)
     if setup_device() is not None:
         # one bulk host->device transfer now, instead of re-sending the
-        # CPU-resident spec tables with every block dispatch
+        # CPU-resident spec tables with every block dispatch. Multi-host:
+        # target a LOCAL device (jax.devices() is the global list, so
+        # process_id > 0 would address a device it cannot reach); and when
+        # shard_replicas_global will place shards anyway, skip the put.
         import jax
-        spec, state = jax.device_put((spec, state), jax.devices()[0])
+        if jax.process_count() == 1:
+            spec, state = jax.device_put((spec, state), jax.local_devices()[0])
     return LoadedSystem(deck=deck, parsed=parsed, reservoir=reservoir,
                         ewald=ewald, spec=spec, state=state)
 

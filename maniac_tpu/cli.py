@@ -132,6 +132,8 @@ def _run(args, outdir: str, logger, dtype) -> int:
                        seed=args.seed)
     deck, spec = sysm.deck, sysm.spec
     state = sysm.state
+    from .kernels import dispatch_report
+    logger.log(dispatch_report(spec))
 
     start_block = 0
     if args.resume:
@@ -192,11 +194,16 @@ def _run(args, outdir: str, logger, dtype) -> int:
                   and rep["pos_max_diff"] < 1e-3)
             if not ok:
                 sentinel_fail += 1
-                logger.warn(
-                    f"SENTINEL DIVERGENCE at block {block}: "
-                    f"n_mol_mismatch={rep['n_mol_mismatch']} "
+                # isolated single-block flips are EXPECTED at ~1/500
+                # checked blocks (dot3 bf16 vs highest Metropolis rounding,
+                # see sentinel_check's docstring); only repeated divergence
+                # is escalated to a warning, in the end-of-run summary
+                logger.log(
+                    f"  sentinel block {block}: kernel/XLA divergence "
+                    f"(n_mol_mismatch={rep['n_mol_mismatch']} "
                     f"counter_mismatch={rep['counter_mismatch']} "
-                    f"pos_max_diff={rep['pos_max_diff']:.3e}")
+                    f"pos_max_diff={rep['pos_max_diff']:.3e}) - isolated "
+                    f"flips are benign at ~1/500 checked blocks")
             else:
                 logger.log(f"  sentinel block {block}: kernel == XLA "
                            f"(pos diff {rep['pos_max_diff']:.2e}, "
@@ -269,10 +276,20 @@ def _run(args, outdir: str, logger, dtype) -> int:
                 logger.log(f"  replica <N({res.name})> = {n[:, r].mean():.3f}"
                            f" +- {n[:, r].std():.3f}")
     if args.sentinel > 0:
-        checked = len(range(start_block + 1, deck.nb_block + 1)) \
-            // args.sentinel
+        # multiples of N in (start_block, nb_block] — NOT len(range)//N,
+        # which miscounts on resumed runs with start_block > 0
+        checked = (deck.nb_block // args.sentinel
+                   - start_block // args.sentinel)
+        expected = checked / 500.0  # benign dot3-vs-highest flip rate
         logger.log(f"  sentinel: {checked} cross-checked blocks, "
-                   f"{sentinel_fail} divergences")
+                   f"{sentinel_fail} divergences "
+                   f"(~{expected:.2f} benign expected)")
+        if sentinel_fail > max(2.0, 4.0 * expected):
+            logger.warn(
+                f"SENTINEL: systematic kernel/XLA divergence "
+                f"({sentinel_fail}/{checked} checked blocks, far above "
+                f"the ~1/500 benign rounding rate) - investigate with "
+                f"tools/precision_probe.py and MANIAC_PALLAS=0")
     if deck.nb_block * deck.nb_step > 0:
         rate = total_steps / max(elapsed, 1e-9)
         logger.log(f"  throughput: {rate:,.0f} MC steps/s "

@@ -257,6 +257,24 @@ def _validate(deck: InputDeck, seen: set[str], logger: Logger) -> None:
         if key not in seen:
             logger.abort(f"Missing required parameter: {key}")
 
+    # swap needs two active species. The reference's move dispatch never
+    # reaches a swap branch at all (src/monte_carlo.f90:50-75: the trailing
+    # `else` hands everything past translation+rotation to insert/delete),
+    # so swap probability mass ALWAYS falls through to insertion/deletion
+    # there. We implement real swaps (DIVERGENCES.md #3); with <2 active
+    # species a swap draw is undefined, so fold the mass into
+    # insertion/deletion — reproducing the reference's fall-through move
+    # mix — and tell the user (DIVERGENCES.md #23).
+    n_active = sum(1 for res in deck.residues if res.active)
+    if deck.proba.swap > 0.0 and n_active < 2:
+        logger.warn(
+            f"swap_proba {deck.proba.swap:g} with {n_active} active "
+            "species: swap needs two; folding the probability into "
+            "insertion/deletion (the reference's dispatch does the same, "
+            "src/monte_carlo.f90:60)")
+        deck.proba.insertion_deletion += deck.proba.swap
+        deck.proba.swap = 0.0
+
     total = deck.proba.total()
     if total < SMALL:
         logger.abort(

@@ -20,6 +20,43 @@ from __future__ import annotations
 import os
 
 
+def dispatch_report(spec) -> str:
+    """One-line load-time explanation of which step implementation will
+    serve this system and (for the XLA fallback) the first gate that
+    failed — so e.g. a >4-LJ-atom molecule silently dropping off the
+    Pallas path is visible in the log instead of a mystery slowdown."""
+    if use_blockg(spec):
+        return (f"kernel dispatch: Pallas whole-block (blockg), "
+                f"G={blockg_group_size(spec)}")
+    if use_pair_kernel(spec):
+        return (f"kernel dispatch: Pallas per-step (stepg), "
+                f"G={group_size(spec)}")
+    mode = os.environ.get("MANIAC_PALLAS", "auto")
+    if mode == "0":
+        reason = "MANIAC_PALLAS=0"
+    elif spec.force_xla:
+        reason = "force_xla set on the spec"
+    elif spec.dtype_name != "float32":
+        reason = (f"dtype {spec.dtype_name}: kernels are f32-only, "
+                  "XLA is the f64 precision oracle")
+    elif spec.use_table:
+        reason = "tabulated potentials (use_table) are XLA-path only"
+    elif 2 * spec.Lmax > 8:
+        reason = (f"molecule LJ footprint 2*Lmax={2 * spec.Lmax} exceeds "
+                  "the 8-row slab layout (max 4 LJ-active atoms/molecule)")
+    elif spec.is_triclinic:
+        reason = ("triclinic box with inactive species outside the "
+                  "framework split (blockg needs fw_split or all-active)")
+    else:
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            reason = "CPU backend (auto mode enables kernels on TPU only)"
+        else:
+            reason = ("inactive species without framework split "
+                      "(blockg needs fw_split or all-active)")
+    return f"kernel dispatch: XLA path ({reason})"
+
+
 def use_pair_kernel(spec) -> bool:
     """Trace-time dispatch for the grouped Pallas step-core kernel
     (kernels/stepg.py; single-replica calls run it with G=1)."""

@@ -182,9 +182,11 @@ def _propose(spec: SystemSpec, state: SimState, u) -> dict:
     A_old = spec.type_A[t_old]
     A_new = spec.type_A[t_new]
 
-    # a swap draw with <2 active species is a dead draw (the reference lets
-    # swap probability mass fall through to insertion/deletion; we require
-    # the user to zero it instead, and drop the draw defensively here)
+    # a swap draw with <2 active species should never occur: deck
+    # validation folds swap_proba into insertion/deletion in that case
+    # (DIVERGENCES.md #23, matching the reference's fall-through dispatch,
+    # src/monte_carlo.f90:60). Dropping the draw here is defense in depth
+    # for specs built outside the deck path.
     if can_swap:
         dead_draw = jnp.zeros((), bool)
     else:

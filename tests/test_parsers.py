@@ -45,6 +45,27 @@ def test_deck_rescaling(tmp_path):
     assert abs(deck.proba.translation - 0.4) < 1e-12
 
 
+def test_deck_swap_folded_with_one_active_species(tmp_path, capsys):
+    """swap_proba with <2 active species folds into insertion/deletion
+    with a warning (DIVERGENCES.md #23): the reference's dispatch sends
+    that mass to insert/delete unconditionally (src/monte_carlo.f90:60),
+    so the folded mix matches the reference, not a silent dead-draw."""
+    from maniac_tpu.utils.logger import Logger
+    make_water_box(str(tmp_path), probs=(0.3, 0.3, 0.2, 0.2))
+    deck = parse_deck(f"{tmp_path}/input.maniac", Logger())
+    assert deck.proba.swap == 0.0
+    assert abs(deck.proba.insertion_deletion - 0.4) < 1e-12
+    assert abs(deck.proba.total() - 1.0) < 1e-12
+    assert "folding the probability into" in capsys.readouterr().out
+
+
+def test_deck_swap_kept_with_two_active_species(tmp_path):
+    make_lj_gas(str(tmp_path), two_species=True,
+                probs=(0.3, 0.3, 0.2, 0.2))
+    deck = parse_deck(f"{tmp_path}/input.maniac")
+    assert abs(deck.proba.swap - 0.2) < 1e-12
+
+
 def test_deck_missing_required(tmp_path):
     p = tmp_path / "bad.maniac"
     p.write_text("nb_block 1\nnb_step 1\ntranslation_proba 1.0\n")
