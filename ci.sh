@@ -17,14 +17,15 @@ python -c "import maniac_tpu; print('maniac_tpu', maniac_tpu.__version__)"
 echo "== stage 2: reader tests"
 python -m pytest tests/test_parsers.py -q
 
-echo "== stage 3: energy parity tests"
+echo "== stage 3: energy parity + reference black-box fixtures"
 python -m pytest tests/test_energy.py tests/test_oracle.py \
-    tests/test_triclinic.py -q
+    tests/test_triclinic.py tests/test_reference_integration.py -q
 
 echo "== stage 4: remaining unit suite (stages 2-3 files not re-run)"
 python -m pytest tests/ -q \
     --ignore=tests/test_parsers.py --ignore=tests/test_energy.py \
-    --ignore=tests/test_oracle.py --ignore=tests/test_triclinic.py
+    --ignore=tests/test_oracle.py --ignore=tests/test_triclinic.py \
+    --ignore=tests/test_reference_integration.py
 
 echo "== stage 5: end-to-end example"
 python examples/run_examples.py H2O-gcmc
