@@ -11,6 +11,9 @@
 set -euo pipefail
 cd "$(dirname "$0")"
 
+echo "== stage 0: lint (stdlib AST analog of the reference's flint stage)"
+python tools/lint.py
+
 echo "== stage 1: import sanity"
 python -c "import maniac_tpu; print('maniac_tpu', maniac_tpu.__version__)"
 

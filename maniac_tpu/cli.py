@@ -110,7 +110,7 @@ def _run(args, outdir: str, logger, dtype) -> int:
     from .io.writers import OutputWriter, snapshot
     from .system import E_TOT
     from .mc.driver import (drift_report, refresh_reported_energy, resync,
-                            resync_amplitudes_replicated, run_block)
+                            run_block)
     from .parallel.replicas import replicate, run_block_replicated
     from .utils.errors import ManiacError
 

@@ -25,11 +25,9 @@ when no seed is given (src/input_parser.f90:597, src/random_utils.f90:35-56).
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 
 from ..constants import SMALL
-from ..utils.errors import ManiacError
 from ..utils.logger import Logger, default_logger
 
 

@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
-from .common import _erfc, _powers, _signed_table, dot1h, dot3
+from .common import _erfc, _signed_table, dot1h, dot3
 
 _R2_FLOOR = 1e-18
 

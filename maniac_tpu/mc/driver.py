@@ -29,7 +29,6 @@ from ..constants import (MAX_ROTATION_ANGLE, MAX_TRANSLATION_STEP,
 from ..physics.energy import (active_site_mask, full_amplitudes, recip_energy,
                               site_positions, system_energy)
 from ..system import E_RECIP, E_TOT, SimState, SystemSpec
-from .moves import mc_step
 
 
 def initialize_state(spec: SystemSpec, state: SimState) -> SimState:

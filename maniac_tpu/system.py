@@ -19,8 +19,7 @@ single masked dense computation with no per-type unrolling.
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
@@ -31,7 +30,6 @@ from scipy.special import erfc as erfc_np
 
 from .constants import (ATM_TO_PA, A3_TO_M3, COULOMB_K, KB_JK, SMALL, SQRTPI)
 from .ewald import EwaldSetup
-from .geometry import Box, min_image_delta
 from .io.deck import InputDeck
 from .io.lammps_data import ParsedSystem
 

@@ -12,7 +12,6 @@ consistent with a from-scratch recompute.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from maniac_tpu import load_system
 from maniac_tpu.mc.driver import block_body, resync_amplitudes_replicated

@@ -15,16 +15,15 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from maniac_tpu import load_system
 from maniac_tpu.constants import COULOMB_K, KB_KCALMOL
-from maniac_tpu.physics.energy import (active_site_mask, intra_energy,
-                                       pair_energy_footprint, site_positions,
-                                       system_energy)
+from maniac_tpu.physics.energy import (active_site_mask,
+                                        pair_energy_footprint,
+                                        site_positions)
 from maniac_tpu.system import E_COUL, E_INTRA, E_LJ, E_RECIP, E_SELF, E_TOT
 
-from fixtures import make_nacl, make_water_box, water_sites
+from fixtures import make_nacl, make_water_box
 
 MADELUNG = 1.747564594633
 

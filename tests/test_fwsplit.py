@@ -15,7 +15,6 @@ tests pin:
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from scipy.special import erfc as serfc
 
 from maniac_tpu import load_system

@@ -9,7 +9,6 @@ tests pin the semantics.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from maniac_tpu import load_system
 from maniac_tpu.mc.moves import mc_step

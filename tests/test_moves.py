@@ -9,7 +9,6 @@ structure factors must equal a from-scratch recomputation.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from maniac_tpu import load_system
 from maniac_tpu.mc.driver import drift_report, run_block

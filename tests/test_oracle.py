@@ -12,12 +12,10 @@ import os
 import sys
 
 import numpy as np
-import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-from oracle import (COULOMB_K_ORACLE, intramolecular_coulomb, lj_energy,
-                    oracle_total, periodic_coulomb)
+from oracle import COULOMB_K_ORACLE, oracle_total, periodic_coulomb
 
 from maniac_tpu import load_system
 from maniac_tpu.constants import COULOMB_K, KB_KCALMOL

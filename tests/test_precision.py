@@ -28,7 +28,6 @@ def test_f64_per_move_delta_e_exact(tmp_path):
     whole consistency suite rides on, asserted here at flagship chemistry."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from maniac_tpu import load_system
     from maniac_tpu.constants import KB_KCALMOL

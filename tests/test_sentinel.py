@@ -7,9 +7,7 @@ This is the continuously-checkable form of the blockg parity property
 on-device every N blocks.
 """
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 from maniac_tpu import load_system
 from maniac_tpu.mc.driver import sentinel_check

@@ -17,7 +17,6 @@ import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
-from scipy.special import erfc as erfc_np
 
 from maniac_tpu import load_system
 from maniac_tpu.constants import COULOMB_K

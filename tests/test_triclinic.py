@@ -22,7 +22,7 @@ from maniac_tpu.physics.energy import (active_site_mask, site_positions,
                                        system_energy)
 from maniac_tpu.system import E_RECIP, E_TOT
 
-from fixtures import make_triclinic_water, make_water_box
+from fixtures import make_triclinic_water
 
 
 def _load(outdir, **kw):

@@ -34,7 +34,6 @@ import numpy as np
 from scipy.integrate import quad
 
 from maniac_tpu import load_system
-from maniac_tpu.mc.driver import run_block
 from maniac_tpu.parallel.replicas import replicate, run_block_replicated
 from maniac_tpu.system import convert_fugacity
 from maniac_tpu.systems import make_lj_gas

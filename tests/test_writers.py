@@ -5,9 +5,6 @@ awks TotEng out of log.maniac); these tests pin the column/format contracts
 including the divergences we chose (full 11-column moves.dat, actual block
 numbers as trajectory timesteps - DIVERGENCES.md #3/#15)."""
 
-import os
-
-import numpy as np
 import pytest
 
 from maniac_tpu.cli import main as cli_main

@@ -1,7 +1,6 @@
 #!/usr/bin/env python
 """Dump compiled HLO of the block step and grep interesting ops."""
 import os
-import re
 import sys
 import tempfile
 

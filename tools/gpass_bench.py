@@ -23,7 +23,6 @@ Variants:
           broadcast of one row (valid for single-LJ-site species)
   read    chunk reads only (floor)
 """
-import functools
 import os
 import sys
 import time

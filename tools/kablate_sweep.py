@@ -25,7 +25,6 @@ def main():
                                  "eng", "stage", "fwmath", "phase"]
     from maniac_tpu.parallel.replicas import replicate, run_block_replicated
     from maniac_tpu.utils.setupcache import cached_spec_state
-    import quick_time as qt
     cap_default = {"bigS": 2500}.get(system, 512)
     cap = int(os.environ.get("PROF_CAP", str(cap_default)))
 
