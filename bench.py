@@ -177,6 +177,18 @@ def main() -> None:
         f"(floor ~{hbm_bytes / 800e9 * 1e3:.2f} ms vs {step_t * 1e3:.2f} ms)\n"
         f"# steps={total_steps:,} elapsed={elapsed:.2f}s "
         f"mean_N={float(np.asarray(states.n_mol)[:, :spec.R].sum(1).mean()):.1f}\n")
+    # hardware-precision evidence (VERDICT r3 #7): the CPU suite is blind
+    # to TPU DEFAULT-precision bf16 rounding, so every bench run re-proves
+    # the pin + kernel parity on the device it just measured. Runs AFTER
+    # timing (its own compiles must not pollute the measurement).
+    hw = "skipped"
+    if os.environ.get("MANIAC_BENCH_HWCHECK", "1") != "0":
+        from maniac_tpu.utils.hwprobe import hw_precision_check
+        t0 = time.perf_counter()
+        hw, hw_detail = hw_precision_check(blocks=4)
+        sys.stderr.write(f"# hw_precision={hw} ({hw_detail}) "
+                         f"[{time.perf_counter() - t0:.1f}s]\n")
+
     metric = ("gcmc_steps_per_sec_per_chip_zif8_h2o" if system == "zif"
               else f"gcmc_steps_per_sec_per_chip_{system}")
     print(json.dumps({
@@ -184,6 +196,7 @@ def main() -> None:
         "value": round(rate, 1),
         "unit": "MC steps/s/chip",
         "vs_baseline": round(rate / TARGET_STEPS_PER_SEC, 4),
+        "hw_precision": hw,
     }))
 
 
