@@ -59,6 +59,12 @@ from maniac_tpu.utils.mapguard import ensure_map_headroom  # noqa: E402
 ensure_map_headroom()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running physics validation (still run by "
+        "default; deselect with -m 'not slow')")
+
+
 def pytest_sessionfinish(session, exitstatus):
     if _cache_marker:
         with open(_cache_marker, "w"):
