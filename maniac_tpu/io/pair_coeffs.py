@@ -61,19 +61,25 @@ def parse_pair_coeffs(path: str, sys: ParsedSystem,
 
 
 def _apply_lorentz_berthelot(eps, sig, sys: ParsedSystem, logger: Logger) -> None:
+    # Vectorized over the (k, l) site grid. Fills only ever READ the
+    # self-block diagonals eps[i][i][k,k] / sig[i][i][k,k], and a diagonal
+    # entry can never be filled (its own mixing source would be the missing
+    # value itself, failing the >1e-6 gate), so the element-order of the
+    # original scalar loop is immaterial and this is exact.
     R = len(eps)
     warned = False
+    diag_e = [np.diagonal(eps[i][i]).copy() for i in range(R)]
+    diag_s = [np.diagonal(sig[i][i]).copy() for i in range(R)]
     for i in range(R):
         for j in range(R):
-            Ai, Aj = eps[i][j].shape
-            for k in range(Ai):
-                for l in range(Aj):
-                    if abs(eps[i][j][k, l]) < 1e-6 and abs(sig[i][j][k, l]) < 1e-6:
-                        s = 0.5 * (sig[i][i][k, k] + sig[j][j][l, l])
-                        e = np.sqrt(eps[i][i][k, k] * eps[j][j][l, l])
-                        if s > 1e-6 and e > 1e-6:
-                            if not warned:
-                                logger.info("Enforcing the Lorentz-Berthelot rule")
-                                warned = True
-                            sig[i][j][k, l] = s
-                            eps[i][j][k, l] = e
+            missing = ((np.abs(eps[i][j]) < 1e-6)
+                       & (np.abs(sig[i][j]) < 1e-6))
+            s = 0.5 * (diag_s[i][:, None] + diag_s[j][None, :])
+            e = np.sqrt(diag_e[i][:, None] * diag_e[j][None, :])
+            fill = missing & (s > 1e-6) & (e > 1e-6)
+            if fill.any():
+                if not warned:
+                    logger.info("Enforcing the Lorentz-Berthelot rule")
+                    warned = True
+                sig[i][j][fill] = s[fill]
+                eps[i][j][fill] = e[fill]
