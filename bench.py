@@ -120,8 +120,11 @@ def main() -> None:
     spec, state = cached_spec_state(
         f"bench-v1|{system}|cap={capacity}|dtype={dtype_name}"
         f"|fw={sorted(fw_kw.items())}", build)
+    t_build = time.perf_counter() - t_setup
     states = replicate(spec, state, replicas)
     t_setup = time.perf_counter() - t_setup
+    sys.stderr.write(f"# setup split: build={t_build:.2f}s "
+                     f"replicate={t_setup - t_build:.2f}s\n")
 
     reduce_ = jax.jit(lambda l: jnp.sum(l.reshape(-1)[:8]))
 

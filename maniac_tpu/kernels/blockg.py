@@ -211,7 +211,12 @@ def _blockg_kernel(
     E_lj_ts = [sel_mat(lj_atoms_ts[t], Lmax, FL) for t in range(nA)]
     E_q_ts = [sel_mat(q_atoms_ts[t], Qmax, FQ) for t in range(nA)]
     E_k_ts = [sel_mat(q_atoms_ts[t], Qmax, FK) for t in range(nA)]
-    # side-of-column rows
+    # side-of-column rows (defined below) get BAKED into merged selectors:
+    # rows 0..GA-1 select from the old-side positions, rows GA.. from the
+    # new side, so ONE 3-pass dot1h on the stacked (3, 2GA) operand
+    # replaces an old/new "highest" dot pair + where (12 MXU passes and
+    # a select per table). Each output column still has exactly one
+    # nonzero selector entry, so the read stays BIT-exact (dot1h).
     side_fl = ((jax.lax.broadcasted_iota(jnp.int32, (1, GFL), 1) % FL)
                >= Lmax)
     side_fq = ((jax.lax.broadcasted_iota(jnp.int32, (1, GFQ), 1) % FQ)
@@ -219,6 +224,16 @@ def _blockg_kernel(
     ik = jax.lax.broadcasted_iota(jnp.int32, (1, GFK), 1) % FK
     side_fk = (ik >= Qmax) & (ik < FQ)
     live_fk = ik < FQ
+
+    def sel_both(E, side_row):
+        # (2GA, GF) merged selector: old-side columns read rows 0..GA-1,
+        # new-side columns rows GA.. (pad columns are all-zero either way)
+        s = side_row.astype(f32)
+        return jnp.concatenate([E * (1.0 - s), E * s], axis=0)
+
+    E_ljb_ts = [sel_both(E_lj_ts[t], side_fl) for t in range(nA)]
+    E_qb_ts = [sel_both(E_q_ts[t], side_fq) for t in range(nA)]
+    E_kb_ts = [sel_both(E_k_ts[t], side_fk) for t in range(nA)]
     # per-column charge patterns, one per active type
     iq = jax.lax.broadcasted_iota(jnp.int32, (1, GFQ), 1) % FQ
     qpat_q_ts, qpat_k_ts = [], []
@@ -806,8 +821,9 @@ def _blockg_kernel(
         def intra(PT, gate_row, idx):
             if NPAIR == 0:
                 return jnp.zeros((1, G), f32)
-            XA = jnp.dot(PT, E_pa, preferred_element_type=f32)  # (3, PGI)
-            XB = jnp.dot(PT, E_pb, preferred_element_type=f32)
+            # positions x one-nonzero pair selectors: bit-exact 3-pass
+            XA = dot1h(PT, E_pa, split="a")                 # (3, PGI)
+            XB = dot1h(PT, E_pb, split="a")
             if tricl:
                 dxi = XA[0:1, :] - XB[0:1, :]
                 dyi = XA[1:2, :] - XB[1:2, :]
@@ -832,7 +848,9 @@ def _blockg_kernel(
             qq = qq_pat_ts[0]
             if nA > 1:
                 idx_pg = jnp.dot(idx.astype(f32), E_gp,
-                                 preferred_element_type=f32)  # (1, PGI)
+                                 preferred_element_type=f32,
+                                 precision=jax.lax.Precision.DEFAULT
+                                 )  # (1, PGI): small ints x 0/1, exact
                 for tt in range(1, nA):
                     qq = jnp.where(idx_pg == tt, qq_pat_ts[tt], qq)
             vals = jnp.where(ri2 > 1e-16,
@@ -854,6 +872,7 @@ def _blockg_kernel(
 
         # ---- footprint operands (static-matrix extraction) ---------------
         # old side occupies cols with side==0, new side side==1:
+        P_both = jnp.concatenate([P_oldT, P_newT], axis=1)  # (3, 2GA)
         if skip_ft:
             ptlj = jnp.zeros((3, GFL), f32)
             ptq = jnp.zeros((3, GFQ), f32)
@@ -861,61 +880,41 @@ def _blockg_kernel(
             qpat_q = jnp.zeros((1, GFQ), f32)
             qpat_k = jnp.zeros((1, GFK), f32)
         elif nA == 1:
-            ptlj = jnp.where(side_fl,
-                             jnp.dot(P_newT, E_lj_ts[0],
-                                     preferred_element_type=f32),
-                             jnp.dot(P_oldT, E_lj_ts[0],
-                                     preferred_element_type=f32))
-            ptq = jnp.where(side_fq,
-                            jnp.dot(P_newT, E_q_ts[0],
-                                    preferred_element_type=f32),
-                            jnp.dot(P_oldT, E_q_ts[0],
-                                    preferred_element_type=f32))
-            ptk = jnp.where(side_fk,
-                            jnp.dot(P_newT, E_k_ts[0],
-                                    preferred_element_type=f32),
-                            jnp.dot(P_oldT, E_k_ts[0],
-                                    preferred_element_type=f32))
+            # merged-side selectors: ONE bit-exact 3-pass read per table
+            # (was an old/new "highest" dot pair + where: 12 passes each)
+            ptlj = dot1h(P_both, E_ljb_ts[0], split="a")
+            ptq = dot1h(P_both, E_qb_ts[0], split="a")
+            ptk = dot1h(P_both, E_kb_ts[0], split="a")
             qpat_q = qpat_q_ts[0]
             qpat_k = qpat_k_ts[0]
         else:
-            # per-side type gates expanded to the footprint layouts
-            go_fl = [jnp.dot((i_old == tt).astype(f32), Eg_fl,
-                             preferred_element_type=f32) for tt in range(nA)]
-            gn_fl = [jnp.dot((i_new == tt).astype(f32), Eg_fl,
-                             preferred_element_type=f32) for tt in range(nA)]
-            go_fq = [jnp.dot((i_old == tt).astype(f32), Eg_fq,
-                             preferred_element_type=f32) for tt in range(nA)]
-            gn_fq = [jnp.dot((i_new == tt).astype(f32), Eg_fq,
-                             preferred_element_type=f32) for tt in range(nA)]
-            go_fk = [jnp.dot((i_old == tt).astype(f32), Eg_fk,
-                             preferred_element_type=f32) for tt in range(nA)]
-            gn_fk = [jnp.dot((i_new == tt).astype(f32), Eg_fk,
-                             preferred_element_type=f32) for tt in range(nA)]
+            # per-side type gates expanded to the footprint layouts:
+            # 0/1 x 0/1, bf16-exact at any precision - ONE pass each
+            def g01(row, E):
+                return jnp.dot(row.astype(f32), E,
+                               preferred_element_type=f32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+            go_fl = [g01(i_old == tt, Eg_fl) for tt in range(nA)]
+            gn_fl = [g01(i_new == tt, Eg_fl) for tt in range(nA)]
+            go_fq = [g01(i_old == tt, Eg_fq) for tt in range(nA)]
+            gn_fq = [g01(i_new == tt, Eg_fq) for tt in range(nA)]
+            go_fk = [g01(i_old == tt, Eg_fk) for tt in range(nA)]
+            gn_fk = [g01(i_new == tt, Eg_fk) for tt in range(nA)]
             ptlj = jnp.zeros((3, GFL), f32)
             ptq = jnp.zeros((3, GFQ), f32)
             ptk = jnp.zeros((3, GFK), f32)
             qpat_q = jnp.zeros((1, GFQ), f32)
             qpat_k = jnp.zeros((1, GFK), f32)
             for tt in range(nA):
-                ptlj = ptlj + jnp.where(
-                    side_fl,
-                    gn_fl[tt] * jnp.dot(P_newT, E_lj_ts[tt],
-                                        preferred_element_type=f32),
-                    go_fl[tt] * jnp.dot(P_oldT, E_lj_ts[tt],
-                                        preferred_element_type=f32))
-                ptq = ptq + jnp.where(
-                    side_fq,
-                    gn_fq[tt] * jnp.dot(P_newT, E_q_ts[tt],
-                                        preferred_element_type=f32),
-                    go_fq[tt] * jnp.dot(P_oldT, E_q_ts[tt],
-                                        preferred_element_type=f32))
-                ptk = ptk + jnp.where(
-                    side_fk,
-                    gn_fk[tt] * jnp.dot(P_newT, E_k_ts[tt],
-                                        preferred_element_type=f32),
-                    go_fk[tt] * jnp.dot(P_oldT, E_k_ts[tt],
-                                        preferred_element_type=f32))
+                # side-merged 3-pass read x side-merged type gate: value
+                # per column identical to the old per-side dot pair
+                ptlj = ptlj + (jnp.where(side_fl, gn_fl[tt], go_fl[tt])
+                               * dot1h(P_both, E_ljb_ts[tt], split="a"))
+                ptq = ptq + (jnp.where(side_fq, gn_fq[tt], go_fq[tt])
+                             * dot1h(P_both, E_qb_ts[tt], split="a"))
+                ptk = ptk + (jnp.where(side_fk, gn_fk[tt], go_fk[tt])
+                             * dot1h(P_both, E_kb_ts[tt], split="a"))
                 qpat_q = qpat_q + jnp.where(side_fq, gn_fq[tt],
                                             go_fq[tt]) * qpat_q_ts[tt]
                 qpat_k = qpat_k + jnp.where(side_fk, gn_fk[tt],
@@ -925,7 +924,9 @@ def _blockg_kernel(
         wnf = w_new.astype(f32)
 
         def gx(row, E):
-            return jnp.dot(row, E, preferred_element_type=f32)
+            # 0/1 row x 0/1 expansion: bf16-exact - ONE DEFAULT pass
+            return jnp.dot(row, E, preferred_element_type=f32,
+                           precision=jax.lax.Precision.DEFAULT)
 
         ljw = jnp.where(side_fl, gx(wnf, Eg_fl), gx(wof, Eg_fl))  # (1, GFL)
         qw = qpat_q * jnp.where(side_fq, gx(wnf, Eg_fq),
@@ -1430,13 +1431,15 @@ def _blockg_kernel(
                  for i in range(3)], axis=0)                # (3, G)
 
         # ---- per-replica k-space delta (d matmuls stay per-g) ------------
+        # hoisted complex-packing halves: the per-g t_both assembly drops
+        # from 3 concats + a negation to ONE row concat of two slices
+        # (the 64-g loop is issue-bound, not MXU-bound)
+        T_TOP = jnp.concatenate([t_re_all, t_im_all], axis=1)
+        T_BOT = jnp.concatenate([-t_im_all, t_re_all], axis=1)
+
         def d_both_of(g):
             sl = slice(g * FK, (g + 1) * FK)
-            t_re = t_re_all[sl]
-            t_im = t_im_all[sl]
-            t_both = jnp.concatenate(
-                [jnp.concatenate([t_re, t_im], axis=1),
-                 jnp.concatenate([-t_im, t_re], axis=1)], axis=0)
+            t_both = jnp.concatenate([T_TOP[sl], T_BOT[sl]], axis=0)
             pzT_g = jnp.concatenate([pzT_re[:, sl], pzT_im[:, sl]],
                                     axis=1)
             if vv3:  # see dotZ: hardware-only 3-pass energy path
