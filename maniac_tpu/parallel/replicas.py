@@ -22,12 +22,27 @@ from ..system import SimState, SystemSpec
 def replicate(spec: SystemSpec, state: SimState, n_replicas: int,
               base_seed: int | None = None) -> SimState:
     """Broadcast one initialized state into n_replicas independent chains
-    with decorrelated PRNG keys."""
-    keys = jax.random.split(
-        state.key if base_seed is None else jax.random.PRNGKey(base_seed),
-        n_replicas)
+    with decorrelated PRNG keys.
+
+    Runs HOST-SIDE (numpy): broadcasting is a pure layout op, but issuing
+    it as ~15 eager accelerator ops costs one tiny-program relay compile
+    EACH on a cold axon session (minutes of the BENCH_r03 setup=330 s).
+    The numpy leaves are uncommitted, so the first block dispatch performs
+    ONE bulk host->device transfer instead (utils/hostsetup.py placement
+    note). Key streams are threefry and backend-independent: the split
+    runs on XLA:CPU with bit-identical results."""
+    import numpy as np
+
+    from ..utils.hostsetup import setup_device
+
+    key0 = state.key if base_seed is None else jax.random.PRNGKey(base_seed)
+    cpu = setup_device()
+    if cpu is not None:
+        key0 = jax.device_put(key0, cpu)
+    keys = np.asarray(jax.random.split(key0, n_replicas))
     batched = jax.tree_util.tree_map(
-        lambda x: jnp.broadcast_to(x, (n_replicas,) + x.shape), state)
+        lambda x: np.broadcast_to(np.asarray(x),
+                                  (n_replicas,) + np.shape(x)), state)
     return batched.replace(key=keys)
 
 
