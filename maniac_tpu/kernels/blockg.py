@@ -306,6 +306,29 @@ def _blockg_kernel(
 
     E_fsel_fl = fsel_mats(FL)
     E_fsel_fq = fsel_mats(FQ)
+    # merged-lane companions (hardware layout: when every footprint table
+    # width is a whole number of 128-lane tiles, ONE wide read + static
+    # lane slices replaces the per-table / per-atom small-matmul storms;
+    # each output element still sums exactly one nonzero product, so the
+    # dot1h reads stay BIT-exact and CPU/XLA parity holds unchanged)
+    MERGE_FT = (GFL % 128 == 0) and (GFQ % 128 == 0) and (GFK % 128 == 0)
+    if MERGE_FT:
+        E_ftb_cat_ts = [jnp.concatenate([E_ljb_ts[t], E_qb_ts[t],
+                                         E_kb_ts[t]], axis=1)
+                        for t in range(nA)]
+        E_ftb_cat = E_ftb_cat_ts[0]
+        Eg_cat = jnp.concatenate([Eg_fl, Eg_fq, Eg_fk], axis=1)
+
+        def fselT_mat(F):
+            # (F*G, G*F): row f*G+g selects col g*F+f - the pre-transposed
+            # stack of fsel_mats(F), built directly from iotas (an
+            # in-kernel .T of the stack would be a relayout copy)
+            rr = jax.lax.broadcasted_iota(jnp.int32, (F * G, G * F), 0)
+            cc = jax.lax.broadcasted_iota(jnp.int32, (F * G, G * F), 1)
+            return ((cc % F == rr // G) & (cc // F == rr % G)).astype(f32)
+
+        E_fselT_fl = fselT_mat(FL)
+        E_fselT_fq = fselT_mat(FQ)
     # f-major (row f*G + g) companions of E_tile_lj / E_sum_*: eps table
     # row selection and old|new side sums for the tiled guest pass
     rtf_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, FL), 0)
@@ -879,6 +902,16 @@ def _blockg_kernel(
             ptk = jnp.zeros((3, GFK), f32)
             qpat_q = jnp.zeros((1, GFQ), f32)
             qpat_k = jnp.zeros((1, GFK), f32)
+        elif nA == 1 and MERGE_FT:
+            # ONE wide 3-pass read serves all three footprint tables
+            # (static lane slices split it back; widths are whole
+            # 128-lane tiles, values bit-identical to per-table reads)
+            pt_all = dot1h(P_both, E_ftb_cat, split="a")
+            ptlj = pt_all[:, :GFL]
+            ptq = pt_all[:, GFL:GFL + GFQ]
+            ptk = pt_all[:, GFL + GFQ:]
+            qpat_q = qpat_q_ts[0]
+            qpat_k = qpat_k_ts[0]
         elif nA == 1:
             # merged-side selectors: ONE bit-exact 3-pass read per table
             # (was an old/new "highest" dot pair + where: 12 passes each)
@@ -895,12 +928,22 @@ def _blockg_kernel(
                                preferred_element_type=f32,
                                precision=jax.lax.Precision.DEFAULT)
 
-            go_fl = [g01(i_old == tt, Eg_fl) for tt in range(nA)]
-            gn_fl = [g01(i_new == tt, Eg_fl) for tt in range(nA)]
-            go_fq = [g01(i_old == tt, Eg_fq) for tt in range(nA)]
-            gn_fq = [g01(i_new == tt, Eg_fq) for tt in range(nA)]
-            go_fk = [g01(i_old == tt, Eg_fk) for tt in range(nA)]
-            gn_fk = [g01(i_new == tt, Eg_fk) for tt in range(nA)]
+            if MERGE_FT:
+                go_cat_ts = [g01(i_old == tt, Eg_cat) for tt in range(nA)]
+                gn_cat_ts = [g01(i_new == tt, Eg_cat) for tt in range(nA)]
+                go_fl = [r[:, :GFL] for r in go_cat_ts]
+                gn_fl = [r[:, :GFL] for r in gn_cat_ts]
+                go_fq = [r[:, GFL:GFL + GFQ] for r in go_cat_ts]
+                gn_fq = [r[:, GFL:GFL + GFQ] for r in gn_cat_ts]
+                go_fk = [r[:, GFL + GFQ:] for r in go_cat_ts]
+                gn_fk = [r[:, GFL + GFQ:] for r in gn_cat_ts]
+            else:
+                go_fl = [g01(i_old == tt, Eg_fl) for tt in range(nA)]
+                gn_fl = [g01(i_new == tt, Eg_fl) for tt in range(nA)]
+                go_fq = [g01(i_old == tt, Eg_fq) for tt in range(nA)]
+                gn_fq = [g01(i_new == tt, Eg_fq) for tt in range(nA)]
+                go_fk = [g01(i_old == tt, Eg_fk) for tt in range(nA)]
+                gn_fk = [g01(i_new == tt, Eg_fk) for tt in range(nA)]
             ptlj = jnp.zeros((3, GFL), f32)
             ptq = jnp.zeros((3, GFQ), f32)
             ptk = jnp.zeros((3, GFK), f32)
@@ -909,12 +952,21 @@ def _blockg_kernel(
             for tt in range(nA):
                 # side-merged 3-pass read x side-merged type gate: value
                 # per column identical to the old per-side dot pair
+                if MERGE_FT:
+                    pt_all_t = dot1h(P_both, E_ftb_cat_ts[tt], split="a")
+                    ptlj_t = pt_all_t[:, :GFL]
+                    ptq_t = pt_all_t[:, GFL:GFL + GFQ]
+                    ptk_t = pt_all_t[:, GFL + GFQ:]
+                else:
+                    ptlj_t = dot1h(P_both, E_ljb_ts[tt], split="a")
+                    ptq_t = dot1h(P_both, E_qb_ts[tt], split="a")
+                    ptk_t = dot1h(P_both, E_kb_ts[tt], split="a")
                 ptlj = ptlj + (jnp.where(side_fl, gn_fl[tt], go_fl[tt])
-                               * dot1h(P_both, E_ljb_ts[tt], split="a"))
+                               * ptlj_t)
                 ptq = ptq + (jnp.where(side_fq, gn_fq[tt], go_fq[tt])
-                             * dot1h(P_both, E_qb_ts[tt], split="a"))
+                             * ptq_t)
                 ptk = ptk + (jnp.where(side_fk, gn_fk[tt], go_fk[tt])
-                             * dot1h(P_both, E_kb_ts[tt], split="a"))
+                             * ptk_t)
                 qpat_q = qpat_q + jnp.where(side_fq, gn_fq[tt],
                                             go_fq[tt]) * qpat_q_ts[tt]
                 qpat_k = qpat_k + jnp.where(side_fk, gn_fk[tt],
@@ -928,15 +980,26 @@ def _blockg_kernel(
             return jnp.dot(row, E, preferred_element_type=f32,
                            precision=jax.lax.Precision.DEFAULT)
 
-        ljw = jnp.where(side_fl, gx(wnf, Eg_fl), gx(wof, Eg_fl))  # (1, GFL)
-        qw = qpat_q * jnp.where(side_fq, gx(wnf, Eg_fq),
-                                gx(wof, Eg_fq))             # (1, GFQ)
+        if MERGE_FT:
+            # ONE one-pass expansion per side over the concatenated
+            # layouts (lane slices split it back; was 6 small dots)
+            gn_cat = gx(wnf, Eg_cat)
+            go_cat = gx(wof, Eg_cat)
+            gn_l, go_l = gn_cat[:, :GFL], go_cat[:, :GFL]
+            gn_q = gn_cat[:, GFL:GFL + GFQ]
+            go_q = go_cat[:, GFL:GFL + GFQ]
+            gn_k = gn_cat[:, GFL + GFQ:]
+            go_k = go_cat[:, GFL + GFQ:]
+        else:
+            gn_l, go_l = gx(wnf, Eg_fl), gx(wof, Eg_fl)
+            gn_q, go_q = gx(wnf, Eg_fq), gx(wof, Eg_fq)
+            gn_k, go_k = gx(wnf, Eg_fk), gx(wof, Eg_fk)
+        ljw = jnp.where(side_fl, gn_l, go_l)                # (1, GFL)
+        qw = qpat_q * jnp.where(side_fq, gn_q, go_q)        # (1, GFQ)
         livef = live_fk.astype(f32)
-        qwk = qpat_k * jnp.where(side_fk, gx(wnf, Eg_fk),
-                                 gx(wof, Eg_fk) * livef)
-        wkk = qpat_k * (jnp.where(side_fk, gx(wnf, Eg_fk), 0.0)
-                        - jnp.where(side_fk, 0.0,
-                                    gx(wof, Eg_fk) * livef))
+        qwk = qpat_k * jnp.where(side_fk, gn_k, go_k * livef)
+        wkk = qpat_k * (jnp.where(side_fk, gn_k, 0.0)
+                        - jnp.where(side_fk, 0.0, go_k * livef))
 
         # ---- f-major footprint columns for the guest pass ------------------
         # stack x/y/z/weight, select atom f's per-replica column block with
@@ -959,6 +1022,14 @@ def _blockg_kernel(
         if skip_gexp:
             fcl = jnp.zeros((GFL, 4), f32)
             fcq = jnp.zeros((GFQ, 4), f32)
+        elif MERGE_FT:
+            # pre-transposed selector stacks: ONE 3-pass read per table
+            # replaces FL+FQ atom_cols calls (6 small matmuls each);
+            # row f*G+g layout and values identical
+            fcl = dot1h(E_fselT_fl, opl, (((1,), (1,)), ((), ())),
+                        split="b")                          # (FL*G, 4)
+            fcq = dot1h(E_fselT_fq, opq, (((1,), (1,)), ((), ())),
+                        split="b")
         else:
             fcl = jnp.concatenate(
                 [atom_cols(opl, E_fsel_fl[f]) for f in range(FL)], axis=0)

@@ -238,3 +238,23 @@ def test_blockg_parity_chunk_boundary(tmp_path, monkeypatch):
     # both creations and deletions were accepted during the run
     cnt = np.asarray(st_b.counters).sum(0)  # (2, 5): [trials, accepts]
     assert cnt[1, 2] > 0 and cnt[1, 3] > 0
+
+
+def test_blockg_parity_merged_lane_layout(tmp_path, monkeypatch):
+    """G=64 activates the merged-lane footprint path (MERGE_FT in
+    kernels/blockg.py: GFL/GFQ/GFK all whole 128-lane tiles -> ONE wide
+    dot1h read + static lane slices instead of per-table/per-atom small
+    matmuls). The hardware flagship runs this branch; pin it against the
+    XLA scan path on CPU (interpret mode) - decisions exact."""
+    make_zif_like(str(tmp_path), n_cells=4, a=5.66, n_water=10,
+                  fugacity=50.0, cutoff=6.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    assert spec.fw_split  # covers the fw fast-path staging too
+    states = replicate(spec, sysm.state, 64)
+    st_b, st_x = _run_pair(spec, states, 12, monkeypatch, 64)
+    np.testing.assert_array_equal(np.asarray(st_b.n_mol),
+                                  np.asarray(st_x.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_b.counters),
+                                  np.asarray(st_x.counters))
+    assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
