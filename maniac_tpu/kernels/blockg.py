@@ -98,7 +98,7 @@ def _blockg_kernel(
         fweps_ref,       # VMEM (nA*nA*8, SG)
         fwsig2_ref,      # VMEM (nA*nA*8, SG)
         fwbm_ref,        # VMEM (1, NBG) per-block max sort coordinate
-        c2re_ref, c2im_ref, ex2_ref, ey2_ref,
+        c2zy_ref,        # VMEM (2*Jz2P*JyB, 2*Jx2P) zy-packed far coeffs
         nmol_in_ref,     # VMEM (nA, G) int32 initial populations
         eng_in_ref,      # VMEM (8, G) f32 initial energy components
         trans_ref,       # VMEM (1, G) per-replica translation step
@@ -476,16 +476,11 @@ def _blockg_kernel(
         E_fwJ = (cfc_ == (rfc_ % Qmax) * 2 * G + 2 * (rfc_ // FQ)
                  + (rfc_ % FQ) // Qmax).astype(f32)
     if fw_on:
-        # far-grid block-sum constant (see the jz-first far contraction):
-        # rows jx*JyB + jy -> col jx
+        # far-grid static dims (see the zy-packed far contraction)
         Jy2_ = 2 * ky2 + 1
         JyB_ = ((Jy2_ + 7) // 8) * 8
         Jx2_ = kx2 + 1
         Jx2P_ = ((Jx2_ + 7) // 8) * 8
-        Jxy2P_ = c2re_ref.shape[1]
-        rb_ = jax.lax.broadcasted_iota(jnp.int32, (Jxy2P_, Jx2P_), 0)
-        cb_ = jax.lax.broadcasted_iota(jnp.int32, (Jxy2P_, Jx2P_), 1)
-        E_bsum = (rb_ // JyB_ == cb_).astype(f32)
 
     # merged k-space cross/commit operands (see the d-matmul section):
     # a (G*JzP, G) block-sum matrix and a G-tiled copy of the k weights
@@ -1435,16 +1430,18 @@ def _blockg_kernel(
             t_im_all = xe[:GFK] * ye[GFK:] + xe[GFK:] * ye[:GFK]
 
         if fw_on and not skip_far:
-            # jz-first contraction (docs/performance.md): MZ = c2 ? pz via
-            # four (Jz2P)-contraction matmuls oriented (Jxy2P, GFK), then a
-            # per-jx-block y reduction with ONE block-sum matmul. This
-            # avoids the old path's two (2*GFK, Jxy2P) x/y one-hot
-            # expansions and their (GFK, Jxy2P) products entirely. The far
-            # grid lays columns out jx*JyB + jy with JyB 8-aligned
-            # (fwsplit.py) so the tiled y tables line up with MZ rows.
-            Jy2, JyB, Jx2, Jx2P, Jxy2P = Jy2_, JyB_, Jx2_, Jx2P_, Jxy2P_
+            # zy-packed far contraction: ONE MXU dot R = C_zy^T U over
+            # K = 2*Jz2P*JyB replaces the old jz-first pipeline (four
+            # K=Jz2P dots, a (Jxy2P, GFK) y-tiling concat, two
+            # (Jxy2P, GFK) elementwise products and two block-sum dots).
+            # U stacks the z*y phase products [U1;U2] (U1 = Re[pz*py],
+            # U2 = Im[pz*py] of the signed tables); the static c2zy
+            # operand (launcher-built from c2_re/c2_im, rows zy =
+            # jz*JyB + jy) carries [[Cre|Cim],[Cim|-Cre]] so the single
+            # dot yields the per-jx re rows (cols 0:Jx2P) and im rows
+            # (cols Jx2P:) at once; the x phases close the sum as before.
             py2T_re, py2T_im = _signed_table(rey[:ky2 + 1], imy[:ky2 + 1],
-                                             ky2, pad_to=JyB)  # (JyB, GFK)
+                                             ky2, pad_to=JyB_)  # (JyB, GFK)
             pz2T_re, pz2T_im = _signed_table(rez[:kz2 + 1], imz[:kz2 + 1],
                                              kz2, pad_to=Jz2P)
 
@@ -1457,28 +1454,20 @@ def _blockg_kernel(
                 return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                            preferred_element_type=f32)
 
-            c_re = c2re_ref[:, :]                           # (Jz2P, Jxy2P)
-            c_im = c2im_ref[:, :]
-            MZ1 = dotZ(c_re, pz2T_re) + dotZ(c_im, pz2T_im)  # (Jxy2P, GFK)
-            MZ2 = dotZ(c_im, pz2T_re) - dotZ(c_re, pz2T_im)
-            pad2 = Jxy2P - Jx2 * JyB
-            yparts_re = [py2T_re] * Jx2
-            yparts_im = [py2T_im] * Jx2
-            if pad2 > 0:
-                zpad = jnp.zeros((pad2, GFK), f32)
-                yparts_re = yparts_re + [zpad]
-                yparts_im = yparts_im + [zpad]
-            YR = jnp.concatenate(yparts_re, axis=0)         # (Jxy2P, GFK)
-            YI = jnp.concatenate(yparts_im, axis=0)
-            P1 = MZ1 * YR + MZ2 * YI
-            P2 = MZ2 * YR - MZ1 * YI
-            R1 = dotZ(E_bsum, P1)                           # (Jx2P, GFK)
-            R2 = dotZ(E_bsum, P2)
-            xpad = ([jnp.zeros((Jx2P - Jx2, GFK), f32)]
-                    if Jx2P > Jx2 else [])
-            XR = jnp.concatenate(rex[:Jx2] + xpad, axis=0)  # (Jx2P, GFK)
-            XI = jnp.concatenate(imx[:Jx2] + xpad, axis=0)
-            efar = (jnp.sum(XR * R1 + XI * R2, axis=0, keepdims=True)
+            u1, u2 = [], []
+            for jz in range(Jz2P):
+                zr = pz2T_re[jz:jz + 1, :]
+                zi = pz2T_im[jz:jz + 1, :]
+                u1.append(zr * py2T_re - zi * py2T_im)
+                u2.append(zr * py2T_im + zi * py2T_re)
+            U = jnp.concatenate(u1 + u2, axis=0)     # (2*Jz2P*JyB, GFK)
+            RB = dotZ(c2zy_ref[:, :], U)             # (2*Jx2P, GFK)
+            xpad = ([jnp.zeros((Jx2P_ - Jx2_, GFK), f32)]
+                    if Jx2P_ > Jx2_ else [])
+            XR = jnp.concatenate(rex[:Jx2_] + xpad, axis=0)  # (Jx2P, GFK)
+            XI = jnp.concatenate(imx[:Jx2_] + xpad, axis=0)
+            efar = (jnp.sum(XR * RB[:Jx2P_] + XI * RB[Jx2P_:],
+                            axis=0, keepdims=True)
                     + fw_d0) * qwk                          # (1, GFK)
         elif fw_on:
             efar = jnp.zeros((1, GFK), f32)
@@ -1889,6 +1878,29 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         rescom = jnp.zeros((G, 3, MresP), f)
         resn_in = jnp.zeros((nA, G), jnp.int32)
 
+    # zy-packed far-field coefficient operand: reorganize c2_re/c2_im
+    # (Jz2P, Jxy2P dense, cols jx*JyB + jy) into (2*Jz2P*JyB, 2*Jx2P)
+    # [[Cre|Cim],[Cim|-Cre]] so the kernel's far pass is ONE packed dot
+    # against the z*y phase-product table (see the far section). Traced
+    # XLA reshape/transpose, rebuilt per block launch (~1 MB, negligible).
+    if spec.fw_split:
+        Jy2h = 2 * ky2 + 1
+        JyBh = _round_up(Jy2h, 8)
+        Jx2h = kx2 + 1
+        Jx2Ph = _round_up(Jx2h, 8)
+        cre = spec.c2_re[:, :Jx2h * JyBh].reshape(Jz2P, Jx2h, JyBh)
+        cim = spec.c2_im[:, :Jx2h * JyBh].reshape(Jz2P, Jx2h, JyBh)
+        cre = jnp.transpose(cre, (0, 2, 1)).reshape(Jz2P * JyBh, Jx2h)
+        cim = jnp.transpose(cim, (0, 2, 1)).reshape(Jz2P * JyBh, Jx2h)
+        zpad = jnp.zeros((Jz2P * JyBh, Jx2Ph - Jx2h), spec.c2_re.dtype)
+        cre = jnp.concatenate([cre, zpad], axis=1)
+        cim = jnp.concatenate([cim, zpad], axis=1)
+        c2zy = jnp.concatenate(
+            [jnp.concatenate([cre, cim], axis=1),
+             jnp.concatenate([cim, -cre], axis=1)], axis=0).astype(f)
+    else:
+        c2zy = jnp.zeros((8, 128), f)
+
     # static per-type column offsets of the guest regions (128-aligned by
     # the system.py base layout) for the per-type guest chunk loops
     sb_off_ts = tuple(int(spec.site_base_list[r]) - (gb if spec.fw_split
@@ -1946,9 +1958,9 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
                    jax.ShapeDtypeStruct((G, 3, SresP), f),
                    jax.ShapeDtypeStruct((G, 3, MresP), f),
                    jax.ShapeDtypeStruct((nA, G), jnp.int32)),
-        in_specs=[vmem] * 36,
+        in_specs=[vmem] * 33,
         out_specs=(vmem,) * 10,
-        input_output_aliases={29: 0, 30: 1, 31: 2, 32: 3, 33: 7, 34: 8},
+        input_output_aliases={26: 0, 27: 1, 28: 2, 29: 3, 30: 7, 31: 8},
         scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -1963,7 +1975,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
       qrow, templ,
       spec.fw_pq_g, spec.fw_eps_g, spec.fw_sig2_g,
       spec.fw_blockmax.reshape(1, NBG),
-      spec.c2_re, spec.c2_im, spec.ex2_sel, spec.ey2_sel,
+      c2zy,
       nmol_in, eng_in,
       states_g.trans_step.astype(f).reshape(1, G),
       states_g.rot_step.astype(f).reshape(1, G),
