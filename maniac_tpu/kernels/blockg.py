@@ -278,7 +278,6 @@ def _blockg_kernel(
 
     E_sum_fl = side_sum_mat(FL, Lmax)
     E_sum_fq = side_sum_mat(FQ, Qmax)
-    E_sum_fk = side_sum_mat(FK, Qmax)
 
     # vectorized guest-chunk constants: the chunk pass builds its (GF, 128)
     # operands with matmuls against these instead of per-replica Python
@@ -992,7 +991,6 @@ def _blockg_kernel(
         ljw = jnp.where(side_fl, gn_l, go_l)                # (1, GFL)
         qw = qpat_q * jnp.where(side_fq, gn_q, go_q)        # (1, GFQ)
         livef = live_fk.astype(f32)
-        qwk = qpat_k * jnp.where(side_fk, gn_k, go_k * livef)
         wkk = qpat_k * (jnp.where(side_fk, gn_k, 0.0)
                         - jnp.where(side_fk, 0.0, go_k * livef))
 
@@ -1363,17 +1361,10 @@ def _blockg_kernel(
             # of the "highest" pin (kernels/common.py dot1h)
             return dot1h(a, b, (((0,), (0,)), ((), ())), split="a")
 
-        # ---- shared phase tables + far field (same as stepg) -------------
+        # ---- shared phase tables (main k-grid; far has its own chain) ----
         if skip_phase:
             # gate the whole phase/structure-factor build: zero tables with
-            # the right shapes for the d-matmul and far sections downstream
-            nxp = max(kx, kx2 if fw_on else 0)
-            nyp = max(ky, ky2 if fw_on else 0)
-            nzp = max(kz, kz2 if fw_on else 0)
-            z1 = jnp.zeros((1, GFK), f32)
-            rex = imx = [z1] * (nxp + 1)
-            rey = imy = [z1] * (nyp + 1)
-            rez = imz = [z1] * (nzp + 1)
+            # the right shapes for the d-matmul section downstream
             pzT_re = jnp.zeros((JzP, GFK), f32)
             pzT_im = jnp.zeros((JzP, GFK), f32)
             t_re_all = jnp.zeros((GFK, JxyP_), f32)
@@ -1388,9 +1379,7 @@ def _blockg_kernel(
             th_all = _th_fma(h2pi_ref, ptk)
         if not skip_phase:
             cA, sA = jnp.cos(th_all), jnp.sin(th_all)
-            nx = max(kx, kx2 if fw_on else 0)
-            ny = max(ky, ky2 if fw_on else 0)
-            nz = max(kz, kz2 if fw_on else 0)
+            nx, ny, nz = kx, ky, kz
             if skip_ktab:
                 rex = [cA[0:1, :]] * (nx + 1)
                 imx = [sA[0:1, :]] * (nx + 1)
@@ -1439,11 +1428,31 @@ def _blockg_kernel(
             # operand (launcher-built from c2_re/c2_im, rows zy =
             # jz*JyB + jy) carries [[Cre|Cim],[Cim|-Cre]] so the single
             # dot yields the per-jx re rows (cols 0:Jx2P) and im rows
-            # (cols Jx2P:) at once; the x phases close the sum as before.
-            py2T_re, py2T_im = _signed_table(rey[:ky2 + 1], imy[:ky2 + 1],
-                                             ky2, pad_to=JyB_)  # (JyB, GFK)
-            pz2T_re, pz2T_im = _signed_table(rez[:kz2 + 1], imz[:kz2 + 1],
-                                             kz2, pad_to=Jz2P)
+            # (cols Jx2P:) at once; the x phases close the sum.
+            # The far chain runs on the FQ-layout footprint (ptq): the
+            # k-space FK layout pads FQ up to a multiple of 8, so the
+            # shared GFK tables carry G*(FK-FQ) dead lanes; a dedicated
+            # power recurrence on (3, GFQ) cuts that padding out of the
+            # U table, the packed dot and the closing x pass (values on
+            # live columns are bit-identical - ptq and ptk read the same
+            # positions through bit-exact selector dots).
+            thq = _th_fma(h2pi_ref, ptq * 0.0 if skip_phase else ptq)
+            cQ, sQ = jnp.cos(thq), jnp.sin(thq)
+            nm2 = max(kx2, ky2, kz2)
+            re3q = [jnp.ones_like(cQ)]
+            im3q = [jnp.zeros_like(sQ)]
+            for _ in range(nm2):
+                re3q.append(re3q[-1] * cQ - im3q[-1] * sQ)
+                im3q.append(re3q[-2] * sQ + im3q[-1] * cQ)
+            reyq = [r[1:2, :] for r in re3q]
+            imyq = [r[1:2, :] for r in im3q]
+            rezq = [r[2:3, :] for r in re3q]
+            imzq = [r[2:3, :] for r in im3q]
+            py2T_re, py2T_im = _signed_table(reyq[:ky2 + 1], imyq[:ky2 + 1],
+                                             ky2, pad_to=JyB_)  # (JyB, GFQ)
+            pz2T_re2, pz2T_im2 = _signed_table(rezq[:kz2 + 1],
+                                               imzq[:kz2 + 1],
+                                               kz2, pad_to=Jz2P)
 
             def dotZ(a, b):
                 # value-x-value contraction: 3-pass bf16 on hardware
@@ -1456,21 +1465,23 @@ def _blockg_kernel(
 
             u1, u2 = [], []
             for jz in range(Jz2P):
-                zr = pz2T_re[jz:jz + 1, :]
-                zi = pz2T_im[jz:jz + 1, :]
+                zr = pz2T_re2[jz:jz + 1, :]
+                zi = pz2T_im2[jz:jz + 1, :]
                 u1.append(zr * py2T_re - zi * py2T_im)
                 u2.append(zr * py2T_im + zi * py2T_re)
-            U = jnp.concatenate(u1 + u2, axis=0)     # (2*Jz2P*JyB, GFK)
-            RB = dotZ(c2zy_ref[:, :], U)             # (2*Jx2P, GFK)
-            xpad = ([jnp.zeros((Jx2P_ - Jx2_, GFK), f32)]
+            U = jnp.concatenate(u1 + u2, axis=0)     # (2*Jz2P*JyB, GFQ)
+            RB = dotZ(c2zy_ref[:, :], U)             # (2*Jx2P, GFQ)
+            xpad = ([jnp.zeros((Jx2P_ - Jx2_, GFQ), f32)]
                     if Jx2P_ > Jx2_ else [])
-            XR = jnp.concatenate(rex[:Jx2_] + xpad, axis=0)  # (Jx2P, GFK)
-            XI = jnp.concatenate(imx[:Jx2_] + xpad, axis=0)
+            XR = jnp.concatenate([r[0:1, :] for r in re3q[:Jx2_]] + xpad,
+                                 axis=0)             # (Jx2P, GFQ)
+            XI = jnp.concatenate([r[0:1, :] for r in im3q[:Jx2_]] + xpad,
+                                 axis=0)
             efar = (jnp.sum(XR * RB[:Jx2P_] + XI * RB[Jx2P_:],
                             axis=0, keepdims=True)
-                    + fw_d0) * qwk                          # (1, GFK)
+                    + fw_d0) * qw                           # (1, GFQ)
         elif fw_on:
-            efar = jnp.zeros((1, GFK), f32)
+            efar = jnp.zeros((1, GFQ), f32)
 
         # ---- reservoir push targets (rows shared by the per-g loop) ------
         if has_res:
@@ -1571,9 +1582,9 @@ def _blockg_kernel(
             e_c0_row = e_c0_row + sumrow(cfw_rows, E_sum_fl[0]) * coulomb_k
             e_c1_row = e_c1_row + sumrow(cfw_rows, E_sum_fl[1]) * coulomb_k
         if fw_on:
-            e_c0_row = e_c0_row + jnp.dot(efar, E_sum_fk[0],
+            e_c0_row = e_c0_row + jnp.dot(efar, E_sum_fq[0],
                                           preferred_element_type=f32)
-            e_c1_row = e_c1_row + jnp.dot(efar, E_sum_fk[1],
+            e_c1_row = e_c1_row + jnp.dot(efar, E_sum_fq[1],
                                           preferred_element_type=f32)
         nf_old = n_old_row.astype(f32)
         nf_new = n_new_row.astype(f32)
