@@ -110,9 +110,13 @@ def main() -> None:
                                fugacity=4000.0)
             else:
                 raise SystemExit(f"unknown MANIAC_BENCH_SYSTEM={system}")
+            # device_put=False: the result is pickled into the setup cache;
+            # committing it to the accelerator first would pull every leaf
+            # back through the relay (measured 280 s for 92 MB)
             sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                                f"{tmp}/parameters.inc", dtype=dtype,
-                               capacity=capacity, reservoir_file=res_file)
+                               capacity=capacity, reservoir_file=res_file,
+                               device_put=False)
         return sysm.spec, sysm.state
 
     # bench builder params above are part of the key (bumped on change);
@@ -122,6 +126,10 @@ def main() -> None:
         f"|fw={sorted(fw_kw.items())}", build)
     t_build = time.perf_counter() - t_setup
     states = replicate(spec, state, replicas)
+    # ONE explicit bulk transfer of the spec tables + replica batch; without
+    # it every block dispatch re-streams the host-resident spec through the
+    # ~400 MB/s relay tunnel alongside the compute
+    spec, states = jax.device_put((spec, states), jax.local_devices()[0])
     t_setup = time.perf_counter() - t_setup
     sys.stderr.write(f"# setup split: build={t_build:.2f}s "
                      f"replicate={t_setup - t_build:.2f}s\n")

@@ -36,7 +36,8 @@ def load_system(input_file: str, data_file: str, params_file: str,
                 dtype=jnp.float64,
                 logger: Logger | None = None,
                 compute_initial_energy: bool = True,
-                seed: int | None = None) -> LoadedSystem:
+                seed: int | None = None,
+                device_put: bool = True) -> LoadedSystem:
     logger = logger or default_logger()
 
     deck = parse_deck(input_file, logger)
@@ -71,9 +72,12 @@ def load_system(input_file: str, data_file: str, params_file: str,
                                            capacity=capacity, dtype=dtype)
         if compute_initial_energy:
             state = initialize_state(spec, state)
-    if setup_device() is not None:
+    if device_put and setup_device() is not None:
         # one bulk host->device transfer now, instead of re-sending the
-        # CPU-resident spec tables with every block dispatch. Multi-host:
+        # CPU-resident spec tables with every block dispatch. Callers that
+        # immediately pickle/cache the result pass device_put=False: pulling
+        # the committed tree BACK off the accelerator costs per-leaf relay
+        # round-trips (measured 280 s for a 92 MB spec+state). Multi-host:
         # target a LOCAL device (jax.devices() is the global list, so
         # process_id > 0 would address a device it cannot reach); and when
         # shard_replicas_global will place shards anyway, skip the put.

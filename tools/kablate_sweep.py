@@ -38,7 +38,8 @@ def main():
     # replicate() is host-side (numpy views); commit the batch to the
     # device ONCE so repeated timing dispatches from the same input
     # don't re-pay a ~120 MB relay transfer per call
-    states = jax.device_put(states, jax.local_devices()[0])
+    spec, states = jax.device_put((spec, states),
+                                  jax.local_devices()[0])
     print(f"# B={B} S={spec.S} K={spec.K} kmax={spec.kmax_xyz} "
           f"dev={jax.devices()[0]}", flush=True)
 

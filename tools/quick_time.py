@@ -73,7 +73,8 @@ def main():
                 raise SystemExit(f"unknown PROF_SYSTEM={system}")
             sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                                f"{tmp}/parameters.inc", dtype=jnp.float32,
-                               capacity=cap, reservoir_file=res_file)
+                               capacity=cap, reservoir_file=res_file,
+                               device_put=False)
         return sysm.spec, sysm.state
 
     spec, state = cached_spec_state(
@@ -82,7 +83,8 @@ def main():
     # replicate() is host-side (numpy views); commit the batch to the
     # device ONCE so repeated timing dispatches from the same input
     # don't re-pay a ~120 MB relay transfer per call
-    states = jax.device_put(states, jax.local_devices()[0])
+    spec, states = jax.device_put((spec, states),
+                                  jax.local_devices()[0])
     print(f"# B={B} S={spec.S} K={spec.K} kmax={spec.kmax_xyz} "
           f"dev={jax.devices()[0]}")
 

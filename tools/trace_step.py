@@ -29,7 +29,7 @@ def main():
             make_zif_like(tmp, n_cells=6, a=5.66, n_water=32, fugacity=30.0)
             sysm = load_system(f"{tmp}/input.maniac", f"{tmp}/topology.data",
                                f"{tmp}/parameters.inc", dtype=jnp.float32,
-                               capacity=cap)
+                               capacity=cap, device_put=False)
         return sysm.spec, sysm.state
 
     spec, state = cached_spec_state(f"zif6-v1|cap={cap}|dtype=f32", build)
@@ -37,7 +37,8 @@ def main():
     # replicate() is host-side (numpy views); commit the batch to the
     # device ONCE so repeated timing dispatches from the same input
     # don't re-pay a ~120 MB relay transfer per call
-    states = jax.device_put(states, jax.local_devices()[0])
+    spec, states = jax.device_put((spec, states),
+                                  jax.local_devices()[0])
 
     red = jax.jit(lambda l: jnp.sum(l.reshape(-1)[:8]))
 
