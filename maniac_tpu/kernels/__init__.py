@@ -99,7 +99,10 @@ def blockg_group_size(spec) -> int:
     env = os.environ.get("MANIAC_GROUP", "")
     if env:
         return int(env)
-    g = 32 if (spec.n_active > 1 or spec.has_reservoir) else 64
+    # multi-species starts at 64 since the round-5 generalized fw staging
+    # (measured on the mixed bench: G=32 0.855 ms/step, G=64 0.791);
+    # reservoir programs keep 32 (per-replica reservoir state dominates)
+    g = 32 if spec.has_reservoir else 64
     JzP, JxyP = spec.amp_shape
     gb = spec.guest_base if spec.fw_split else 0
     # per-replica VMEM: pos in/out, amps in/out, COMs, footprint one-hot

@@ -129,6 +129,11 @@ def _blockg_kernel(
         kmerge: bool = False, onewin: bool = False, tricl: bool = False,
         ggr2: float = 0.0, vv3: bool = False, ablate: str = ""):
     f32 = jnp.float32
+    # exact-token ablation gates: substring tests silently compounded
+    # ("fw" in "fwmath" is True, so MANIAC_KABLATE=fwmath removed the
+    # WHOLE fw section - every pre-r5 'fwmath' attribution was really
+    # the full fw cost)
+    ablate = frozenset(t for t in ablate.split(",") if t)
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
     skip_far = "far" in ablate
@@ -432,18 +437,16 @@ def _blockg_kernel(
                      % G)).astype(f32)
 
     # per-active-pair static row-selection patterns: with the per-step
-    # replica gating folded in (E_dyn in step_body), the multi-species
+    # replica gating folded in (E_dyn_fm in step_body), the multi-species
     # guest-chunk LJ tables become ONE (GFL, nA*nA*8) x (nA*nA*8, 128)
     # matmul per chunk instead of per-replica gated slices
     if nA > 1:
         P8 = nA * nA * 8
         rr8 = jax.lax.broadcasted_iota(jnp.int32, (GFL, P8), 0)
         cc8 = jax.lax.broadcasted_iota(jnp.int32, (GFL, P8), 1)
-        E_pid_stat = [(cc8 == p * 8 + rr8 % FL).astype(f32)
-                      for p in range(nA * nA)]
-        # f-major variant (row f*G + g) for the guest pass: atom f's
-        # (G, 128) eps/sig2 block is then a CONTIGUOUS sublane slice of
-        # the per-chunk selection matmul's output
+        # f-major (row f*G + g) selection patterns for the guest pass:
+        # atom f's (G, 128) eps/sig2 block is then a CONTIGUOUS sublane
+        # slice of the per-chunk selection matmul's output
         E_pid_fm = [(cc8 == p * 8 + rr8 // G).astype(f32)
                     for p in range(nA * nA)]
         rgf = jax.lax.broadcasted_iota(jnp.int32, (G, GFL), 0)
@@ -461,10 +464,17 @@ def _blockg_kernel(
             (ib1_ == ib2_).astype(f32), fwbm_ref[0:1, :],
             (((1,), (1,)), ((), ())), preferred_element_type=f32)  # (NBG, 1)
         ones_nb = jnp.ones((1, NBG), f32)
-    fw_fast = fw_on and nA == 1 and Lmax == 1
-    if fw_fast:
-        # single-store staging constants: scratch rows are (g, side) pairs
-        # gs = 2g + side.
+    # single-store staged fw regime (ALL fw systems; fw_split is
+    # orthorhombic-only so fw never coexists with tricl): scratch rows are
+    # (g, side) pairs gs = 2g + side. fw_ride marks the extra-specialized
+    # nA==1 && Lmax==1 sub-regime where the staged eps/sig2 planes need no
+    # per-replica species blending and the LJ pass can ride the LJ atom's
+    # Coulomb iteration. The pre-r5 general path (per-(g, side) value
+    # broadcasts into 9 scratch tables + per-(g, side) E_dyn row-selection
+    # matmuls) measured 0.573 ms/step of the 1.213 ms mixed step and was
+    # deleted in favor of this staging for every (nA, Lmax).
+    fw_ride = fw_on and nA == 1 and Lmax == 1
+    if fw_on:
         # per-atom operand selector: footprint row g*FQ + side*Qmax + j
         # -> col j*2G + 2g + side. ONE (4, GFQ) x (GFQ, Qmax*2G) matmul
         # yields every atom's x/y/z/qw in the scratch (g, side) layout, so
@@ -474,6 +484,18 @@ def _blockg_kernel(
         cfc_ = jax.lax.broadcasted_iota(jnp.int32, (GFQ, Qmax * 2 * G), 1)
         E_fwJ = (cfc_ == (rfc_ % Qmax) * 2 * G + 2 * (rfc_ // FQ)
                  + (rfc_ % FQ) // Qmax).astype(f32)
+        # (g, side) -> per-replica side-sum / species-selection matrices
+        # (row 2g + side): E_gs[0] sums (or selects) the old side, E_gs[1]
+        # the new side. At Lmax == 1 E_gs == E_sum_fl exactly.
+        E_gs = side_sum_mat(2, 1)
+    if fw_on and not fw_ride:
+        # LJ-atom companion of E_fwJ: footprint row g*FL + side*Lmax + j
+        # -> col j*2G + 2g + side (one matmul stages every LJ atom's
+        # x/y/z/weight in the scratch (g, side) layout)
+        rfl_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, Lmax * 2 * G), 0)
+        cfl_ = jax.lax.broadcasted_iota(jnp.int32, (GFL, Lmax * 2 * G), 1)
+        E_fwL = (cfl_ == (rfl_ % Lmax) * 2 * G + 2 * (rfl_ // FL)
+                 + (rfl_ % FL) // Lmax).astype(f32)
     if fw_on:
         # far-grid static dims (see the zy-packed far contraction)
         Jy2_ = 2 * ky2 + 1
@@ -485,8 +507,8 @@ def _blockg_kernel(
     # a (G*JzP, G) block-sum matrix and a G-tiled copy of the k weights
     # turn 64 per-replica (JzP, JxyP) reductions + amp commits into one
     # big elementwise pass + two small matmuls
-    onewin = onewin and fw_fast
-    nfw_scr = 0 if not fw_on else ((1 if onewin else 2) if fw_fast else 9)
+    onewin = onewin and fw_on
+    nfw_scr = 0 if not fw_on else (1 if onewin else 2)
     dscr = scratch_refs[nfw_scr] if kmerge else None
     if kmerge:
         GJz = G * JzP
@@ -549,20 +571,13 @@ def _blockg_kernel(
             i_old = i1
             i_new = jnp.where(is_swap, i2, i1)
             pid_row = i_old * nA + i_new                    # LJ table block
-            # per-step dynamic row-selection matrices (see E_pid_stat):
-            # f-major for the guest pass; g-major only for the fw slow
-            # path's per-(g, side) scratch staging
+            # per-step dynamic f-major row-selection matrix for the guest
+            # pass (see E_pid_fm)
             E_dyn_fm = jnp.zeros((GFL, nA * nA * 8), f32)
             for p in range(nA * nA):
                 mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl_fm,
                                preferred_element_type=f32)  # (1, GFL)
                 E_dyn_fm = E_dyn_fm + E_pid_fm[p] * mrow[0, :][:, None]
-            if fw_on:
-                E_dyn = jnp.zeros((GFL, nA * nA * 8), f32)
-                for p in range(nA * nA):
-                    mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl,
-                                   preferred_element_type=f32)
-                    E_dyn = E_dyn + E_pid_stat[p] * mrow[0, :][:, None]
         else:
             i_old = i_new = None
 
@@ -1226,22 +1241,18 @@ def _blockg_kernel(
         g_lj1_row = sumrow_fm(gacc[0], E_sum_fl_fm[1])
         g_c0_row = sumrow_fm(gacc[1], E_sum_fq_fm[0])
         g_c1_row = sumrow_fm(gacc[1], E_sum_fq_fm[1])
-        # fw window passes accumulate into fresh footprint-row carriers
-        lj_rows = jnp.zeros((GFL, 1), f32)
-        c_rows = jnp.zeros((GFQ, 1), f32)
+        # fw window passes accumulate into (2G, 1) (g, side)-row carriers
+        ljfw_rows = jnp.zeros((2 * G, 1), f32)
+        cfw_rows = jnp.zeros((2 * G, 1), f32)
 
         # ---- fw window passes --------------------------------------------
         # Operand assembly goes through VMEM scratch written by direct row
-        # stores at STATIC offsets (one store per operand per (g, side))
-        # instead of per-(g, side) value lists + big concats: the pass is
-        # VMEM-traffic bound (docs/performance.md) and the concat path
-        # materialized every operand twice. Values are bit-identical.
-        if fw_on and not skip_fw and fw_fast:
-            # fast staging (nA==1, Lmax==1): ONE slice + ONE strided store
-            # per (g, side) from the stacked x/y/z/q/eps/sig2 table; the
-            # row layout (g, side) == the LJ footprint layout at Lmax==1,
-            # so the LJ pass reads the scratch planes directly, and the
-            # C-pass (g, side, j) operands expand via one matmul per plane
+        # stores at STATIC offsets: ONE slice + ONE strided store per
+        # (g, side) from the stacked x/y/z/q + per-(species, atom) eps/sig2
+        # table (fwcomb). The pass is VMEM-traffic bound
+        # (docs/performance.md) and the per-(g, side) value-broadcast path
+        # this replaced materialized every operand nA*nA*8-rows wide twice.
+        if fw_on and not skip_fw:
             sfc = scratch_refs[0]
             scc = sfc if onewin else scratch_refs[1]
             if not skip_stage:
@@ -1249,34 +1260,75 @@ def _blockg_kernel(
                     for side, st in ((0, stL0), (1, stL1)):
                         sfc[:, 2 * g + side, :] = fwcomb_ref[
                             :, _ds128(st[0, g] * 128, WL)]
-            # nA==1 + Lmax==1: the LJ atom's (g, side) footprint layout
-            # (g*FL + side at FL=2) coincides with the staged scratch rows
-            # (2g + side), and with onewin the LJ window IS the C window -
-            # so when the LJ atom also carries charge the LJ pass rides
-            # that atom's C iteration and reuses its r2 plane (bit-exact:
-            # both operand paths are one-hot extractions of the same
-            # footprint values). j_lj == -1 keeps the standalone pass.
+            # nA==1 + Lmax==1 (fw_ride): the LJ atom's (g, side) footprint
+            # layout (g*FL + side at FL=2) coincides with the staged
+            # scratch rows (2g + side), and with onewin the LJ window IS
+            # the C window - so when the LJ atom also carries charge the
+            # LJ pass rides that atom's C iteration and reuses its r2
+            # plane (bit-exact: both operand paths are one-hot extractions
+            # of the same footprint values). j_lj == -1 keeps the
+            # standalone pass.
             j_lj = (q_atoms_ts[0].index(lj_atoms_ts[0][0])
-                    if (onewin and lj_atoms_ts[0][0] in q_atoms_ts[0])
+                    if (fw_ride and onewin
+                        and lj_atoms_ts[0][0] in q_atoms_ts[0])
                     else -1)
 
-            def fw_lj_accum(r2f, lj_rows):
-                # nA==1: old and new side share the species, so the eps/
-                # sig2 table rows are side-independent - ONE staged plane
-                # each (the two-sided layout staged duplicate planes and
-                # selected between them per element)
-                epsf = sfc[4]                               # (2G, WL)
-                sig2f = sfc[5]
+            if nA > 1:
+                # (2G, 1) species ordinal per (g, side) row: row 2g+side
+                # carries i_old[g] (side 0) / i_new[g] (side 1). E_gs is
+                # 0/1 and the ordinals are small ints - exact at DEFAULT.
+                sp_col = (jnp.dot(E_gs[0], col_of(i_old.astype(f32)),
+                                  preferred_element_type=f32,
+                                  precision=jax.lax.Precision.DEFAULT)
+                          + jnp.dot(E_gs[1], col_of(i_new.astype(f32)),
+                                    preferred_element_type=f32,
+                                    precision=jax.lax.Precision.DEFAULT))
+
+            def eps_planes(j):
+                # staged eps/sig2 planes of LJ atom j: direct rows at
+                # nA==1, per-replica species blend (row-wise gates on the
+                # nA staged candidates) otherwise
+                if nA == 1:
+                    return sfc[4 + j], sfc[4 + Lmax + j]
+                e = s = None
+                for t2 in range(nA):
+                    m_t = (sp_col == float(t2)).astype(f32)  # (2G, 1)
+                    et = m_t * sfc[4 + t2 * Lmax + j]
+                    st2 = m_t * sfc[4 + nA * Lmax + t2 * Lmax + j]
+                    e = et if e is None else e + et
+                    s = st2 if s is None else s + st2
+                return e, s
+
+            def fw_lj_accum(r2f, rows):
+                # fw_ride regime: one staged plane each, weight gate from
+                # the (1, GFL==2G) footprint weight row directly
+                epsf, sig2f = eps_planes(0)                 # (2G, WL)
                 sr2f = sig2f / r2f
                 sr6f = sr2f * sr2f * sr2f
                 ljf = 4.0 * epsf * (sr6f * sr6f - sr6f)
                 self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
-                return lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
-                                         axis=1, keepdims=True)
+                return rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
+                                      axis=1, keepdims=True)
 
-            if not skip_fwmath and j_lj < 0:
+            if not skip_fwmath and fw_ride and j_lj < 0:
                 r2f = pair_r2(ptlj, sfc[0], sfc[1], sfc[2], fw_imask)
-                lj_rows = fw_lj_accum(r2f, lj_rows)
+                ljfw_rows = fw_lj_accum(r2f, ljfw_rows)
+            if not skip_fwmath and not fw_ride:
+                # general LJ pass: loop LJ atoms over the staged window
+                # planes (per-atom x/y/z/weight staged by ONE matmul)
+                plw_j = dot1h(jnp.concatenate([ptlj, ljw], 0), E_fwL,
+                              split="a")                    # (4, Lmax*2G)
+                for j in range(Lmax):
+                    blkj = plw_j[:, j * 2 * G:(j + 1) * 2 * G]
+                    r2j = pair_r2(blkj[0:3], sfc[0], sfc[1], sfc[2],
+                                  fw_imask)
+                    epsj, sig2j = eps_planes(j)
+                    sr2j = sig2j / r2j
+                    sr6j = sr2j * sr2j * sr2j
+                    ljfj = 4.0 * epsj * (sr6j * sr6j - sr6j)
+                    selj = (r2j < rc2) & (blkj[3, :][:, None] > 0.0)
+                    ljfw_rows = ljfw_rows + jnp.sum(
+                        jnp.where(selj, ljfj, 0.0), axis=1, keepdims=True)
             if not onewin:
                 # distinct Coulomb window: stage its x/y/z/q separately
                 for g in range(G):
@@ -1294,66 +1346,10 @@ def _blockg_kernel(
                          * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
                 cfw_acc = cfw_acc + jnp.where(r2c < rc2sq2, coulf, 0.0)
                 if j == j_lj:
-                    lj_rows = fw_lj_accum(r2c, lj_rows)
+                    ljfw_rows = fw_lj_accum(r2c, ljfw_rows)
             # (2G, 1) fw C accumulator: rows are (g, side) pairs, summed
-            # into e_c rows with the Lmax==1 side matrix (E_sum_fl)
+            # into e_c rows with the (g, side) side matrix E_gs
             cfw_rows = jnp.sum(cfw_acc, axis=1, keepdims=True)
-        elif fw_on and not skip_fw:
-            sfx, sfy, sfz, sfe, sfs, scx, scy, scz, scq = scratch_refs[:9]
-            for g in range(G):
-                for side, st in ((0, stL0), (1, stL1)):
-                    c0 = st[0, g] * 128
-                    r0 = g * FL + side * Lmax
-                    blk = fwpq_ref[:, _ds128(c0, WL)]
-                    sfx[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[0:1, :],
-                                                            (Lmax, WL))
-                    sfy[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[1:2, :],
-                                                            (Lmax, WL))
-                    sfz[r0:r0 + Lmax, :] = jnp.broadcast_to(blk[2:3, :],
-                                                            (Lmax, WL))
-                    if nA == 1:
-                        sfe[r0:r0 + Lmax, :] = fweps_ref[
-                            side * Lmax:(side + 1) * Lmax, _ds128(c0, WL)]
-                        sfs[r0:r0 + Lmax, :] = fwsig2_ref[
-                            side * Lmax:(side + 1) * Lmax, _ds128(c0, WL)]
-                    else:
-                        # row-selection matmul per (g, side): E_dyn rows
-                        # g*FL + side*Lmax + j map to table row
-                        # pid_g*8 + side*Lmax + j
-                        Eg_rows = E_dyn[r0:r0 + Lmax, :]
-                        sfe[r0:r0 + Lmax, :] = jnp.dot(
-                            Eg_rows, fweps_ref[:, _ds128(c0, WL)],
-                            preferred_element_type=f32)
-                        sfs[r0:r0 + Lmax, :] = jnp.dot(
-                            Eg_rows, fwsig2_ref[:, _ds128(c0, WL)],
-                            preferred_element_type=f32)
-            r2f = pair_r2(ptlj, sfx[:, :], sfy[:, :], sfz[:, :], fw_imask)
-            sr2f = sfs[:, :] / r2f
-            sr6f = sr2f * sr2f * sr2f
-            ljf = 4.0 * sfe[:, :] * (sr6f * sr6f - sr6f)
-            self_f = (r2f < rc2) & (ljw[0, :][:, None] > 0.0)
-            lj_rows = lj_rows + jnp.sum(jnp.where(self_f, ljf, 0.0),
-                                        axis=1, keepdims=True)
-
-            for g in range(G):
-                for side, st in ((0, stC0), (1, stC1)):
-                    c0 = st[0, g] * 128
-                    r0 = g * FQ + side * Qmax
-                    blk = fwpq_ref[:, _ds128(c0, WC)]
-                    scx[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[0:1, :],
-                                                            (Qmax, WC))
-                    scy[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[1:2, :],
-                                                            (Qmax, WC))
-                    scz[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[2:3, :],
-                                                            (Qmax, WC))
-                    scq[r0:r0 + Qmax, :] = jnp.broadcast_to(blk[3:4, :],
-                                                            (Qmax, WC))
-            r2c = pair_r2(ptq, scx[:, :], scy[:, :], scz[:, :], fw_imask)
-            inv_rc = jax.lax.rsqrt(r2c)
-            coulf = (qw[0, :][:, None] * scq[:, :]
-                     * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
-            c_rows = c_rows + jnp.sum(jnp.where(r2c < rc2sq2, coulf, 0.0),
-                                      axis=1, keepdims=True)
 
         def dotT(a, b):
             # phase-power -> k-grid expansion: b is a 0/1 SELECTOR, so
@@ -1573,14 +1569,13 @@ def _blockg_kernel(
         e_c0_row = g_c0_row * coulomb_k
         e_c1_row = g_c1_row * coulomb_k
         if fw_on:
-            e_lj0_row = e_lj0_row + sumrow(lj_rows, E_sum_fl[0])
-            e_lj1_row = e_lj1_row + sumrow(lj_rows, E_sum_fl[1])
-            e_c0_row = e_c0_row + sumrow(c_rows, E_sum_fq[0]) * coulomb_k
-            e_c1_row = e_c1_row + sumrow(c_rows, E_sum_fq[1]) * coulomb_k
-        if fw_on and not skip_fw and fw_fast:
-            # fast-path fw C contribution lives in (g, side) rows
-            e_c0_row = e_c0_row + sumrow(cfw_rows, E_sum_fl[0]) * coulomb_k
-            e_c1_row = e_c1_row + sumrow(cfw_rows, E_sum_fl[1]) * coulomb_k
+            # fw LJ/C contributions live in (g, side) rows (2G, 1); E_gs
+            # == E_sum_fl at Lmax == 1 (the pre-r5 layout) so the flagship
+            # sums are bit-identical
+            e_lj0_row = e_lj0_row + sumrow(ljfw_rows, E_gs[0])
+            e_lj1_row = e_lj1_row + sumrow(ljfw_rows, E_gs[1])
+            e_c0_row = e_c0_row + sumrow(cfw_rows, E_gs[0]) * coulomb_k
+            e_c1_row = e_c1_row + sumrow(cfw_rows, E_gs[1]) * coulomb_k
         if fw_on:
             e_c0_row = e_c0_row + jnp.dot(efar, E_sum_fq[0],
                                           preferred_element_type=f32)
@@ -1933,24 +1928,23 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
-    fw_fast = spec.fw_split and nA == 1 and spec.Lmax == 1
-    if fw_fast:
-        # nA==1: side-0 and side-1 LJ table rows are the same species, so
-        # stage eps/sig2 once (6 rows, not 4+2*FL duplicated planes)
-        fwcomb = jnp.concatenate(
-            [spec.fw_pq_g, spec.fw_eps_g[:spec.Lmax],
-             spec.fw_sig2_g[:spec.Lmax]], axis=0)          # (6, SG)
-        scratch_shapes = [pltpu.VMEM((4 + 2 * spec.Lmax, 2 * G, spec.fw_WL),
-                                     f)]
+    if spec.fw_split:
+        # staged-table rows: x/y/z/q + per-(species, LJ atom) eps/sig2.
+        # The eps/sig2 row for (species t, atom j) vs a framework site
+        # depends only on (t, j) - the DIAGONAL pid block (t*nA+t)*8 of
+        # the nA*nA*8-row grouped table carries it at side 0 (rows
+        # (t*nA+t)*8 + j); the kernel blends the nA staged candidate
+        # planes per (g, side) row instead of selecting rows per replica.
+        eps_rows = [spec.fw_eps_g[(t * nA + t) * 8:(t * nA + t) * 8
+                                  + spec.Lmax] for t in range(nA)]
+        sig_rows = [spec.fw_sig2_g[(t * nA + t) * 8:(t * nA + t) * 8
+                                   + spec.Lmax] for t in range(nA)]
+        fwcomb = jnp.concatenate([spec.fw_pq_g] + eps_rows + sig_rows,
+                                 axis=0)       # (4 + 2*nA*Lmax, SG)
+        scratch_shapes = [pltpu.VMEM(
+            (4 + 2 * nA * spec.Lmax, 2 * G, spec.fw_WL), f)]
         if not getattr(spec, "fw_onewin", False):
             scratch_shapes.append(pltpu.VMEM((4, 2 * G, spec.fw_WC), f))
-    elif spec.fw_split:
-        fwcomb = jnp.zeros((1, 128), f)
-        GFL_h = G * 2 * spec.Lmax
-        GFQ_h = G * 2 * spec.Qmax
-        scratch_shapes = (
-            [pltpu.VMEM((GFL_h, spec.fw_WL), f)] * 5
-            + [pltpu.VMEM((GFQ_h, spec.fw_WC), f)] * 4)
     else:
         fwcomb = jnp.zeros((1, 128), f)
         scratch_shapes = []

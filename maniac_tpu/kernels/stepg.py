@@ -109,6 +109,9 @@ def _stepg_kernel(
                                const_ref[0, 10])
     alpha2, rc2sq2, fw_d0 = (const_ref[0, 11], const_ref[0, 12],
                              const_ref[0, 13])
+    # exact-token gates ("fw" in "fwmath" is True as a substring test;
+    # see blockg.py)
+    ablate = frozenset(t for t in ablate.split(",") if t)
     skip_guest = "guest" in ablate
     skip_fw = "fw" in ablate
     skip_far = "far" in ablate
