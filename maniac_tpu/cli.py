@@ -52,6 +52,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "the plain XLA path on-device and cross-check the "
                         "kernel path's decisions/positions/energies "
                         "(hardware parity sentinel)")
+    p.add_argument("--isotherm", default=None, metavar="F1,F2,...",
+                   help="adsorption-isotherm sweep: run every listed "
+                        "fugacity (atm, applied to each active species "
+                        "scaled from its deck fugacity) as parallel state "
+                        "points in ONE compiled program, --replicas chains "
+                        "per point -> isotherm_<RES>.dat series + "
+                        "isotherm.dat summary (the reference needs one "
+                        "full run per fugacity, run.sh)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--checkpoint", default=None,
                    help="write a full checkpoint (.npz) every block")
@@ -134,6 +142,9 @@ def _run(args, outdir: str, logger, dtype) -> int:
     state = sysm.state
     from .kernels import dispatch_report
     logger.log(dispatch_report(spec))
+
+    if args.isotherm:
+        return _run_isotherm(args, outdir, logger, sysm, t0)
 
     start_block = 0
     if args.resume:
@@ -295,6 +306,82 @@ def _run(args, outdir: str, logger, dtype) -> int:
         logger.log(f"  throughput: {rate:,.0f} MC steps/s "
                    f"({total_steps:,} steps in {elapsed:.2f} s)")
     writer.final_report(snap, deck.nb_block)
+    return 0
+
+
+def _run_isotherm(args, outdir: str, logger, sysm, t0: float) -> int:
+    """Adsorption-isotherm sweep: every listed fugacity is a batch of
+    replica chains with its own per-replica activity (one compiled program
+    for the whole isotherm, parallel/replicas.run_block_sweep). The
+    reference produces an isotherm by one full serial run per fugacity
+    (run.sh:4-96); this is the TPU-native batched equivalent."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .io.writers import OutputWriter
+    from .parallel.replicas import (perturb_activity, replicate,
+                                    run_block_sweep)
+
+    deck, spec, state = sysm.deck, sysm.spec, sysm.state
+    try:
+        fugs = [float(t) for t in args.isotherm.split(",") if t]
+    except ValueError:
+        logger.abort(f"--isotherm expects comma-separated fugacities "
+                     f"(atm), got: {args.isotherm}", 1)
+    if not fugs or any(f <= 0 for f in fugs):
+        logger.abort("--isotherm fugacities must be positive", 1)
+    act_ids = [r for r, res in enumerate(deck.residues) if res.active]
+    act_names = [deck.residues[r].name for r in act_ids]
+    if not act_ids:
+        logger.abort("--isotherm needs at least one active species", 1)
+
+    reps = max(1, args.replicas)
+    npts = len(fugs)
+    B = npts * reps
+    # per-point activities: scale each active species' deck-derived
+    # activity by f_point / f_deck (activity is proportional to fugacity)
+    base = np.asarray(spec.type_activity, dtype=np.float64)
+    acts = np.broadcast_to(base, (B, base.shape[0])).copy()
+    for i, f_ in enumerate(fugs):
+        for r in act_ids:
+            scale = f_ / deck.residues[r].fugacity
+            acts[i * reps:(i + 1) * reps, r] = base[r] * scale
+    spec_sweep = perturb_activity(spec, jnp.asarray(acts, dtype=spec.dtype))
+    states = replicate(spec, state, B)
+
+    writer = OutputWriter(outdir, deck, sysm.parsed, logger)
+    logger.banner("Started Monte Carlo Loop (isotherm sweep)",
+                  f"{npts} fugacity points x {reps} replicas = {B} chains")
+    f32 = spec.dtype == np.float32
+    half = deck.nb_block // 2
+    prod_n = []                       # per-block (npts, n_active) means
+    for block in range(1, deck.nb_block + 1):
+        states = run_block_sweep(spec_sweep, states, deck.nb_step,
+                                 deck.recalibrate_moves, f32)
+        n = np.asarray(states.n_mol)[:, act_ids].reshape(npts, reps,
+                                                         len(act_ids))
+        mean_n = n.mean(axis=1)       # (npts, n_active)
+        writer.write_isotherm(block, act_names, fugs, mean_n)
+        if block > half:
+            prod_n.append(n)
+        logger.log("  block {:5d}: ".format(block) + "  ".join(
+            f"{name}@{f_:g}atm <N>={mean_n[i, j]:.2f}"
+            for j, name in enumerate(act_names)
+            for i, f_ in enumerate(fugs)))
+    prod = np.concatenate(prod_n, axis=1)  # (npts, blocks*reps, n_active)
+    writer.write_isotherm_summary(act_names, fugs, prod.mean(axis=1),
+                                  prod.std(axis=1))
+    logger.banner("Isotherm summary (production half)")
+    for j, name in enumerate(act_names):
+        for i, f_ in enumerate(fugs):
+            logger.log(f"  {name} @ {f_:g} atm: <N> = "
+                       f"{prod[i, :, j].mean():.3f} "
+                       f"+- {prod[i, :, j].std():.3f}")
+    elapsed = time.time() - t0
+    total = deck.nb_block * deck.nb_step * B
+    logger.log(f"  throughput: {total / max(elapsed, 1e-9):,.0f} MC steps/s "
+               f"({total:,} steps in {elapsed:.2f} s)")
+    logger.banner("Simulation Completed")
     return 0
 
 

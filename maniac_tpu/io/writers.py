@@ -225,6 +225,36 @@ class OutputWriter:
             row += f" {float(mean_e):15.4f} {float(std_e):13.4f}"
             f.write(row + "\n")
 
+    # --- isotherm sweep (TPU-native extension; the reference needs one
+    # full run per fugacity, run.sh:4-96 - here one compiled program
+    # carries every state point as a replica batch) ---------------------------
+    def write_isotherm(self, block: int, names, fugacities, mean_n) -> None:
+        """Append one row per active species to isotherm_<RES>.dat: the
+        block's mean occupancy at each swept fugacity (columns follow the
+        header's fugacity order; each point averages its replica chains)."""
+        for j, name in enumerate(names):
+            path = os.path.join(self.outdir, f"isotherm_{name}.dat")
+            first = block <= 1 or not os.path.exists(path)
+            with open(path, "w" if first else "a") as f:
+                if first:
+                    cols = "".join(f" {f_:14.6g}" for f_ in fugacities)
+                    f.write(f"# fugacity [atm]:{cols}\n")
+                    f.write("#    block    <N> per fugacity column\n")
+                f.write(f"{block:10d}" + "".join(
+                    f" {float(v):14.5f}" for v in mean_n[:, j]) + "\n")
+
+    def write_isotherm_summary(self, names, fugacities, mean_n,
+                               std_n) -> None:
+        """Write isotherm.dat: per (species, fugacity) the production-half
+        mean +- std occupancy - the adsorption isotherm itself."""
+        path = os.path.join(self.outdir, "isotherm.dat")
+        with open(path, "w") as f:
+            f.write("# species    fugacity[atm]          <N>        std(N)\n")
+            for j, name in enumerate(names):
+                for i, f_ in enumerate(fugacities):
+                    f.write(f"{name:>9s} {f_:16.6g} {mean_n[i, j]:12.5f} "
+                            f"{std_n[i, j]:12.5f}\n")
+
     # --- density profile (TPU-native extension; no reference analog) --------
     def write_profile(self, snap: HostSnapshot, block: int, bins: int,
                       axis: str) -> None:

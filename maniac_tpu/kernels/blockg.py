@@ -51,6 +51,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
 from .common import _erfc, _signed_table, dot1h, dot3
 
+
+def _kdiag_env(interpret: bool) -> bool:
+    """Opt-in merged block-diagonal d contraction (MANIAC_KDIAG=1, or
+    'force' in interpret mode). MEASURED NON-LEVER on v5e: 1.176 vs 0.709
+    ms/step on the flagship - the G-tiled masked (GJz, 2GFK) operand costs
+    more VPU traffic than the per-g small-matmul storm it removes (the d
+    section alone is only ~0.02 ms, kstruct-minus-phase ablation). Kept as
+    an A/B switch; bit-identical to the per-g path (zero terms are exact)."""
+    import os
+    v = os.environ.get("MANIAC_KDIAG", "0")
+    return v == "force" or (not interpret and v == "1")
+
 _R2_FLOOR = 1e-18
 
 
@@ -127,7 +139,8 @@ def _blockg_kernel(
         nA: int, A_ts: tuple, aids: tuple, has_res: bool,
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
         kmerge: bool = False, onewin: bool = False, tricl: bool = False,
-        ggr2: float = 0.0, vv3: bool = False, ablate: str = ""):
+        ggr2: float = 0.0, vv3: bool = False, kdiag: bool = False,
+        ablate: str = ""):
     f32 = jnp.float32
     # exact-token ablation gates: substring tests silently compounded
     # ("fw" in "fwmath" is True, so MANIAC_KABLATE=fwmath removed the
@@ -509,13 +522,24 @@ def _blockg_kernel(
     # big elementwise pass + two small matmuls
     onewin = onewin and fw_on
     nfw_scr = 0 if not fw_on else (1 if onewin else 2)
-    dscr = scratch_refs[nfw_scr] if kmerge else None
+    kdiag = kdiag and kmerge
+    dscr = scratch_refs[nfw_scr] if (kmerge and not kdiag) else None
     if kmerge:
         GJz = G * JzP
         rz = jax.lax.broadcasted_iota(jnp.int32, (GJz, G), 0)
         cz = jax.lax.broadcasted_iota(jnp.int32, (GJz, G), 1)
         E_kz = (rz // JzP == cz).astype(f32)
         kw_tiled = jnp.concatenate([kw_ref[:, :]] * G, axis=0)  # (GJz, JxyP)
+    # merged block-diagonal d contraction: ONE (GJz, 2GFK) x (2GFK, 2JxyP)
+    # dot replaces the G-iteration storm of small (JzP, 2FK) matmuls +
+    # scratch stores. The block-diag operand is a G-tiled [pzT_re | pzT_im]
+    # value under a static mask (zero terms are exact, so per-output sums
+    # carry the same nonzero products). OPT-IN (see _kdiag_env): measured
+    # SLOWER than the per-g loop on v5e.
+    if kdiag:
+        ud = jax.lax.broadcasted_iota(jnp.int32, (GJz, 2 * GFK), 0)
+        vd = jax.lax.broadcasted_iota(jnp.int32, (GJz, 2 * GFK), 1)
+        bd_mask = ((vd % GFK) // FK == ud // JzP).astype(f32)
 
     # copy initial state into the aliased outputs / running rows
     pos_out[...] = pos_ref[...]
@@ -1523,13 +1547,27 @@ def _blockg_kernel(
             AR = jnp.reshape(amp_re_out[...], (GJz, JxyP_))
             AI = jnp.reshape(amp_im_out[...], (GJz, JxyP_))
         elif kmerge:
-            # per-g: ONE small matmul stored straight into the (GJz, 2JxyP)
-            # scratch; the 2*G cross reductions and 2*G amp commits become
-            # one big elementwise pass + two block-sum matmuls
-            for g in range(G):
-                dscr[g * JzP:(g + 1) * JzP, :] = d_both_of(g)
-            DRE = dscr[:, :JxyP_]
-            DIM = dscr[:, JxyP_:]
+            if kdiag:
+                # ONE masked block-diagonal dot for all G structure-factor
+                # deltas (see the bd_mask hoist); dot3 keeps the hardware
+                # energy-path precision class of the per-g loop it replaces
+                bd = jnp.concatenate(
+                    [jnp.concatenate([pzT_re, pzT_im], axis=1)] * G,
+                    axis=0) * bd_mask                       # (GJz, 2GFK)
+                bop = jnp.concatenate([T_TOP, T_BOT], 0)    # (2GFK, 2JxyP)
+                d_all = (dot3(bd, bop) if vv3 else
+                         jnp.dot(bd, bop, preferred_element_type=f32))
+                DRE = d_all[:, :JxyP_]
+                DIM = d_all[:, JxyP_:]
+            else:
+                # per-g: ONE small matmul stored straight into the
+                # (GJz, 2JxyP) scratch; the 2*G cross reductions and 2*G
+                # amp commits become one big elementwise pass + two
+                # block-sum matmuls
+                for g in range(G):
+                    dscr[g * JzP:(g + 1) * JzP, :] = d_both_of(g)
+                DRE = dscr[:, :JxyP_]
+                DIM = dscr[:, JxyP_:]
             AR = jnp.reshape(amp_re_out[...], (GJz, JxyP_))
             AI = jnp.reshape(amp_im_out[...], (GJz, JxyP_))
             Xc = kw_tiled * (2.0 * (AR * DRE + AI * DIM)
@@ -1925,6 +1963,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0), vv3=not interpret,
         onewin=bool(getattr(spec, "fw_onewin", False)), tricl=tricl,
         ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
+        kdiag=_kdiag_env(interpret),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1
@@ -1949,7 +1988,10 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         fwcomb = jnp.zeros((1, 128), f)
         scratch_shapes = []
     kmerge = (JzP % 8 == 0)
-    if kmerge:
+    kdiag_h = _kdiag_env(interpret)
+    if kmerge and not kdiag_h:
+        # the merged-d scratch serves only the per-g store path; the
+        # block-diagonal dot (kdiag) produces DRE/DIM as a value
         scratch_shapes.append(pltpu.VMEM((G * JzP, 2 * JxyP), f))
     outs = pl.pallas_call(
         kernel,

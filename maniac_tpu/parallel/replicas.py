@@ -86,15 +86,23 @@ def run_block_replicated(spec: SystemSpec, states: SimState, n_steps: int,
     return out
 
 
-@partial(jax.jit, static_argnums=(2, 3))
+@partial(jax.jit, static_argnums=(2, 3, 4))
 def run_block_sweep(spec: SystemSpec, states: SimState, n_steps: int,
-                    recalibrate: bool) -> SimState:
+                    recalibrate: bool, resync: bool = False) -> SimState:
     """Like run_block_replicated but with a per-replica activity axis on the
-    spec (chemical-potential sweep: one isotherm in one program)."""
-    return jax.vmap(
+    spec (chemical-potential sweep: one isotherm in one program). The
+    per-replica spec keeps this on the per-step dispatch inside block_body
+    (stepg on TPU) rather than the whole-block kernel; resync=True appends
+    the per-block f32 amplitude resynthesis like run_block_replicated."""
+    from ..mc.driver import resync_replicated_body
+    out = jax.vmap(
         lambda act, st: block_body(
             _with_activity(spec, act), st, n_steps, recalibrate),
         in_axes=(0, 0))(spec.type_activity, states)
+    if resync:
+        out = resync_replicated_body(
+            _with_activity(spec, spec.type_activity[0]), out)
+    return out
 
 
 def _with_activity(spec: SystemSpec, act) -> SystemSpec:

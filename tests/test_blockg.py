@@ -240,6 +240,30 @@ def test_blockg_parity_chunk_boundary(tmp_path, monkeypatch):
     assert cnt[1, 2] > 0 and cnt[1, 3] > 0
 
 
+def test_blockg_parity_kdiag(tmp_path, monkeypatch):
+    """MANIAC_KDIAG=force: the merged block-diagonal structure-factor
+    delta contraction (one masked (GJz, 2GFK) dot) must reproduce the
+    per-g small-matmul path exactly — the mask zeros are exact, so every
+    output sums the same nonzero products (docs/performance.md 'Measured
+    non-levers (round 5)')."""
+    make_zif_like(str(tmp_path), n_cells=4, a=5.66, n_water=10,
+                  fugacity=50.0, cutoff=6.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    states = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_KDIAG", "force")
+    st_d, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    monkeypatch.delenv("MANIAC_KDIAG")
+    st_b, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_d.n_mol),
+                                  np.asarray(st_b.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_d.counters),
+                                  np.asarray(st_b.counters))
+    np.testing.assert_array_equal(np.asarray(st_d.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_d.amp_re),
+                                  np.asarray(st_b.amp_re))
+
+
 def test_blockg_parity_merged_lane_layout(tmp_path, monkeypatch):
     """G=64 activates the merged-lane footprint path (MERGE_FT in
     kernels/blockg.py: GFL/GFQ/GFK all whole 128-lane tiles -> ONE wide

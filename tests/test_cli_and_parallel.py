@@ -187,6 +187,36 @@ def test_isotherm_sweep(tmp_path):
     assert mean_n[0] < mean_n[1] < mean_n[2] < mean_n[3]
 
 
+def test_cli_isotherm_mode(tmp_path):
+    """--isotherm f1,f2,... runs every fugacity as parallel state points in
+    one program and writes isotherm_<RES>.dat series + isotherm.dat summary
+    with occupancy increasing in fugacity (VERDICT r4 #7)."""
+    d = make_lj_gas(str(tmp_path / "sys"), n=4, L=16.0,
+                    probs=(0.0, 0.0, 1.0, 0.0), fugacity=100.0, cutoff=6.0,
+                    tol=1e-3, nb_block=8, nb_step=400)
+    # ideal gas: zero LJ makes <N> = activity * V exactly
+    open(f"{d}/parameters.inc", "w").write("pair_coeff 1 1 0.0 0.0\n")
+    out = str(tmp_path / "outputs")
+    rc = cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                   "-p", f"{d}/parameters.inc", "-o", out,
+                   "--platform", "cpu", "--dtype", "f64",
+                   "--isotherm", "50,400", "--replicas", "2"])
+    assert rc == 0
+    log = open(f"{out}/log.maniac").read()
+    assert "Isotherm summary" in log and "Simulation Completed" in log
+    series = [l for l in open(f"{out}/isotherm_lj.dat")
+              if not l.startswith("#")]
+    assert len(series) == 8 and len(series[0].split()) == 3
+    rows = [l.split() for l in open(f"{out}/isotherm.dat")
+            if not l.startswith("#")]
+    assert [r[0] for r in rows] == ["lj", "lj"]
+    f_vals = [float(r[1]) for r in rows]
+    n_vals = [float(r[2]) for r in rows]
+    assert f_vals == [50.0, 400.0]
+    # 8x the fugacity must raise the ideal-gas occupancy decisively
+    assert n_vals[1] > 2.0 * n_vals[0] > 0.0, rows
+
+
 def test_cli_replicas_dat_contract(tmp_path):
     """--replicas N>1 must write replicas.dat: one row per block with
     cross-replica mean +- std of N per active species and of the running
