@@ -120,6 +120,18 @@ def hw_precision_check(blocks: int = 4) -> tuple[str, str]:
     Returns ("pass"|"fail", detail). bench.py calls this after timing
     (VERDICT r3 #7) so BENCH_r*.json carries the evidence bit.
     """
-    ok1, d1 = probe_onehot_exact()
-    ok2, d2 = probe_rigid_geometry(blocks=blocks)
+    # the probes exercise the f32 KERNEL path; under jax_enable_x64
+    # (the f64 bench canary) host ints build i64 operands and Mosaic
+    # rejects the kernel's scalar returns ("failed to legalize
+    # func.return (i32, i64, i64)") - probe with x64 off, then restore
+    import jax
+    was_x64 = bool(jax.config.jax_enable_x64)
+    if was_x64:
+        jax.config.update("jax_enable_x64", False)
+    try:
+        ok1, d1 = probe_onehot_exact()
+        ok2, d2 = probe_rigid_geometry(blocks=blocks)
+    finally:
+        if was_x64:
+            jax.config.update("jax_enable_x64", True)
     return ("pass" if (ok1 and ok2) else "fail"), f"{d1}; {d2}"
