@@ -653,6 +653,51 @@ def co2_sites() -> tuple[np.ndarray, np.ndarray, list]:
     return pos, q, ["OC", "C", "OC"]
 
 
+def make_co2_box(outdir, n_co2=8, L=30.0, seed=23, **deck_kw):
+    """N rigid EPM2 CO2 molecules in a cubic box (no framework).
+
+    EPM2 (Harris & Yung, J. Phys. Chem. 99, 12021 (1995)): the literature
+    parameter set - eps_C/k = 28.129 K, sig_C = 2.757 A, eps_O/k =
+    80.507 K, sig_O = 3.033 A, q_C = +0.6512 e, r_CO = 1.149 A in the
+    original; this repo's rigid template uses r_CO = 1.163 A
+    (experimental bond length, co2_sites). Used by the external B2
+    validation anchor (tests/test_validation.py) and available as a pure
+    molecular-gas GCMC workload. seed=None places molecule 1 at the box
+    center aligned with z (deterministic single-molecule geometry)."""
+    os.makedirs(outdir, exist_ok=True)
+    rng = np.random.default_rng(seed if seed is not None else 0)
+    sites, q, names = co2_sites()
+    per_axis = max(1, int(math.ceil(n_co2 ** (1 / 3))))
+    spacing = L / per_axis
+    centers = []
+    for i in range(per_axis):
+        for j in range(per_axis):
+            for k in range(per_axis):
+                centers.append(-L / 2 + (np.array([i, j, k]) + 0.5) * spacing)
+    centers = np.asarray(centers[:n_co2], dtype=float)
+    if seed is None:
+        centers = np.zeros((n_co2, 3))
+    atoms = []
+    for m, c in enumerate(centers, 1):
+        R = (np.eye(3) if seed is None else _random_rotation(rng))
+        pos = c + sites @ R.T
+        for aa, typ in enumerate((1, 2, 1)):                # O C O
+            atoms.append((m, typ, q[aa], *pos[aa]))
+    masses = {1: MASS["O"], 2: 12.011}
+    _write_data(f"{outdir}/topology.data", L, atoms, masses, 2)
+    residues = [dict(name="co2", active=True,
+                     fugacity=deck_kw.pop("fugacity", 10.0),
+                     types=[1, 2, 1], names=["OC", "C", "OC"], nb_atoms=3)]
+    deck_kw.setdefault("cutoff", 10.0)
+    deck_kw.setdefault("tol", 1e-5)
+    deck_kw.setdefault("probs", (0.3, 0.2, 0.5, 0.0))
+    _write_deck(f"{outdir}/input.maniac", residues, **deck_kw)
+    # EPM2 eps in kcal/mol: 80.507 K * KB = 0.15998, 28.129 K * KB = 0.05590
+    _write_inc(f"{outdir}/parameters.inc",
+               [(1, 1, 0.15998, 3.033), (2, 2, 0.05590, 2.757)])
+    return outdir
+
+
 def make_mfi_co2(outdir, n_cells=4, a=6.0, n_co2=8, seed=31, **deck_kw):
     """MFI-CO2 analog (reference run.sh MFI-CO2 case): zeolite-like charged
     framework + rigid LINEAR 3-site CO2 guests. Exercises A=3 linear
