@@ -48,10 +48,16 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--capacity", type=int, default=None)
     ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu); env alone is "
+                         "not enough under the site hook that pins the "
+                         "TPU plugin")
     args = ap.parse_args(argv)
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.num_processes > 1:
         if not args.coordinator:
             ap.error("--coordinator is required for multi-process runs")
