@@ -52,6 +52,21 @@ from ..constants import COULOMB_K, PROB_CREATE_DELETE, TWOPI
 from .common import _erfc, _signed_table, dot1h, dot3
 
 
+def _gsel_env() -> bool:
+    """Multi-species guest-chunk LJ table read mode (MANIAC_GSEL).
+
+    'dot' (default): per-chunk (GFL, nA*nA*8) x (nA*nA*8, CW) dot1h with
+    the per-step E_dyn_fm pair-id selection matrix.
+    'bcast': per-species sublane broadcasts from the DIAGONAL pid blocks
+    + a per-step one-hot species mask blend - the insight is that
+    footprint row f only needs ONE species (i_old for old-side rows,
+    i_new for new-side), so nA candidate planes suffice, not nA*nA, and
+    the nA==1 fast path's broadcast trick applies per species. Both are
+    bit-exact (one-hot masks, 0/1 selectors)."""
+    import os
+    return os.environ.get("MANIAC_GSEL", "dot") == "bcast"
+
+
 def _kdiag_env(interpret: bool) -> bool:
     """Opt-in merged block-diagonal d contraction (MANIAC_KDIAG=1, or
     'force' in interpret mode). MEASURED NON-LEVER on v5e: 1.176 vs 0.709
@@ -140,7 +155,7 @@ def _blockg_kernel(
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
         kmerge: bool = False, onewin: bool = False, tricl: bool = False,
         ggr2: float = 0.0, vv3: bool = False, kdiag: bool = False,
-        ablate: str = ""):
+        gsel: bool = False, ablate: str = ""):
     f32 = jnp.float32
     # exact-token ablation gates: substring tests silently compounded
     # ("fw" in "fwmath" is True, so MANIAC_KABLATE=fwmath removed the
@@ -594,14 +609,24 @@ def _blockg_kernel(
             i2 = (i1 + di) % nA
             i_old = i1
             i_new = jnp.where(is_swap, i2, i1)
-            pid_row = i_old * nA + i_new                    # LJ table block
-            # per-step dynamic f-major row-selection matrix for the guest
-            # pass (see E_pid_fm)
-            E_dyn_fm = jnp.zeros((GFL, nA * nA * 8), f32)
-            for p in range(nA * nA):
-                mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl_fm,
-                               preferred_element_type=f32)  # (1, GFL)
-                E_dyn_fm = E_dyn_fm + E_pid_fm[p] * mrow[0, :][:, None]
+            if gsel:
+                # per-species one-hot side masks for the broadcast-blend
+                # guest table read (see _gsel_env): f-major (GFL, 1)
+                # column, rows f*G+g - old-side blocks (f < Lmax) gate on
+                # i_old, new-side on i_new. Exact 0/1 values.
+                m_sp = [jnp.concatenate(
+                    [col_of((i_old == t).astype(f32))] * Lmax
+                    + [col_of((i_new == t).astype(f32))] * Lmax, axis=0)
+                    for t in range(nA)]                     # (GFL, 1)
+            else:
+                pid_row = i_old * nA + i_new                # LJ table block
+                # per-step dynamic f-major row-selection matrix for the
+                # guest pass (see E_pid_fm)
+                E_dyn_fm = jnp.zeros((GFL, nA * nA * 8), f32)
+                for p in range(nA * nA):
+                    mrow = jnp.dot((pid_row == p).astype(f32), Eg_fl_fm,
+                                   preferred_element_type=f32)  # (1, GFL)
+                    E_dyn_fm = E_dyn_fm + E_pid_fm[p] * mrow[0, :][:, None]
         else:
             i_old = i_new = None
 
@@ -1210,6 +1235,25 @@ def _blockg_kernel(
                         [jnp.broadcast_to(sig2lj_ref[f:f + 1, _ds128(b, CW)],
                                           (G, CW)) for f in range(FL)],
                         axis=0)
+                elif gsel:
+                    # per-species broadcast planes from the DIAGONAL pid
+                    # blocks (row (t*nA+t)*8 + f == atom f%Lmax of species
+                    # t vs the column site - identical for both sides)
+                    # blended by the per-step one-hot masks: MXU-free and
+                    # bit-exact (0/1 masks, exact adds of zeros)
+                    def splane(tab):
+                        acc = None
+                        for t in range(nA):
+                            base = (t * nA + t) * 8
+                            p_t = jnp.concatenate(
+                                [jnp.broadcast_to(
+                                    tab[base + f1:base + f1 + 1,
+                                        _ds128(b, CW)], (G, CW))
+                                 for f1 in range(FL)], axis=0) * m_sp[t]
+                            acc = p_t if acc is None else acc + p_t
+                        return acc
+                    eps = splane(epslj_ref)
+                    sig2 = splane(sig2lj_ref)
                 else:
                     # one f-major row-selection matmul per chunk: the
                     # selector is 0/1, so the 3-pass split read is
@@ -1963,7 +2007,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         sb_off_ts=sb_off_ts, kmerge=(JzP % 8 == 0), vv3=not interpret,
         onewin=bool(getattr(spec, "fw_onewin", False)), tricl=tricl,
         ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
-        kdiag=_kdiag_env(interpret),
+        kdiag=_kdiag_env(interpret), gsel=_gsel_env(),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1

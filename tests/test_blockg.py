@@ -160,6 +160,29 @@ def test_blockg_parity_two_active_species(tmp_path, monkeypatch):
                   - np.asarray(st_x.energy)).max() < 5.0
 
 
+def test_blockg_parity_gsel_bcast(tmp_path, monkeypatch):
+    """MANIAC_GSEL=bcast: the per-species broadcast-blend guest LJ table
+    read (diagonal pid blocks + one-hot side masks) must be bit-identical
+    to the default per-chunk pair-id dot1h path on a two-active-species
+    system with swaps."""
+    from maniac_tpu.systems import make_framework_mixed
+    make_framework_mixed(str(tmp_path))
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=12)
+    spec = sysm.spec
+    states = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_GSEL", "bcast")
+    st_s, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    monkeypatch.delenv("MANIAC_GSEL")
+    st_b, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    np.testing.assert_array_equal(np.asarray(st_s.n_mol),
+                                  np.asarray(st_b.n_mol))
+    np.testing.assert_array_equal(np.asarray(st_s.counters),
+                                  np.asarray(st_b.counters))
+    np.testing.assert_array_equal(np.asarray(st_s.pos), np.asarray(st_b.pos))
+    np.testing.assert_array_equal(np.asarray(st_s.energy),
+                                  np.asarray(st_b.energy))
+
+
 def test_blockg_parity_reservoir(tmp_path, monkeypatch):
     """Reservoir blockg: insertion geometry sampled from the reservoir
     in-kernel, pop-on-insert / push-on-delete bookkeeping, and box +
