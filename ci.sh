@@ -14,8 +14,9 @@ cd "$(dirname "$0")"
 echo "== stage 0: lint (stdlib AST analog of the reference's flint stage)"
 python tools/lint.py
 
-echo "== stage 1: import sanity"
+echo "== stage 1: import sanity + docs build-check (Sphinx-CI analog)"
 python -c "import maniac_tpu; print('maniac_tpu', maniac_tpu.__version__)"
+python tools/docs_check.py
 
 echo "== stage 2: reader tests"
 python -m pytest tests/test_parsers.py -q

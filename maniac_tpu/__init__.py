@@ -8,7 +8,18 @@ state transitions over fixed-capacity padded arrays, scanned and vmapped on
 device.
 """
 
-__version__ = "0.1.0"
+# single-source version: the VERSION file at the repo root (analog of the
+# reference's version.txt + docs templating, /root/reference/version.txt,
+# docs/source/conf.py release=). Falls back if the package is used
+# detached from its checkout.
+import os as _os
+
+try:
+    with open(_os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "VERSION")) as _f:
+        __version__ = _f.read().strip()
+except OSError:  # pragma: no cover - detached install
+    __version__ = "0.5.0"
 
 from .utils.hostsetup import ensure_cpu_backend
 
