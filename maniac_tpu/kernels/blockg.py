@@ -67,6 +67,21 @@ def _gsel_env() -> bool:
     return os.environ.get("MANIAC_GSEL", "dot") == "bcast"
 
 
+def _fwfuse_env(interpret: bool) -> bool:
+    """Fused fw Coulomb pass (MANIAC_FWFUSE=1, or 'force' in interpret
+    mode): ONE (Qmax*2G, W) elementwise pass over Qmax-tiled window
+    planes replaces the per-atom loop of (2G, W) passes - same vector
+    math, Qmax x fewer op issues, at the cost of materializing the tiled
+    planes and a (2G, Qmax*2G) block-sum matmul for the atom fold. The
+    atom fold reassociates the f32 sum (lane-sum per atom then atom fold,
+    vs elementwise atom accumulation then lane-sum), so energies differ
+    by ~1 ulp from the per-atom path; decisions on the parity fixtures
+    must still match (tests/test_blockg.py::test_blockg_parity_fwfuse)."""
+    import os
+    v = os.environ.get("MANIAC_FWFUSE", "0")
+    return v == "force" or (not interpret and v == "1")
+
+
 def _kdiag_env(interpret: bool) -> bool:
     """Opt-in merged block-diagonal d contraction (MANIAC_KDIAG=1, or
     'force' in interpret mode). MEASURED NON-LEVER on v5e: 1.176 vs 0.709
@@ -155,7 +170,7 @@ def _blockg_kernel(
         lj_atoms_ts: tuple, q_atoms_ts: tuple, sb_off_ts: tuple = (),
         kmerge: bool = False, onewin: bool = False, tricl: bool = False,
         ggr2: float = 0.0, vv3: bool = False, kdiag: bool = False,
-        gsel: bool = False, ablate: str = ""):
+        gsel: bool = False, fwfuse: bool = False, ablate: str = ""):
     f32 = jnp.float32
     # exact-token ablation gates: substring tests silently compounded
     # ("fw" in "fwmath" is True, so MANIAC_KABLATE=fwmath removed the
@@ -516,6 +531,19 @@ def _blockg_kernel(
         # (row 2g + side): E_gs[0] sums (or selects) the old side, E_gs[1]
         # the new side. At Lmax == 1 E_gs == E_sum_fl exactly.
         E_gs = side_sum_mat(2, 1)
+    if fw_on and fwfuse:
+        # fused-C-pass operands (see _fwfuse_env): an identity for the
+        # (1, Q2G) row -> (Q2G, 1) column reads, and the atom-fold
+        # block-sum (row 2g+side sums cols j*2G + 2g+side). The fold is a
+        # SUMMATION matrix -> plain dot under the "highest" pin (dot1h's
+        # split would change the f32 accumulation order).
+        Q2G = Qmax * 2 * G
+        iq1 = jax.lax.broadcasted_iota(jnp.int32, (Q2G, Q2G), 0)
+        iq2 = jax.lax.broadcasted_iota(jnp.int32, (Q2G, Q2G), 1)
+        I_Q2G = (iq1 == iq2).astype(f32)
+        E_fwsum = (jax.lax.broadcasted_iota(jnp.int32, (2 * G, Q2G), 0)
+                   == jax.lax.broadcasted_iota(jnp.int32, (2 * G, Q2G), 1)
+                   % (2 * G)).astype(f32)
     if fw_on and not fw_ride:
         # LJ-atom companion of E_fwJ: footprint row g*FL + side*Lmax + j
         # -> col j*2G + 2g + side (one matmul stages every LJ atom's
@@ -1405,19 +1433,44 @@ def _blockg_kernel(
                             :, _ds128(st[0, g] * 128, WC)]
             pqw_j = dot1h(jnp.concatenate([ptq, qw], 0), E_fwJ,
                           split="a")                        # (4, Qmax*2G)
-            cfw_acc = jnp.zeros((2 * G, WL if onewin else WC), f32)
-            for j in ([] if skip_fwmath else range(Qmax)):
-                blkj = pqw_j[:, j * 2 * G:(j + 1) * 2 * G]  # (4, 2G)
-                r2c = pair_r2(blkj[0:3], scc[0], scc[1], scc[2], fw_imask)
-                inv_rc = jax.lax.rsqrt(r2c)
-                coulf = (blkj[3, :][:, None] * scc[3]
-                         * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
-                cfw_acc = cfw_acc + jnp.where(r2c < rc2sq2, coulf, 0.0)
-                if j == j_lj:
-                    ljfw_rows = fw_lj_accum(r2c, ljfw_rows)
-            # (2G, 1) fw C accumulator: rows are (g, side) pairs, summed
-            # into e_c rows with the (g, side) side matrix E_gs
-            cfw_rows = jnp.sum(cfw_acc, axis=1, keepdims=True)
+            if fwfuse and not skip_fwmath:
+                # ONE (Q2G, W) pass over Qmax-tiled window planes (see
+                # _fwfuse_env). col_of-style identity dots lift the
+                # per-atom scalars to (Q2G, 1) columns bit-exactly.
+                def colq(i):
+                    return jax.lax.dot_general(
+                        I_Q2G, pqw_j[i:i + 1, :], (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32)          # (Q2G, 1)
+
+                def tileq(p):
+                    return jnp.concatenate([p] * Qmax, axis=0)
+                r2a = pair_r2c(colq(0), colq(1), colq(2), tileq(scc[0]),
+                               tileq(scc[1]), tileq(scc[2]), fw_imask)
+                inv_ra = jax.lax.rsqrt(r2a)
+                coulfa = (colq(3) * tileq(scc[3])
+                          * _erfc(alpha2 * (r2a * inv_ra)) * inv_ra)
+                ccols = jnp.sum(jnp.where(r2a < rc2sq2, coulfa, 0.0),
+                                axis=1, keepdims=True)       # (Q2G, 1)
+                cfw_rows = jnp.dot(E_fwsum, ccols,
+                                   preferred_element_type=f32)
+                if j_lj >= 0:
+                    ljfw_rows = fw_lj_accum(
+                        r2a[j_lj * 2 * G:(j_lj + 1) * 2 * G, :], ljfw_rows)
+            else:
+                cfw_acc = jnp.zeros((2 * G, WL if onewin else WC), f32)
+                for j in ([] if skip_fwmath else range(Qmax)):
+                    blkj = pqw_j[:, j * 2 * G:(j + 1) * 2 * G]  # (4, 2G)
+                    r2c = pair_r2(blkj[0:3], scc[0], scc[1], scc[2],
+                                  fw_imask)
+                    inv_rc = jax.lax.rsqrt(r2c)
+                    coulf = (blkj[3, :][:, None] * scc[3]
+                             * _erfc(alpha2 * (r2c * inv_rc)) * inv_rc)
+                    cfw_acc = cfw_acc + jnp.where(r2c < rc2sq2, coulf, 0.0)
+                    if j == j_lj:
+                        ljfw_rows = fw_lj_accum(r2c, ljfw_rows)
+                # (2G, 1) fw C accumulator: rows are (g, side) pairs,
+                # summed into e_c rows with the (g, side) side matrix E_gs
+                cfw_rows = jnp.sum(cfw_acc, axis=1, keepdims=True)
 
         def dotT(a, b):
             # phase-power -> k-grid expansion: b is a 0/1 SELECTOR, so
@@ -2008,6 +2061,7 @@ def run_block_grouped(spec, states_g, uniforms_qmajor, *, interpret=False):
         onewin=bool(getattr(spec, "fw_onewin", False)), tricl=tricl,
         ggr2=(spec.gg_rcut * spec.gg_rcut if spec.gg_cut else 0.0),
         kdiag=_kdiag_env(interpret), gsel=_gsel_env(),
+        fwfuse=_fwfuse_env(interpret),
         ablate=os.environ.get("MANIAC_KABLATE", ""))
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     MP = spec.Mtot + 1

@@ -160,6 +160,31 @@ def test_blockg_parity_two_active_species(tmp_path, monkeypatch):
                   - np.asarray(st_x.energy)).max() < 5.0
 
 
+def test_blockg_parity_fwfuse(tmp_path, monkeypatch):
+    """MANIAC_FWFUSE=force: the fused (Qmax*2G, W) fw Coulomb pass must
+    reproduce the per-atom loop's DECISIONS exactly (populations,
+    counters) and positions/amplitudes to f32 ulp - the atom fold
+    reassociates the f32 sum, so energies may differ by ~1 ulp (see
+    _fwfuse_env), but on the parity fixtures every accept decision must
+    match both the per-atom kernel and the XLA scan path."""
+    make_zif_like(str(tmp_path), n_cells=4, a=5.66, n_water=10,
+                  fugacity=50.0, cutoff=6.0)
+    sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
+    spec = sysm.spec
+    assert spec.fw_split
+    states = replicate(spec, sysm.state, 4)
+    monkeypatch.setenv("MANIAC_FWFUSE", "force")
+    st_f, st_x = _run_pair(spec, states, 60, monkeypatch, 4)
+    monkeypatch.delenv("MANIAC_FWFUSE")
+    st_b, _ = _run_pair(spec, states, 60, monkeypatch, 4)
+    for other in (st_b, st_x):
+        np.testing.assert_array_equal(np.asarray(st_f.n_mol),
+                                      np.asarray(other.n_mol))
+        np.testing.assert_array_equal(np.asarray(st_f.counters),
+                                      np.asarray(other.counters))
+    assert np.abs(np.asarray(st_f.pos) - np.asarray(st_b.pos)).max() < 1e-4
+
+
 def test_blockg_parity_gsel_bcast(tmp_path, monkeypatch):
     """MANIAC_GSEL=bcast: the per-species broadcast-blend guest LJ table
     read (diagonal pid blocks + one-hot side masks) must be bit-identical
