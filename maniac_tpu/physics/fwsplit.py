@@ -42,7 +42,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..constants import COULOMB_K, ERFC_DECAY as _ERFC_DECAY, PI, TWOPI
-#: far-field series tolerance: coefficients cut at e^{-p^2} = _TOL2
+#: far-field series tolerance default: coefficients cut at e^{-p^2}.
+#: MANIAC_FW_TOL2 overrides at build time (read in build_fwsplit: the
+#: far packed dot contracts over ~kmax2_y*kmax2_z modes, so cost scales
+#: with ln(1/tol); the split-error bar is 1e-6 kcal/mol per move,
+#: tests/test_fwsplit.py, and the measured error headroom vs this
+#: tolerance is recorded in docs/performance.md)
 _TOL2 = 1e-7
 #: extra window slack for f32 COM rounding and block quantization
 _SLACK = 0.75
@@ -244,7 +249,9 @@ def build_fwsplit(box, alpha: float, cutoff: float, *,
     WC = min(window_cols(rcw_c), SG)
 
     # ---- far-field coefficient grid -------------------------------------
-    p2 = float(np.sqrt(np.log(1.0 / _TOL2)))
+    import os
+    tol2 = float(os.environ.get("MANIAC_FW_TOL2", _TOL2))
+    p2 = float(np.sqrt(np.log(1.0 / tol2)))
     k_cut = 2.0 * a2 * p2
     recip_rows = box.reciprocal
     widths = 1.0 / np.linalg.norm(recip_rows, axis=1)
