@@ -26,10 +26,17 @@ def _load(outdir, **kw):
                        f"{outdir}/parameters.inc", **kw)
 
 
-def _run_pair(spec, states, n_steps, monkeypatch, G):
+def _run_blockg(spec, states, n_steps, monkeypatch, G):
+    """Kernel path only (A/B-switch parity tests that compare blockg
+    against itself skip the redundant XLA run: suite-cost, VERDICT r4
+    #8)."""
     monkeypatch.setenv("MANIAC_GROUP", str(G))
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
-    st_b = run_block_replicated(spec, states, n_steps, False)
+    return run_block_replicated(spec, states, n_steps, False)
+
+
+def _run_pair(spec, states, n_steps, monkeypatch, G):
+    st_b = _run_blockg(spec, states, n_steps, monkeypatch, G)
     monkeypatch.setenv("MANIAC_PALLAS", "0")
     st_x = jax.jit(lambda s: jax.vmap(
         lambda ss: block_body(spec, ss, n_steps, False))(s))(states)
@@ -174,9 +181,9 @@ def test_blockg_parity_fwfuse(tmp_path, monkeypatch):
     assert spec.fw_split
     states = replicate(spec, sysm.state, 4)
     monkeypatch.setenv("MANIAC_FWFUSE", "force")
-    st_f, st_x = _run_pair(spec, states, 60, monkeypatch, 4)
+    st_f, st_x = _run_pair(spec, states, 40, monkeypatch, 4)
     monkeypatch.delenv("MANIAC_FWFUSE")
-    st_b, _ = _run_pair(spec, states, 60, monkeypatch, 4)
+    st_b = _run_blockg(spec, states, 40, monkeypatch, 4)
     for other in (st_b, st_x):
         np.testing.assert_array_equal(np.asarray(st_f.n_mol),
                                       np.asarray(other.n_mol))
@@ -196,9 +203,9 @@ def test_blockg_parity_gsel_bcast(tmp_path, monkeypatch):
     spec = sysm.spec
     states = replicate(spec, sysm.state, 4)
     monkeypatch.setenv("MANIAC_GSEL", "bcast")
-    st_s, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    st_s = _run_blockg(spec, states, 30, monkeypatch, 4)
     monkeypatch.delenv("MANIAC_GSEL")
-    st_b, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    st_b = _run_blockg(spec, states, 30, monkeypatch, 4)
     np.testing.assert_array_equal(np.asarray(st_s.n_mol),
                                   np.asarray(st_b.n_mol))
     np.testing.assert_array_equal(np.asarray(st_s.counters),
@@ -300,9 +307,9 @@ def test_blockg_parity_kdiag(tmp_path, monkeypatch):
     spec = sysm.spec
     states = replicate(spec, sysm.state, 4)
     monkeypatch.setenv("MANIAC_KDIAG", "force")
-    st_d, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    st_d = _run_blockg(spec, states, 24, monkeypatch, 4)
     monkeypatch.delenv("MANIAC_KDIAG")
-    st_b, _ = _run_pair(spec, states, 40, monkeypatch, 4)
+    st_b = _run_blockg(spec, states, 24, monkeypatch, 4)
     np.testing.assert_array_equal(np.asarray(st_d.n_mol),
                                   np.asarray(st_b.n_mol))
     np.testing.assert_array_equal(np.asarray(st_d.counters),
@@ -324,7 +331,7 @@ def test_blockg_parity_merged_lane_layout(tmp_path, monkeypatch):
     spec = sysm.spec
     assert spec.fw_split  # covers the fw fast-path staging too
     states = replicate(spec, sysm.state, 64)
-    st_b, st_x = _run_pair(spec, states, 12, monkeypatch, 64)
+    st_b, st_x = _run_pair(spec, states, 8, monkeypatch, 64)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),

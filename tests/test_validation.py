@@ -117,7 +117,7 @@ def test_co2_b2_vs_experiment():
                       - widom_delta_u(spec, st0, r, 0))(u)
         return jnp.sum(jnp.expm1(-du / T))
 
-    n_pts, chunk = 2 ** 18, 2 ** 13
+    n_pts, chunk = 2 ** 17, 2 ** 13
     pts = qmc.Sobol(d=6, scramble=True, seed=11).random(n_pts)
     acc = 0.0
     for c in range(0, n_pts, chunk):
