@@ -49,8 +49,8 @@ def test_blockg_parity_framework(tmp_path, monkeypatch):
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
     assert spec.fw_split and spec.n_active == 1
-    states = replicate(spec, sysm.state, 4)
-    st_b, st_x = _run_pair(spec, states, 60, monkeypatch, 4)
+    states = replicate(spec, sysm.state, 2)
+    st_b, st_x = _run_pair(spec, states, 40, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),
@@ -67,8 +67,8 @@ def test_blockg_parity_pure_water(tmp_path, monkeypatch):
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
     assert not spec.fw_split and spec.R == 1
-    states = replicate(spec, sysm.state, 4)
-    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 4)
+    states = replicate(spec, sysm.state, 2)
+    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),
@@ -84,14 +84,14 @@ def test_blockg_bookkeeping_vs_recompute(tmp_path, monkeypatch):
                   fugacity=50.0, cutoff=6.0)
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
-    states = replicate(spec, sysm.state, 4)
-    monkeypatch.setenv("MANIAC_GROUP", "4")
+    states = replicate(spec, sysm.state, 2)
+    monkeypatch.setenv("MANIAC_GROUP", "2")
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
     for _ in range(3):
         states = run_block_replicated(spec, states, 50, False)
         states = resync_amplitudes_replicated(spec, states)
     monkeypatch.setenv("MANIAC_PALLAS", "0")
-    for b in range(4):
+    for b in range(2):
         st1 = jax.tree_util.tree_map(lambda x: x[b], states)
         e, _, _ = system_energy(spec, st1)
         drift = abs(float(st1.energy[E_TOT]) - float(e[E_TOT]))
@@ -111,8 +111,8 @@ def test_blockg_parity_triclinic(tmp_path, monkeypatch):
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
     assert spec.is_triclinic and not spec.fw_split
-    states = replicate(spec, sysm.state, 4)
-    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 4)
+    states = replicate(spec, sysm.state, 2)
+    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),
@@ -120,7 +120,7 @@ def test_blockg_parity_triclinic(tmp_path, monkeypatch):
     assert np.abs(np.asarray(st_b.pos) - np.asarray(st_x.pos)).max() < 1e-4
     # create/delete trials actually happened (indel prob 0.5)
     assert np.asarray(st_b.counters)[:, 0, 0].sum() > 0
-    for b in range(4):
+    for b in range(2):
         st1 = jax.tree_util.tree_map(lambda x: x[b], st_b)
         e, _, _ = system_energy(spec, st1)
         drift = abs(float(st1.energy[E_TOT]) - float(e[E_TOT]))
@@ -134,8 +134,8 @@ def test_blockg_capacity_overflow(tmp_path, monkeypatch):
                    probs=(0.1, 0.0, 0.9, 0.0), fugacity=5e5)
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=10)
     spec = sysm.spec
-    states = replicate(spec, sysm.state, 4)
-    monkeypatch.setenv("MANIAC_GROUP", "4")
+    states = replicate(spec, sysm.state, 2)
+    monkeypatch.setenv("MANIAC_GROUP", "2")
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
     for _ in range(3):
         states = run_block_replicated(spec, states, 100, False)
@@ -154,8 +154,8 @@ def test_blockg_parity_two_active_species(tmp_path, monkeypatch):
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=12)
     spec = sysm.spec
     assert spec.fw_split and spec.n_active == 2
-    states = replicate(spec, sysm.state, 4)
-    st_b, st_x = _run_pair(spec, states, 40, monkeypatch, 4)
+    states = replicate(spec, sysm.state, 2)
+    st_b, st_x = _run_pair(spec, states, 40, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),
@@ -179,11 +179,11 @@ def test_blockg_parity_fwfuse(tmp_path, monkeypatch):
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
     assert spec.fw_split
-    states = replicate(spec, sysm.state, 4)
+    states = replicate(spec, sysm.state, 2)
     monkeypatch.setenv("MANIAC_FWFUSE", "force")
-    st_f, st_x = _run_pair(spec, states, 40, monkeypatch, 4)
+    st_f, st_x = _run_pair(spec, states, 40, monkeypatch, 2)
     monkeypatch.delenv("MANIAC_FWFUSE")
-    st_b = _run_blockg(spec, states, 40, monkeypatch, 4)
+    st_b = _run_blockg(spec, states, 40, monkeypatch, 2)
     for other in (st_b, st_x):
         np.testing.assert_array_equal(np.asarray(st_f.n_mol),
                                       np.asarray(other.n_mol))
@@ -201,11 +201,11 @@ def test_blockg_parity_gsel_bcast(tmp_path, monkeypatch):
     make_framework_mixed(str(tmp_path))
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=12)
     spec = sysm.spec
-    states = replicate(spec, sysm.state, 4)
+    states = replicate(spec, sysm.state, 2)
     monkeypatch.setenv("MANIAC_GSEL", "bcast")
-    st_s = _run_blockg(spec, states, 30, monkeypatch, 4)
+    st_s = _run_blockg(spec, states, 40, monkeypatch, 2)
     monkeypatch.delenv("MANIAC_GSEL")
-    st_b = _run_blockg(spec, states, 30, monkeypatch, 4)
+    st_b = _run_blockg(spec, states, 40, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_s.n_mol),
                                   np.asarray(st_b.n_mol))
     np.testing.assert_array_equal(np.asarray(st_s.counters),
@@ -229,10 +229,10 @@ def test_blockg_parity_reservoir(tmp_path, monkeypatch):
                        dtype=jnp.float32, capacity=16)
     spec = sysm.spec
     assert spec.has_reservoir
-    states = replicate(spec, sysm.state, 4)
+    states = replicate(spec, sysm.state, 2)
     n_tot0 = (np.asarray(states.n_mol)[:, 0]
               + np.asarray(states.res_n)[:, 0])
-    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 4)
+    st_b, st_x = _run_pair(spec, states, 50, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.res_n),
@@ -258,8 +258,8 @@ def test_blockg_gcmc_physics(tmp_path, monkeypatch):
                   fugacity=300.0, cutoff=6.0)
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=24)
     spec = sysm.spec
-    states = replicate(spec, sysm.state, 4)
-    monkeypatch.setenv("MANIAC_GROUP", "4")
+    states = replicate(spec, sysm.state, 2)
+    monkeypatch.setenv("MANIAC_GROUP", "2")
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
     for _ in range(3):
         states = run_block_replicated(spec, states, 80, True)
@@ -283,8 +283,8 @@ def test_blockg_parity_chunk_boundary(tmp_path, monkeypatch):
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=40)
     spec = sysm.spec
     assert spec.cap_list[-1] * 4 > 128  # region really spans >1 chunk
-    states = replicate(spec, sysm.state, 4)
-    st_b, st_x = _run_pair(spec, states, 80, monkeypatch, 4)
+    states = replicate(spec, sysm.state, 2)
+    st_b, st_x = _run_pair(spec, states, 80, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_b.n_mol),
                                   np.asarray(st_x.n_mol))
     np.testing.assert_array_equal(np.asarray(st_b.counters),
@@ -305,11 +305,11 @@ def test_blockg_parity_kdiag(tmp_path, monkeypatch):
                   fugacity=50.0, cutoff=6.0)
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
-    states = replicate(spec, sysm.state, 4)
+    states = replicate(spec, sysm.state, 2)
     monkeypatch.setenv("MANIAC_KDIAG", "force")
-    st_d = _run_blockg(spec, states, 24, monkeypatch, 4)
+    st_d = _run_blockg(spec, states, 40, monkeypatch, 2)
     monkeypatch.delenv("MANIAC_KDIAG")
-    st_b = _run_blockg(spec, states, 24, monkeypatch, 4)
+    st_b = _run_blockg(spec, states, 40, monkeypatch, 2)
     np.testing.assert_array_equal(np.asarray(st_d.n_mol),
                                   np.asarray(st_b.n_mol))
     np.testing.assert_array_equal(np.asarray(st_d.counters),

@@ -27,9 +27,9 @@ def test_sentinel_zero_divergence_blockg(tmp_path, monkeypatch):
                   fugacity=50.0, cutoff=6.0)
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
-    monkeypatch.setenv("MANIAC_GROUP", "4")
+    monkeypatch.setenv("MANIAC_GROUP", "2")
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
-    states = replicate(spec, sysm.state, 4)
+    states = replicate(spec, sysm.state, 2)
     pre = states
     post = run_block_replicated(spec, pre, 60, True, True)
     rep = sentinel_check(spec, pre, post, 60, True, resync=True)
@@ -46,9 +46,9 @@ def test_sentinel_detects_divergence(tmp_path, monkeypatch):
                    probs=(0.3, 0.2, 0.5, 0.0), fugacity=20000.0)
     sysm = _load(str(tmp_path), dtype=jnp.float32, capacity=16)
     spec = sysm.spec
-    monkeypatch.setenv("MANIAC_GROUP", "4")
+    monkeypatch.setenv("MANIAC_GROUP", "2")
     monkeypatch.setenv("MANIAC_PALLAS", "blockg")
-    states = replicate(spec, sysm.state, 4)
+    states = replicate(spec, sysm.state, 2)
     post = run_block_replicated(spec, states, 50, False, False)
     post2 = run_block_replicated(spec, post, 50, False, False)
     rep = sentinel_check(spec, states, post2, 50, False)

