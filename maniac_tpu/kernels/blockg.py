@@ -1175,7 +1175,15 @@ def _blockg_kernel(
         # regions are 128- but not GW*128-aligned).
         GW = 1
         if nA == 1:
-            GW = next((w for w in (8, 4, 2) if (GS // 128) % w == 0), 1)
+            # MANIAC_GW overrides the slab width (must divide the chunk
+            # count; larger slabs amortize per-iteration issue overhead -
+            # the guest pass is 76% of the bigS step, docs/performance.md)
+            import os as _os
+            env_gw = int(_os.environ.get("MANIAC_GW", "0") or 0)
+            if env_gw > 0 and (GS // 128) % env_gw == 0:
+                GW = env_gw
+            else:
+                GW = next((w for w in (8, 4, 2) if (GS // 128) % w == 0), 1)
             n_live_c = (jnp.max(nmol_out[0:1, :]) * A + 128 * GW - 1) \
                 // (128 * GW)
             n_live_c = jnp.minimum(n_live_c, GS // (128 * GW))
