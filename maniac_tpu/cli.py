@@ -334,6 +334,13 @@ def _run_isotherm(args, outdir: str, logger, sysm, t0: float) -> int:
     act_names = [deck.residues[r].name for r in act_ids]
     if not act_ids:
         logger.abort("--isotherm needs at least one active species", 1)
+    for flag, name in ((args.resume, "--resume"),
+                       (args.checkpoint, "--checkpoint"),
+                       (args.widom, "--widom"), (args.sentinel, "--sentinel"),
+                       (args.audit, "--audit"), (args.profile, "--profile")):
+        if flag:
+            logger.warn(f"{name} is ignored in --isotherm mode (the sweep "
+                        f"is a self-contained batched program)")
 
     reps = max(1, args.replicas)
     npts = len(fugs)
