@@ -217,6 +217,23 @@ def test_cli_isotherm_mode(tmp_path):
     assert n_vals[1] > 2.0 * n_vals[0] > 0.0, rows
 
 
+def test_cli_isotherm_f32_resync(tmp_path):
+    """--isotherm at f32 exercises run_block_sweep's fused per-block
+    amplitude resync (the CLI passes resync=True for f32 engines);
+    the sweep must run and write the summary."""
+    d = make_lj_gas(str(tmp_path / "sys"), n=4, L=16.0,
+                    probs=(0.0, 0.0, 1.0, 0.0), fugacity=100.0, cutoff=6.0,
+                    tol=1e-3, nb_block=3, nb_step=100)
+    out = str(tmp_path / "outputs")
+    rc = cli_main(["-i", f"{d}/input.maniac", "-d", f"{d}/topology.data",
+                   "-p", f"{d}/parameters.inc", "-o", out,
+                   "--platform", "cpu", "--dtype", "f32",
+                   "--isotherm", "100", "--replicas", "2"])
+    assert rc == 0
+    rows = [l for l in open(f"{out}/isotherm.dat") if not l.startswith("#")]
+    assert len(rows) == 1 and float(rows[0].split()[2]) >= 0.0
+
+
 def test_cli_replicas_dat_contract(tmp_path):
     """--replicas N>1 must write replicas.dat: one row per block with
     cross-replica mean +- std of N per active species and of the running
