@@ -218,3 +218,59 @@ def test_reference_bad_data(name):
     deck = parse_deck(f"{REF}/data/input.maniac")
     with pytest.raises(ManiacError):
         parse_lammps_data(f"{REF}/data/{name}.data", deck)
+
+
+def test_parser_fuzz_clean_aborts(tmp_path):
+    """Deterministic fuzz: mutated decks/data must either parse or raise
+    a clean typed ManiacError - never an unhandled traceback (the
+    reference's AbortRun contract, src/output_utils.f90:535-562). Each
+    mutation class models a real corruption: dropped lines, scrambled
+    tokens, number->text, truncation, binary junk."""
+    import random
+
+    from fixtures import make_water_box
+
+    d = make_water_box(str(tmp_path / "sys"), n_water=4, L=12.0,
+                       cutoff=5.0, tol=1e-3)
+    deck_text = open(f"{d}/input.maniac").read()
+    data_text = open(f"{d}/topology.data").read()
+    rng = random.Random(7)
+
+    def mutations(text):
+        lines = text.splitlines(keepends=True)
+        out = []
+        for _ in range(20):                      # drop a random line
+            i = rng.randrange(len(lines))
+            out.append("".join(lines[:i] + lines[i + 1:]))
+        for _ in range(20):                      # scramble one line's tokens
+            i = rng.randrange(len(lines))
+            toks = lines[i].split()
+            rng.shuffle(toks)
+            out.append("".join(lines[:i]) + " ".join(toks) + "\n"
+                       + "".join(lines[i + 1:]))
+        for _ in range(10):                      # replace a number with text
+            out.append(text.replace(str(rng.randrange(1, 9)), "x", 1))
+        for _ in range(10):                      # truncate
+            out.append(text[:rng.randrange(1, len(text))])
+        out.append("\x00\xff garbage \x01\n" * 5)
+        return out
+
+    ok = aborted = 0
+    for mut in mutations(deck_text):
+        open(f"{tmp_path}/fuzz.maniac", "w").write(mut)
+        try:
+            parse_deck(f"{tmp_path}/fuzz.maniac")
+            ok += 1
+        except ManiacError:
+            aborted += 1                         # clean typed abort
+    deck = parse_deck(f"{d}/input.maniac")
+    for mut in mutations(data_text):
+        open(f"{tmp_path}/fuzz.data", "w").write(mut)
+        try:
+            parse_lammps_data(f"{tmp_path}/fuzz.data", deck)
+            ok += 1
+        except ManiacError:
+            aborted += 1
+    # the fuzz classes are harsh: most mutations must be caught, and
+    # every outcome must be one of the two contract cases above
+    assert aborted > 40 and ok + aborted == 122, (ok, aborted)
