@@ -265,3 +265,33 @@ def test_large_capacity_consistency(tmp_path):
         assert float(abs(st.energy[E_TOT] - e[E_TOT])) < 1e-6
     c = np.asarray(st.counters)
     assert c[0].sum() == 60 and c[1].sum() > 0
+
+
+def test_uniform_rotation_statistics():
+    """_uniform_rotation (Shoemake quaternion) must sample SO(3) with
+    Haar uniformity: every matrix orthonormal with det +1, rotated unit
+    vectors uniform on the sphere (mean -> 0, covariance -> I/3), and
+    the rotation-angle distribution following (1 - cos(theta))/pi
+    (checked via E[trace] = 0 for Haar measure). The reference's
+    insertion rotation is NOT uniform (DIVERGENCES.md #4); this pins
+    that our replacement actually is."""
+    import jax
+    import jax.numpy as jnp
+
+    from maniac_tpu.mc.moves import _uniform_rotation
+
+    n = 20000
+    u = jax.random.uniform(jax.random.PRNGKey(8), (n, 3))
+    R = jax.vmap(lambda uu: _uniform_rotation(uu, jnp.float64))(u)
+    R = np.asarray(R)
+    # orthonormal, det +1 (proper rotations)
+    eye = np.einsum("nij,nkj->nik", R, R)
+    assert np.abs(eye - np.eye(3)).max() < 1e-12
+    assert np.abs(np.linalg.det(R) - 1.0).max() < 1e-12
+    # rotated z-axis uniform on the sphere
+    v = R[:, :, 2]
+    assert np.abs(v.mean(axis=0)).max() < 0.02
+    cov = v.T @ v / n
+    assert np.abs(cov - np.eye(3) / 3.0).max() < 0.02
+    # Haar measure: E[trace R] = 0 (angle density (1-cos)/pi)
+    assert abs(np.trace(R, axis1=1, axis2=2).mean()) < 0.03
