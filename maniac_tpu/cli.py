@@ -361,7 +361,9 @@ def _run_isotherm(args, outdir: str, logger, sysm, t0: float) -> int:
                   f"{npts} fugacity points x {reps} replicas = {B} chains")
     f32 = spec.dtype == np.float32
     half = deck.nb_block // 2
-    prod_n = []                       # per-block (npts, n_active) means
+    from .system import E_TOT
+    prod_n = []                       # per-block (npts, reps, n_active)
+    prod_e = []                       # per-block (npts, reps) total energy
     for block in range(1, deck.nb_block + 1):
         states = run_block_sweep(spec_sweep, states, deck.nb_step,
                                  deck.recalibrate_moves, f32)
@@ -371,19 +373,35 @@ def _run_isotherm(args, outdir: str, logger, sysm, t0: float) -> int:
         writer.write_isotherm(block, act_names, fugs, mean_n)
         if block > half:
             prod_n.append(n)
+            prod_e.append(np.asarray(states.energy, dtype=np.float64)
+                          [:, E_TOT].reshape(npts, reps))
         logger.log("  block {:5d}: ".format(block) + "  ".join(
             f"{name}@{f_:g}atm <N>={mean_n[i, j]:.2f}"
             for j, name in enumerate(act_names)
             for i, f_ in enumerate(fugs)))
     prod = np.concatenate(prod_n, axis=1)  # (npts, blocks*reps, n_active)
+    e_s = np.concatenate(prod_e, axis=1)   # (npts, blocks*reps)
+    # isosteric heat from cross-chain fluctuations (Nicholson & Parsonage):
+    # q_st = k_B T - cov(E, N)/var(N), engine energies in Kelvin. For an
+    # ideal gas cov = 0 -> q_st = RT exactly (tested). Multi-species rows
+    # use the same formula per species' N (partial-q_st approximation).
+    from .constants import KB_KCALMOL
+    qst = np.full((npts, len(act_ids)), np.nan)
+    for j in range(len(act_ids)):
+        for i in range(npts):
+            var = prod[i, :, j].var()
+            if var > 1e-12:
+                cov = np.cov(e_s[i], prod[i, :, j], bias=True)[0, 1]
+                qst[i, j] = (spec.temp_K - cov / var) * KB_KCALMOL
     writer.write_isotherm_summary(act_names, fugs, prod.mean(axis=1),
-                                  prod.std(axis=1))
+                                  prod.std(axis=1), qst)
     logger.banner("Isotherm summary (production half)")
     for j, name in enumerate(act_names):
         for i, f_ in enumerate(fugs):
             logger.log(f"  {name} @ {f_:g} atm: <N> = "
                        f"{prod[i, :, j].mean():.3f} "
-                       f"+- {prod[i, :, j].std():.3f}")
+                       f"+- {prod[i, :, j].std():.3f}"
+                       f"  qst = {qst[i, j]:.3f} kcal/mol")
     elapsed = time.time() - t0
     total = deck.nb_block * deck.nb_step * B
     logger.log(f"  throughput: {total / max(elapsed, 1e-9):,.0f} MC steps/s "

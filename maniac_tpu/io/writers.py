@@ -243,17 +243,21 @@ class OutputWriter:
                 f.write(f"{block:10d}" + "".join(
                     f" {float(v):14.5f}" for v in mean_n[:, j]) + "\n")
 
-    def write_isotherm_summary(self, names, fugacities, mean_n,
-                               std_n) -> None:
+    def write_isotherm_summary(self, names, fugacities, mean_n, std_n,
+                               qst=None) -> None:
         """Write isotherm.dat: per (species, fugacity) the production-half
-        mean +- std occupancy - the adsorption isotherm itself."""
+        mean +- std occupancy - the adsorption isotherm itself - plus the
+        fluctuation isosteric heat q_st (kcal/mol; nan when N never
+        fluctuated at that state point)."""
         path = os.path.join(self.outdir, "isotherm.dat")
         with open(path, "w") as f:
-            f.write("# species    fugacity[atm]          <N>        std(N)\n")
+            f.write("# species    fugacity[atm]          <N>        std(N)"
+                    "  qst[kcal/mol]\n")
             for j, name in enumerate(names):
                 for i, f_ in enumerate(fugacities):
+                    q = (f" {qst[i, j]:14.5f}" if qst is not None else "")
                     f.write(f"{name:>9s} {f_:16.6g} {mean_n[i, j]:12.5f} "
-                            f"{std_n[i, j]:12.5f}\n")
+                            f"{std_n[i, j]:12.5f}{q}\n")
 
     # --- density profile (TPU-native extension; no reference analog) --------
     def write_profile(self, snap: HostSnapshot, block: int, bins: int,

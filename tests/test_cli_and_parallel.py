@@ -215,6 +215,11 @@ def test_cli_isotherm_mode(tmp_path):
     assert f_vals == [50.0, 400.0]
     # 8x the fugacity must raise the ideal-gas occupancy decisively
     assert n_vals[1] > 2.0 * n_vals[0] > 0.0, rows
+    # fluctuation isosteric heat: exactly RT for an ideal gas (E == 0,
+    # cov(E, N) == 0 -> qst = k_B T = 0.5962 kcal/mol at 300 K)
+    q_vals = [float(r[4]) for r in rows]
+    for q in q_vals:
+        assert abs(q - 0.5962) < 0.01, q_vals
 
 
 def test_cli_isotherm_f32_resync(tmp_path):
